@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to configure a scale-ready local SparkSession.
+  *
+  * Settings chosen for the driver's local[32] harness but written so the
+  * same builder transfers to a 1000-executor cluster: AQE on (runtime
+  * re-planning, skew-join splitting, dynamic coalescing), shuffle
+  * partitions sized to the parallelism rather than the 200 default, and
+  * nanosecond parquet timestamps handled explicitly (the `events` table
+  * is written with timestamp[ns], which vanilla Spark rejects).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader cannot represent; read as long (ns since epoch) and convert
+      // explicitly in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft runtime confs to an externally created session (e.g. the
+    * driver's Verify/Bench session). Static confs (shuffle partitions
+    * default) can still be set per-query via repartition hints.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark
+  }
+}

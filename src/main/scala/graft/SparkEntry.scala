@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.ReferenceQueries
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * `queries` is the union of the per-area registries; each area object
+  * pairs a Spark implementation with a DuckDB oracle over the same
+  * parquet tables. Column names are aliased identically on both sides
+  * (the driver sorts columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (ReferenceQueries.queries, ReferenceQueries.oracle)
+    )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0.
+    * App-2 shape (scan → filter → keyed count) — the reference's
+    * flagship demo (SURVEY.md §2.6).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("app2_pipeline")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    groups.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst keeps predicate pushdown
+  * and column pruning; the only normalization is `events.ts`, which is
+  * stored as parquet TIMESTAMP(NANOS). Spark reads it as a long (ns since
+  * epoch, see GraftSession) and we expose both the raw nanos and a
+  * microsecond TimestampType column `ts` (truncation, matching what any
+  * µs-resolution engine sees).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events with `ts` as a proper µs TimestampType plus `ts_ns` raw nanos. */
+  private def normalizeEvents(df: DataFrame): DataFrame = {
+    val tsType = df.schema("ts").dataType.typeName
+    if (tsType == "long") {
+      // Integer division — ns values (~1.7e18) overflow double precision,
+      // so `/ 1000` (double div) would corrupt the microseconds. NTZ to
+      // match the other tables' naive parquet timestamps (UTC session).
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    } else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
