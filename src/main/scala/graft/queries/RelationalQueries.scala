@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational extensions beyond the reference surface (SURVEY.md §2.6
+  * "Extension" rows): joins of every flavor, the full aggregate family,
+  * window functions, sorts/top-k, set operations, scalar function
+  * coverage, pivot and grouping sets.
+  *
+  * Oracle-parity rules used throughout (driver hash-compares values):
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double aggregation goes through decimal(18,2|4) so the result is
+  *    exact and engine-independent (double summation order is not
+  *    associative), then back to double for a common wire type;
+  *  - integer-valued scalars cast to BIGINT on both sides;
+  *  - window orderings made total with a unique tie-break key.
+  *
+  * Scale notes: joins keep their natural shuffle keys; `broadcast()` only
+  * on genuinely small dimensions (region/nation/customer/supplier —
+  * dimension-sized at every SF); no collect, no coalesce(1) in any plan.
+  */
+object RelationalQueries {
+
+  /** sum(col) via exact decimal, surfaced as double. */
+  private def dsum(c: String, scale: Int = 2): org.apache.spark.sql.Column =
+    sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation family ------------------------------------------
+    // TPC-H Q1 shape: hash aggregate with partial (map-side) combine;
+    // at 100 TB the shuffle carries #groups × #partitions rows only.
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority")).agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))),
+
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("qty"))),
+
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    }),
+
+    // ---- joins --------------------------------------------------------
+    // Small dim → explicit broadcast: no shuffle of the fact side at all.
+    "q_join_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))
+    }),
+
+    // Fact-fact equi-join: both sides shuffle on the join key once; the
+    // groupBy reuses the join output without an extra exchange.
+    "q_join_shuffle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum("l_extendedprice").as("sum_price"))
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Star-schema chain: dims broadcast, fact never leaves its partitions
+    // until the final (tiny) aggregation.
+    "q_join_multiway" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- window functions ----------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("next_key"))
+    }),
+
+    // ---- sorts / top-k --------------------------------------------------
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // top-k then a k-row merge on the driver — no global sort at scale.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    "q_sort_limit" -> ((s, d) =>
+      Tables.part(s, d)
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+        .limit(50)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))),
+
+    // ---- set operations -------------------------------------------------
+    "q_set_union" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      cn.union(sn).distinct()
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      cn.intersect(sn)
+    }),
+
+    "q_set_except" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      cn.except(sn)
+    }),
+
+    // ---- scalar functions ------------------------------------------------
+    "q_scalar_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"))),
+
+    "q_scalar_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))),
+
+    "q_scalar_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - lit(25.0)).as("dev25"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        round(col("l_extendedprice").cast("decimal(18,2)") * lit(2), 2)
+          .cast("double").as("double_price"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod7"))),
+
+    "q_scalar_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
+    "q_case_when" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 200000, "high")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("low").as("price_band"))),
+
+    // ---- pivot -------------------------------------------------------------
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // ---- correlated subquery (EXISTS → semi join under Catalyst) -----------
+    "q_exists_subq" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ex")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders_ex o
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      """)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" -> """
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority""",
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_join_broadcast" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+    "q_join_shuffle" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
+    "q_join_left" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey""",
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q_join_multiway" -> """
+      SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""",
+    "q_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+          CAST(RANK() OVER w AS BIGINT) AS rnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ) WHERE rn <= 3""",
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders""",
+    "q_window_lag" -> """
+      SELECT o_custkey, o_orderkey,
+        LAG(o_totalprice, 1) OVER w AS prev_price,
+        LEAD(o_orderkey, 1) OVER w AS next_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_sort_limit" -> """
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      ORDER BY p_retailprice, p_partkey LIMIT 50""",
+    "q_set_union" -> """
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q_set_intersect" -> """
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q_set_except" -> """
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q_scalar_string" -> """
+      SELECT p_partkey,
+        UPPER(p_name) AS uname,
+        LOWER(p_brand) AS lbrand,
+        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        SUBSTRING(p_type, 1, 5) AS type5,
+        p_brand || '|' || p_type AS brand_type,
+        REPLACE(p_name, ' ', '_') AS snake_name,
+        LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key
+      FROM part""",
+    "q_scalar_date" -> """
+      SELECT o_orderkey,
+        CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+      FROM orders""",
+    "q_scalar_math" -> """
+      SELECT l_orderkey, l_linenumber,
+        ABS(l_quantity - 25.0) AS dev25,
+        CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 2, 2) AS DOUBLE) AS double_price,
+        CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+      FROM lineitem""",
+    "q_scalar_json" -> """
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+      FROM events""",
+    "q_case_when" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice >= 200000 THEN 'high'
+             WHEN o_totalprice >= 100000 THEN 'mid'
+             ELSE 'low' END AS price_band
+      FROM orders""",
+    "q_pivot" -> """
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+      FROM events GROUP BY user_id""",
+    "q_exists_subq" -> """
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"""
+  )
+}
