@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ReferenceQueries, RelationalQueries}
+import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracle),
-      (RelationalQueries.queries, RelationalQueries.oracle)
+      (RelationalQueries.queries, RelationalQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

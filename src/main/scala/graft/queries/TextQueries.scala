@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data text pipeline over `documents` (builder prompt:
+  * dedup, text analysis, fingerprinting) — each operator a distributed,
+  * shuffle-bounded plan with a DuckDB oracle.
+  *
+  * Portability contract with the oracle: tokenization is `\s+` split with
+  * empty tokens dropped (identical in Spark `split` and DuckDB
+  * `regexp_split_to_array`), hashes are pure integer arithmetic over
+  * ASCII codes (no engine hash builtins, which differ), md5 for content
+  * fingerprints (bit-identical in both engines).
+  *
+  * Scale design: every pairwise operator (Jaccard, MinHash, SimHash)
+  * goes through an equi-join on a banding/shingle key — never a cross
+  * join — so the plan is a hash-partitioned shuffle join that survives
+  * arbitrarily many documents as long as individual band buckets stay
+  * bounded (the classic LSH contract).
+  */
+object TextQueries {
+
+  /** `\s+`-tokenized non-empty words. */
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Word bigrams "w1_w2" (the shingles for Jaccard/MinHash/SimHash). */
+  private def bigrams(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable shingle value: first 4 chars (underscore-padded) as a
+    * base-128 integer — pure arithmetic so DuckDB computes the same. */
+  private def shingleVal(sh: Column): Column = {
+    def a(i: Int) = ascii(substring(rpad(sh, 4, "_"), i, 1)).cast("long")
+    a(1) * 2097152L + a(2) * 16384L + a(3) * 128L + a(4)
+  }
+
+  private val P = 1000000007L
+  // (A, B) coefficients for the 8 MinHash functions h_j(v) = (A*v+B) mod P
+  private val minhashCoef = Seq(
+    (2971L, 433L), (6361L, 877L), (9013L, 1259L), (12289L, 1657L),
+    (15331L, 2039L), (18443L, 2503L), (21767L, 2917L), (25013L, 3359L))
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
+      .distinct()
+
+  /** Per-doc MinHash signature m1..m8 over shingle values. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val v = shingleVal(col("sh"))
+    val aggs = minhashCoef.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * v + lit(b)) % lit(P)).as(s"m${j + 1}")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact Jaccard over ALL pairs sharing ≥1 shingle, in one pass: the
+    * shingle self-join feeds a (da,db) count aggregate directly — no
+    * candidate materialization, no re-expansion. The join output is
+    * Σ df(sh)² rows of three narrow columns; partial aggregation combines
+    * map-side before the pair shuffle.
+    */
+  private def jaccardDirect(sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Verified-Jaccard for an explicit candidate-pair set: attach each
+    * doc's (small, distinct) shingle array and intersect per pair —
+    * O(|cand| × doc_len) instead of O(Σ df²), the LSH scale path. The
+    * docsets side is tiny relative to cand, so AQE broadcasts it.
+    */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + distinct tokens + a BPE-ish
+    // subword proxy (4-char chunks would be vocabulary-dependent; the
+    // portable proxy is ceil(chars/4) per token, a standard token budget
+    // estimate).
+    "text_tokens" -> ((s, d) => {
+      val w = words(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        aggregate(w, lit(0L), (acc, x) => acc + ceil(length(x) / 4.0).cast("long"))
+          .as("n_subwords"))
+    }),
+
+    // Quality scoring: length/stopword/avg-token-length heuristics with
+    // fixed weights; integer sums then one double division → portable.
+    "text_quality" -> ((s, d) => {
+      val w = words(col("text"))
+      val nTok = size(w).cast("double")
+      val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
+      val stop = size(filter(w, x =>
+        x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        round(
+          lit(0.4) * least(nTok / 50.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - stop / nTok) +
+          lit(0.3) * least((sumLen / nTok) / 8.0, lit(1.0)), 6).as("quality"))
+    }),
+
+    // Language ID: marker-word (stopword-list) scoring, argmax with a
+    // fixed precedence tie-break — the classic n-gram/stopword heuristic.
+    "text_langid" -> ((s, d) => {
+      val w = words(col("text"))
+      def hits(m: Seq[String]) = size(filter(w, x => x.isin(m: _*))).cast("long")
+      val en = hits(Seq("the", "a", "of", "and", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "es"))
+      val de = hits(Seq("der", "die", "das", "und", "ist"))
+      Tables.documents(s, d).select(
+        col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es").otherwise("de").as("lang_pred"))
+    }),
+
+    // Content fingerprint: md5 over whitespace-canonicalized lowercase
+    // text (the cheap exact-dup key for a 100 TB corpus: one narrow
+    // column to shuffle instead of full text).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+          .as("fingerprint"))),
+
+    // Exact dedup: hash-groupBy on content, keep the smallest id —
+    // one shuffle on the text (or its fingerprint at scale).
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("text"))),
+
+    // n-gram Jaccard near-dup: shingle-explode → equi-join on shingle →
+    // per-pair intersection counts → threshold. No cross join; the
+    // shuffle key is the shingle.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardDirect(docShingles(s, d), 0.5)),
+
+    // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
+    // candidates from per-band equi-joins (unioned), then exact-Jaccard
+    // verification. The banding joins are the scale path: each band is a
+    // hash-partitioned self-join on a 2-minhash key.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val sig = signatures(sh).cache()
+      val bands = Seq(("m1", "m2"), ("m3", "m4"), ("m5", "m6"), ("m7", "m8"))
+      val cand = bands.map { case (x, y) =>
+        val l = sig.select(col("doc_id").as("da"), col(x).as("bx"), col(y).as("by"))
+        val r = sig.select(col("doc_id").as("db"), col(x).as("bx"), col(y).as("by"))
+        l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
+          .select(col("da"), col("db"))
+      }.reduce(_ unionAll _).distinct()
+      jaccardVerify(cand, sh, 0.5)
+    }),
+
+    // SimHash: 16-bit signature from per-bit ±1 majority over shingle
+    // hashes; docs sharing a signature are near-dup clusters. One
+    // explode + one aggregation + one groupBy — fully linear.
+    "dedup_simhash" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val h = (lit(2971L) * shingleVal(col("sh")) + lit(433L)) % lit(P)
+      val bitSums = (0 until 16).map { j =>
+        sum(when(floor(col("h") / math.pow(2, j).toLong) % 2 === 1, 1L).otherwise(-1L))
+          .as(s"s$j")
+      }
+      val sums = sh.withColumn("h", h).groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 16).map { j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      sums.select(col("doc_id"), sim.as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+    })
+  )
+
+  private val wordsSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+
+  /** Shared SQL CTE: distinct (doc_id, sh) word-bigram shingles. */
+  private val shinglesCte =
+    s"""docw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        shing AS (
+          SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] AS sh
+          FROM docw, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)"""
+
+  private val shingleValSql =
+    """(CAST(ascii(substring(rpad(sh, 4, '_'), 1, 1)) AS BIGINT) * 2097152
+      + ascii(substring(rpad(sh, 4, '_'), 2, 1)) * 16384
+      + ascii(substring(rpad(sh, 4, '_'), 3, 1)) * 128
+      + ascii(substring(rpad(sh, 4, '_'), 4, 1)))"""
+
+  private def jaccardSql(candCte: String): String =
+    s"""WITH $shinglesCte,
+        $candCte,
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shing GROUP BY doc_id),
+        inter AS (
+          SELECT c.da, c.db, COUNT(*) AS inter
+          FROM cand c
+          JOIN shing x ON x.doc_id = c.da
+          JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
+          GROUP BY c.da, c.db)
+        SELECT i.da, i.db,
+               ROUND(CAST(i.inter AS DOUBLE) / (a.nsh + b.nsh - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.da
+        JOIN sizes b ON b.doc_id = i.db
+        WHERE CAST(i.inter AS DOUBLE) / (a.nsh + b.nsh - i.inter) >= 0.5"""
+
+  private val sigSqlCols = minhashCoef.zipWithIndex.map { case ((a, b), j) =>
+    s"MIN(($a * $shingleValSql + $b) % $P) AS m${j + 1}"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" -> s"""
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        CAST(list_sum(list_transform(w, x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+      FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
+    "text_quality" -> s"""
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        ROUND(
+          0.4 * LEAST(len(w) / 50.0, 1.0) +
+          0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / len(w)) +
+          0.3 * LEAST((CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(w)) / 8.0, 1.0), 6) AS quality
+      FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
+    "text_langid" -> s"""
+      SELECT doc_id, en_hits, es_hits, de_hits,
+        CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+             WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS es_hits,
+          CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents))""",
+    "text_fingerprint" -> """
+      SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents""",
+    "dedup_exact" -> """
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
+      FROM documents GROUP BY text""",
+    "dedup_ngram_jaccard" -> jaccardSql(
+      """cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""),
+    "dedup_minhash_lsh" -> jaccardSql(
+      s"""sv AS (SELECT doc_id, sh FROM shing),
+         sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT da, db FROM (
+             SELECT a.doc_id da, b.doc_id db FROM sig a JOIN sig b
+               ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id
+             UNION
+             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+               ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id
+             UNION
+             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+               ON a.m5 = b.m5 AND a.m6 = b.m6 AND a.doc_id < b.doc_id
+             UNION
+             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+               ON a.m7 = b.m7 AND a.m8 = b.m8 AND a.doc_id < b.doc_id))"""),
+    "dedup_simhash" -> s"""
+      WITH $shinglesCte,
+      hv AS (SELECT doc_id, (2971 * $shingleValSql + 433) % $P AS h FROM shing),
+      sums AS (
+        SELECT doc_id,
+          ${(0 until 16).map(j =>
+            s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+            .mkString(", ")}
+        FROM hv GROUP BY doc_id),
+      sim AS (
+        SELECT doc_id,
+          ${(0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+            .mkString(" + ")} AS simhash
+        FROM sums)
+      SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM sim GROUP BY simhash HAVING COUNT(*) > 1"""
+  )
+}
