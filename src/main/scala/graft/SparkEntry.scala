@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries}
+import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
-      (TextQueries.queries, TextQueries.oracle)
+      (TextQueries.queries, TextQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

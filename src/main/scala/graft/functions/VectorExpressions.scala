@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector operators.
+  *
+  * A naive Column-DSL encoding of a 64-dim dot product (64 Multiply/Add
+  * nodes) or a 16-hyperplane signature (1024 nodes) blows whole-stage
+  * codegen past the JVM's 64KB method limit, dropping the whole stage to
+  * interpreted mode and bloating Catalyst planning. These expressions
+  * generate a tight loop instead — one method call per row, fully inside
+  * WholeStageCodegen.
+  *
+  * Determinism contract with the DuckDB oracle: accumulation is a plain
+  * left-to-right loop (`acc += w*x`), bit-identical to the oracle's
+  * left-associative explicit SQL sum `(t1 + t2) + t3 ...` (IEEE double
+  * addition, same operand order; the leading `0.0 + t1` is exact).
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+      int n = Math.min($x.numElements(), $y.numElements());
+      double acc = 0.0;
+      for (int i = 0; i < n; i++) {
+        acc += (double) $x.getFloat(i) * (double) $y.getFloat(i);
+      }
+      ${ev.value} = acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** k-bit random-hyperplane signature of a float vector: bit j is set iff
+  * `sum_i weights(j)(i) * v(i) > 0`. Weights are plan-time constants
+  * (shipped via codegen reference objects), so the expression is pure and
+  * foldable-free.
+  */
+case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sig"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sg = 0
+    var j = 0
+    while (j < weights.length) {
+      val w = weights(j)
+      val n = math.min(w.length, v.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += w(i) * v.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc > 0) sg |= 1 << j
+      j += 1
+    }
+    sg
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+      int sg = 0;
+      for (int j = 0; j < $wRef.length; j++) {
+        int[] w = $wRef[j];
+        int n = Math.min(w.length, $v.numElements());
+        double acc = 0.0;
+        for (int i = 0; i < n; i++) {
+          acc += w[i] * (double) $v.getFloat(i);
+        }
+        if (acc > 0) sg |= 1 << j;
+      }
+      ${ev.value} = sg;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Exact float-array dot product as double (left-to-right accumulation). */
+  def dotF(x: Column, y: Column): Column =
+    Shim.column(FloatDotProduct(Shim.expression(x), Shim.expression(y)))
+
+  /** Random-hyperplane LSH signature with the given integer weight rows. */
+  def hyperplaneSig(v: Column, weights: Array[Array[Int]]): Column =
+    Shim.column(HyperplaneSignature(Shim.expression(v), weights))
+}
