@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       (ReferenceQueries.queries, ReferenceQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
-      (VectorQueries.queries, VectorQueries.oracle)
+      (VectorQueries.queries, VectorQueries.oracle),
+      (TimeWindowQueries.queries, TimeWindowQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

@@ -51,7 +51,9 @@ object Core {
   def projectCsv(schema: StructType, fields: Seq[String])(df: DataFrame): DataFrame = {
     val parsed = df.withColumn(
       "_parsed",
-      from_csv(col("value"), schema, Map("mode" -> "PERMISSIVE")))
+      // escape=" selects RFC-4180 doubled-quote escaping, matching Go's
+      // encoding/csv used by the reference ops (ops/app1op2/app1op2.go:11).
+      from_csv(col("value"), schema, Map("mode" -> "PERMISSIVE", "escape" -> "\"")))
     // PERMISSIVE + null-out: a malformed row yields nulls for all fields;
     // dropping rows where every projected field is null reproduces the
     // reference's malformed-row drop without a second parse.

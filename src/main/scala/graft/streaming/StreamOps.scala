@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Core
+
+/** Structured Streaming face of the reference engine.
+  *
+  * The reference's streaming guarantees (SURVEY.md §2.3-§2.5) map onto
+  * built-in Structured Streaming machinery:
+  *
+  *  - WAL + log replay (rainstorm/server.go:186-278)      → checkpointLocation
+  *  - dedup set `processedRecordIDs` (server.go:292-298)  → dropDuplicates(id) / source offsets
+  *  - count state `map[string]int` (server.go:39)         → state store under groupBy.count
+  *  - ack/retry delivery (server.go:376-408)              → task retry + deterministic replay
+  *  - leader sink batch flush (batchLogger.go:26-63)      → micro-batch triggers
+  *
+  * All Core.* operators are pure `DataFrame => DataFrame`, so the same
+  * op compositions run unchanged over batch or streaming frames — batch
+  * is the degenerate case (`Trigger.AvailableNow` over a bounded source).
+  */
+object StreamOps {
+
+  /** S1 streaming source: a directory of text files as the reference's
+    * (key, value) line stream. The key carries the originating file so
+    * downstream semantics match rainstorm/server.go:439's "<file>:<line>"
+    * without serializing the scan.
+    */
+  def sourceLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", 8) // bounded micro-batches at scale
+      .text(dir)
+      .select(
+        concat(input_file_name(), lit(":"),
+          md5(col("value"))).as("key"),
+        col("value"))
+
+  /** Streaming parquet source over a fixed schema (driver testdata shape). */
+  def sourceParquet(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(dir)
+
+  /** A1 keyed running count, micro-batch observable form: update-mode
+    * `groupBy(key).count()`. The state store holds one long per key —
+    * the direct replacement for the reference's `map[string]int` + WAL.
+    */
+  def countByKey(df: DataFrame): DataFrame = Core.countByKey(df)
+
+  /** A1 per-record emission fidelity: the reference emits `(key, n)` on
+    * EVERY increment (rainstorm/server.go:344-355), not once per
+    * micro-batch. flatMapGroupsWithState with a running-count state
+    * reproduces that exact output sequence.
+    */
+  def runningCountPerRecord(ds: Dataset[Core.Record]): Dataset[(String, Long)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, records: Iterator[Core.Record], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = records.map { _ => n += 1; (key, n) }.toList
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** F5 streaming exactly-once dedup: drop duplicate ids, with a
+    * watermark bound so state cannot grow unboundedly (the reference's
+    * dedup set grows forever — server.go:34).
+    */
+  def dedupById(df: DataFrame, tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates("id", tsCol)
+
+  /** Tumbling event-time window aggregation with watermarking. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+                     watermark: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows (gap-based) per key with watermarking. */
+  def sessionCounts(df: DataFrame, tsCol: String, gap: String,
+                    watermark: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The RainStorm pipeline template, streaming edition: source → op1 →
+    * op2 → sink with checkpointed exactly-once (rainstorm/server.go:88-153
+    * minus the hand-rolled WAL). `AvailableNow` drains all available
+    * input then stops — the deterministic batch-equivalent trigger.
+    */
+  def runPipeline(source: DataFrame,
+                  op1: DataFrame => DataFrame,
+                  op2: DataFrame => DataFrame,
+                  outputMode: OutputMode,
+                  checkpoint: String,
+                  sinkDir: Option[String] = None): StreamingQuery = {
+    val transformed = Core.pipeline(source, op1, op2)
+    val writer = transformed.writeStream
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+    sinkDir match {
+      case Some(dir) => writer.format("parquet").option("path", dir).start()
+      case None      => writer.format("memory").queryName(s"graft_sink_${System.nanoTime()}").start()
+    }
+  }
+}

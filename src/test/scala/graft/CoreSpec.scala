@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Core
+
+/** Unit specs for the reference operator surface (SURVEY.md §2),
+  * including the malformed-CSV drop (F2) and quoted-field handling the
+  * reference gets from Go's encoding/csv (TrafficSigns rows like
+  * `"16"" X 42"""` — FIXTURES.md).
+  */
+class CoreSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def lines(vs: (String, String)*) =
+    vs.toSeq.toDF("key", "value")
+
+  test("F1 filterContains keeps only matching lines") {
+    val out = Core.filterContains("needle")(
+      lines("a" -> "has needle here", "b" -> "nothing", "c" -> "needle"))
+    assert(out.collect().map(_.getString(0)).sorted === Array("a", "c"))
+  }
+
+  test("F2 projectCsv parses, projects, and drops malformed rows") {
+    val schema = StructType(Seq(
+      StructField("objectid", IntegerType),
+      StructField("sign_type", StringType)))
+    val out = Core.projectCsv(schema, Seq("objectid", "sign_type"))(
+      lines(
+        "a" -> "12,Stop",
+        "b" -> "not-an-int,Yield",   // objectid unparseable -> null col
+        "c" -> "\"34\",\"Speed, Limit\"", // quoted comma stays one field
+        "d" -> ",,"))                // all-null -> dropped
+    val rows = out.collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(rows === Set((12, "Stop"), (null, "Yield"), (34, "Speed, Limit")))
+  }
+
+  test("F2 projectCsv handles embedded escaped quotes (TrafficSigns shape)") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val out = Core.projectCsv(schema, Seq("a", "b"))(
+      lines("k" -> "\"16\"\" X 42\"\"\",post"))
+    assert(out.collect().toSeq === Seq(Row("16\" X 42\"", "post")))
+  }
+
+  test("F3 filterEqProject emits (key, 1) pairs for matches only") {
+    val df = Seq(("x", "click"), ("y", "view"), ("z", "click"))
+      .toDF("user", "event")
+    val out = Core.filterEqProject(col("event"), "click", col("user"))(df)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("x", 1L), ("z", 1L)))
+  }
+
+  test("F5 dedupById is idempotent under redelivery") {
+    val df = Seq(("1", "a"), ("1", "a"), ("2", "b")).toDF("id", "v")
+    val out = Core.dedupById(Seq("id"))(df)
+    assert(out.count() === 2)
+    assert(Core.dedupById(Seq("id"))(out).count() === 2)
+  }
+
+  test("A1 countByKey equals per-key input multiplicity") {
+    val df = Seq("a", "a", "b", "a", "c").map(k => (k, 1)).toDF("key", "one")
+    val out = Core.countByKey(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("F4 flatMapRecords supports 0..k fan-out per record") {
+    val df = Seq(("i1", "k", "ab"), ("i2", "k", "")).toDF("id", "key", "value")
+    val out = Core.flatMapRecords(df, r =>
+      r.value.map(c => Core.Record(r.id + c, r.key, c.toString)))
+    assert(out.count() === 2) // "ab" -> 2 records, "" -> 0
+  }
+
+  test("pipeline composes op1 then op2 (App-2 shape)") {
+    val src = Seq(("u1", "click"), ("u2", "view"), ("u1", "click"))
+      .toDF("user", "event")
+    val out = Core.pipeline(src,
+      Core.filterEqProject(col("event"), "click", col("user")),
+      df => Core.countByKey(df))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("u1", 2L)))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Core
+import graft.streaming.StreamOps
+
+/** Streaming fidelity specs (SURVEY.md §5):
+  *  - streaming result ≡ batch result for the same op composition;
+  *  - update-mode keyed count emission (A1);
+  *  - per-record running-count emission via flatMapGroupsWithState;
+  *  - checkpoint kill/restart recovery without double-counting — the
+  *    deterministic replacement for the reference's chaos demo (C4) and
+  *    WAL replay (A2/C3, rainstorm/server.go:186-278).
+  */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def writeLines(dir: String, name: String, ls: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), String.join("\n", ls: _*).getBytes,
+      StandardOpenOption.CREATE)
+
+  test("app2 pipeline: streaming update-mode counts equal batch counts") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val source = ms.toDF().toDF("user", "event")
+    val counted = Core.pipeline(source,
+      Core.filterEqProject(col("event"), "click", col("user")),
+      df => Core.countByKey(df))
+    val q = counted.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("app2_counts").start()
+    try {
+      ms.addData(("u1", "click"), ("u2", "view"), ("u1", "click"))
+      q.processAllAvailable()
+      ms.addData(("u1", "click"), ("u3", "click"))
+      q.processAllAvailable()
+      // last update per key == batch count over the full input
+      val updates = spark.table("app2_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val lastPerKey = updates.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      assert(lastPerKey === Map("u1" -> 3L, "u3" -> 1L))
+    } finally q.stop()
+  }
+
+  test("A1 fidelity: running count emits (key, n) on every increment") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Core.Record]
+    val out = StreamOps.runningCountPerRecord(ms.toDS())
+    val q = out.toDF("key", "n").writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("percord").start()
+    try {
+      ms.addData(Core.Record("1", "a", ""), Core.Record("2", "a", ""),
+        Core.Record("3", "b", ""))
+      q.processAllAvailable()
+      ms.addData(Core.Record("4", "a", ""))
+      q.processAllAvailable()
+      val got = spark.table("percord").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // every intermediate count was emitted, exactly as the reference
+      // does per increment (rainstorm/server.go:344-355)
+      assert(got === Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart recovers state and offsets exactly once") {
+    val srcDir = tmpDir("stream-src")
+    val ckpt = tmpDir("stream-ckpt")
+    writeLines(srcDir, "f1.txt", Seq("click u1", "view u2", "click u1"))
+
+    def runOnce(sinkName: String): Unit = {
+      val source = spark.readStream.text(srcDir)
+      val counts = source
+        .filter(col("value").startsWith("click"))
+        .select(substring_index(col("value"), " ", -1).as("key"))
+        .groupBy("key").count()
+      val q = counts.writeStream.outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sinkName).start()
+      q.awaitTermination()
+    }
+
+    runOnce("ckpt_run1")
+    assert(spark.table("ckpt_run1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === Map("u1" -> 2L))
+
+    // "failure": the query is gone; new data arrives; a new incarnation
+    // resumes from the same checkpoint.
+    writeLines(srcDir, "f2.txt", Seq("click u1", "click u3"))
+    runOnce("ckpt_run2")
+    assert(spark.table("ckpt_run2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("u1" -> 3L, "u3" -> 1L)) // f1 not re-counted, state recovered
+  }
+
+  test("streaming dedup drops redelivered ids (F5)") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("id", "ts", "v")
+    val q = StreamOps.dedupById(df, "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_sink").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      ms.addData(("a", t, "x"), ("a", t, "x"), ("b", t, "y"))
+      q.processAllAvailable()
+      ms.addData(("a", t, "x")) // redelivery in a later micro-batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_sink").count() === 2)
+    } finally q.stop()
+  }
+
+  test("tumbling window streaming equals batch aggregation") {
+    val evDir = tmpDir("events-pq")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(evDir)
+    val batch = spark.read.parquet(evDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+
+    val src = StreamOps.sourceParquet(spark, evDir,
+      spark.read.parquet(evDir).schema)
+    val q = src.groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("tumbling_stream").start()
+    q.awaitTermination()
+    val streamed = spark.table("tumbling_stream").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
