@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.queries.{MultimodalQueries, ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
-      (TimeWindowQueries.queries, TimeWindowQueries.oracle)
+      (TimeWindowQueries.queries, TimeWindowQueries.oracle),
+      (MultimodalQueries.queries, MultimodalQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

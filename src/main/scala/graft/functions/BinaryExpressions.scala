@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+
+/** Per-payload byte statistics over a binary column in one pass:
+  * struct(n_bytes, sum_bytes, min_byte, max_byte). Unsigned byte values
+  * (0..255); empty payloads yield null min/max.
+  *
+  * Integer-only arithmetic keeps the result exactly portable to the
+  * DuckDB oracle. CodegenFallback is deliberate: the hot loop is
+  * compiled JVM code either way, and a struct-producing expression
+  * doesn't benefit enough from doGenCode to justify hand-writing
+  * UnsafeRow construction.
+  */
+case class BinaryByteStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("min_byte", IntegerType),
+    StructField("max_byte", IntegerType)))
+
+  override def prettyName: String = "byte_stats"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    var sum = 0L
+    var mn = 256
+    var mx = -1
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      bytes.length.toLong, sum,
+      if (bytes.isEmpty) null else mn,
+      if (bytes.isEmpty) null else mx))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryByteStats =
+    copy(child = newChild)
+}
+
+object BinaryFunctions {
+  /** One-pass byte stats struct for a binary column. */
+  def byteStats(payload: Column): Column =
+    Shim.column(BinaryByteStats(Shim.expression(payload)))
+}
