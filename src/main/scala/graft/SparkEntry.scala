@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.queries.{AdvancedJoinQueries, MultimodalQueries, ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (TimeWindowQueries.queries, TimeWindowQueries.oracle),
-      (MultimodalQueries.queries, MultimodalQueries.oracle)
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (AdvancedJoinQueries.queries, AdvancedJoinQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

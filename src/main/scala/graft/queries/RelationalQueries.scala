@@ -34,6 +34,17 @@ object RelationalQueries {
     // ---- aggregation family ------------------------------------------
     // TPC-H Q1 shape: hash aggregate with partial (map-side) combine;
     // at 100 TB the shuffle carries #groups × #partitions rows only.
+    // Custom typed Aggregator (UDAF surface): one partial-aggregating
+    // buffer per (partition, key); see graft.functions.Aggregators.
+    "q_custom_udaf" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Aggregators.longStats(col("q")).as("st"))
+        .select(col("l_returnflag"), col("st.n_q").as("n_q"),
+          col("st.sum_q").as("sum_q"), col("st.min_q").as("min_q"),
+          col("st.max_q").as("max_q"))),
+
     "q1_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -330,6 +341,14 @@ object RelationalQueries {
         LEAD(o_orderkey, 1) OVER w AS next_key
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_custom_udaf" -> """
+      SELECT l_returnflag,
+             COUNT(*) AS n_q,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+             MIN(CAST(l_quantity AS BIGINT)) AS min_q,
+             MAX(CAST(l_quantity AS BIGINT)) AS max_q
+      FROM lineitem GROUP BY l_returnflag""",
+
     "q_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

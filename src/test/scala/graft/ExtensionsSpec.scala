@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Aggregators
+
+/** Specs for the extension surfaces: SQL-registered native functions
+  * (SparkSessionExtensions), the typed Aggregator, and the
+  * stream-stream join showcase (SURVEY.md §2.6 joins row).
+  */
+class ExtensionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("GraftExtensions registers float_dot and byte_stats for SQL") {
+    // The shared test session isn't built with extensions; register the
+    // same way GraftExtensions does, through the session's catalog-less
+    // function registry via a fresh session with extensions.
+    val s2 = GraftSession.builder("graft-ext-test")
+      .master("local[2]").getOrCreate()
+    try {
+      val d = s2.sql(
+        "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT))," +
+          " array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+        .head().getDouble(0)
+      assert(d === 1.5 * 4 + 2 * 0.5)
+      val st = s2.sql("SELECT byte_stats(CAST('ab' AS BINARY)) AS st")
+        .select("st.*").head()
+      assert((st.getLong(0), st.getLong(1), st.getInt(2), st.getInt(3)) ===
+        ((2L, 195L, 97, 98)))
+    } finally ()
+  }
+
+  test("LongStatsAggregator merges partial buffers correctly") {
+    val df = Seq(("a", 5L), ("a", 1L), ("b", 7L), ("a", 3L))
+      .toDF("k", "q").repartition(3)
+    val out = df.groupBy("k").agg(Aggregators.longStats(col("q")).as("st"))
+      .select(col("k"), col("st.n_q"), col("st.sum_q"),
+        col("st.min_q"), col("st.max_q"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((3L, 9L, 1L, 5L)))
+    assert(out("b") === ((1L, 7L, 7L, 7L)))
+  }
+
+  test("stream-stream join with watermarks matches the batch join") {
+    implicit val sql = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val impressions = Seq(("ad1", ts(0)), ("ad2", ts(1)), ("ad3", ts(2)))
+    val clicks = Seq(("ad1", ts(3)), ("ad2", ts(30)), ("ad4", ts(4)))
+
+    val msI = MemoryStream[(String, java.sql.Timestamp)]
+    val msC = MemoryStream[(String, java.sql.Timestamp)]
+    val i = msI.toDF().toDF("ad", "its").withWatermark("its", "10 minutes")
+    val c = msC.toDF().toDF("cad", "cts").withWatermark("cts", "10 minutes")
+    val joined = i.join(c,
+      col("ad") === col("cad") &&
+        col("cts") >= col("its") &&
+        col("cts") < col("its") + expr("INTERVAL 10 MINUTES"))
+      .select(col("ad"), col("its"), col("cts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try {
+      msI.addData(impressions: _*)
+      msC.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      // ad1 clicked within 10 min; ad2's click is 29 min late; ad4 never shown
+      assert(got === Set(("ad1", ts(0), ts(3))))
+    } finally q.stop()
+  }
+}
