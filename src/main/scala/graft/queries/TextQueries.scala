@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ArrayFunctions
 
 /** LLM-training-data text pipeline over `documents` (builder prompt:
   * dedup, text analysis, fingerprinting) — each operator a distributed,
@@ -27,14 +29,22 @@ object TextQueries {
   private def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
-  /** Word bigrams "w1_w2" (the shingles for Jaccard/MinHash/SimHash). */
-  private def bigrams(text: Column): Column = {
-    val w = words(text)
+  /** documents with the token array materialized ONCE as a column.
+    * Critical at scale: lambda bodies of higher-order functions do not
+    * participate in codegen subexpression elimination, so an
+    * `element_at(split(text), i)` inside `transform` re-splits the text
+    * per element — O(len²) per document. Materializing `w` first makes
+    * every element access O(1).
+    */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+
+  /** Word bigrams "w1_w2" over a MATERIALIZED word-array column. */
+  private def bigrams(w: Column): Column =
     when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Portable shingle value: first 4 chars (underscore-padded) as a
     * base-128 integer — pure arithmetic so DuckDB computes the same. */
@@ -51,9 +61,23 @@ object TextQueries {
 
   /** (doc_id, shingle) distinct pairs. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
+    docWords(s, d)
+      .select(col("doc_id"), explode(bigrams(col("w"))).as("sh"))
       .distinct()
+
+  /** (doc_id, sid) with shingles interned to dense ints — a bijection,
+    * so every set computation downstream is unchanged while join keys
+    * and intersection elements become fixed-width ints instead of
+    * strings. The dimension here is tiny so a deterministic row_number
+    * suffices; a 100 TB corpus swaps it for
+    * monotonically_increasing_id over the cached distinct-shingle dim.
+    */
+  private def docShingleIds(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val dim = sh.select(col("sh")).distinct()
+      .withColumn("sid", row_number().over(Window.orderBy(col("sh"))))
+    sh.join(broadcast(dim), "sh").select(col("doc_id"), col("sid"))
+  }
 
   /** Per-doc MinHash signature m1..m8 over shingle values. */
   private def signatures(sh: DataFrame): DataFrame = {
@@ -72,9 +96,9 @@ object TextQueries {
     */
   private def jaccardDirect(sh: DataFrame, minJ: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("da") < col("db"))
+    val a = sh.select(col("doc_id").as("da"), col("sid"))
+    val b = sh.select(col("doc_id").as("db"), col("sid"))
+    a.join(b, Seq("sid")).filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
@@ -85,16 +109,19 @@ object TextQueries {
   }
 
   /** Verified-Jaccard for an explicit candidate-pair set: attach each
-    * doc's (small, distinct) shingle array and intersect per pair —
+    * doc's sorted shingle-id array and merge-intersect per pair —
     * O(|cand| × doc_len) instead of O(Σ df²), the LSH scale path. The
-    * docsets side is tiny relative to cand, so AQE broadcasts it.
+    * docsets side is tiny relative to cand, so AQE broadcasts it;
+    * SortedIntersectCount keeps the per-pair kernel allocation-free.
     */
   private def jaccardVerify(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sid"))).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        ArrayFunctions.sortedIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("inter")), 6))
@@ -109,8 +136,8 @@ object TextQueries {
     // portable proxy is ceil(chars/4) per token, a standard token budget
     // estimate).
     "text_tokens" -> ((s, d) => {
-      val w = words(col("text"))
-      Tables.documents(s, d).select(
+      val w = col("w")
+      docWords(s, d).select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
@@ -121,12 +148,12 @@ object TextQueries {
     // Quality scoring: length/stopword/avg-token-length heuristics with
     // fixed weights; integer sums then one double division → portable.
     "text_quality" -> ((s, d) => {
-      val w = words(col("text"))
+      val w = col("w")
       val nTok = size(w).cast("double")
       val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
       val stop = size(filter(w, x =>
         x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("double")
-      Tables.documents(s, d).select(
+      docWords(s, d).select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         round(
@@ -138,12 +165,12 @@ object TextQueries {
     // Language ID: marker-word (stopword-list) scoring, argmax with a
     // fixed precedence tie-break — the classic n-gram/stopword heuristic.
     "text_langid" -> ((s, d) => {
-      val w = words(col("text"))
+      val w = col("w")
       def hits(m: Seq[String]) = size(filter(w, x => x.isin(m: _*))).cast("long")
       val en = hits(Seq("the", "a", "of", "and", "is"))
       val es = hits(Seq("el", "la", "de", "y", "es"))
       val de = hits(Seq("der", "die", "das", "und", "ist"))
-      Tables.documents(s, d).select(
+      docWords(s, d).select(
         col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
         when(en >= es && en >= de, "en")
           .when(es >= de, "es").otherwise("de").as("lang_pred"))
@@ -170,12 +197,15 @@ object TextQueries {
     // per-pair intersection counts → threshold. No cross join; the
     // shuffle key is the shingle.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardDirect(docShingles(s, d), 0.5)),
+      jaccardDirect(docShingleIds(s, d), 0.5)),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
-    // candidates from per-band equi-joins (unioned), then exact-Jaccard
-    // verification. The banding joins are the scale path: each band is a
-    // hash-partitioned self-join on a 2-minhash key.
+    // candidates from per-band equi-joins, then exact-Jaccard
+    // verification. Candidates are deliberately NOT deduplicated before
+    // verification: verify is shuffle-free (broadcast set-attach + the
+    // merge-intersect kernel), so re-verifying a cross-band duplicate is
+    // far cheaper than shuffling tens of millions of pairs through a
+    // distinct — dedup happens on the tiny post-threshold survivor set.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = docShingles(s, d)
       val sig = signatures(sh).cache()
@@ -185,8 +215,8 @@ object TextQueries {
         val r = sig.select(col("doc_id").as("db"), col(x).as("bx"), col(y).as("by"))
         l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
           .select(col("da"), col("db"))
-      }.reduce(_ unionAll _).distinct()
-      jaccardVerify(cand, sh, 0.5)
+      }.reduce(_ unionAll _)
+      jaccardVerify(cand, docShingleIds(s, d), 0.5).distinct()
     }),
 
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
