@@ -94,6 +94,20 @@ object Core {
   def countByKey(df: DataFrame): DataFrame =
     df.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
 
+  /** A1 under key skew: two-phase salted aggregation. Phase 1 spreads a
+    * hot key over `buckets` sub-keys (map-side salt from a per-row id,
+    * no extra shuffle), phase 2 folds the partial counts. Output is
+    * identical to countByKey; the shuffle carries `buckets` rows per hot
+    * key instead of routing the whole key to one reducer. Join-side skew
+    * is covered separately by AQE skew-join splitting (GraftSession).
+    */
+  def countByKeySalted(df: DataFrame, buckets: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col("key"), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("_partial")).as("cnt"))
+
   /** The RainStorm 3-stage pipeline template (rainstorm/server.go:88-153):
     * source → op1 → op2 (→ sink is the caller's write). Composition is
     * associative function application; Catalyst fuses all stages into one

@@ -67,6 +67,17 @@ class CoreSpec extends GraftSpec {
     assert(out === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("A1 salted count equals plain count under a hot key") {
+    val hot = Seq.fill(500)("hot") ++ Seq("cold1", "cold2", "cold1")
+    val df = hot.map(k => (k, 1)).toDF("key", "one").repartition(4)
+    val plain = Core.countByKey(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Core.countByKeySalted(df, buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 500L)
+  }
+
   test("F4 flatMapRecords supports 0..k fan-out per record") {
     val df = Seq(("i1", "k", "ab"), ("i2", "k", "")).toDF("id", "key", "value")
     val out = Core.flatMapRecords(df, r =>
