@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedJoinQueries, MultimodalQueries, ReferenceQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.queries.{AdvancedJoinQueries, MultimodalQueries, ReferenceQueries, RelationalQueries, StreamingGateQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracle),
       (TimeWindowQueries.queries, TimeWindowQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
-      (AdvancedJoinQueries.queries, AdvancedJoinQueries.oracle)
+      (AdvancedJoinQueries.queries, AdvancedJoinQueries.oracle),
+      (StreamingGateQueries.queries, StreamingGateQueries.oracle)
     )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0.

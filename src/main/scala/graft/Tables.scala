@@ -24,7 +24,7 @@ object Tables {
   }
 
   /** events with `ts` as a proper µs TimestampType plus `ts_ns` raw nanos. */
-  private def normalizeEvents(df: DataFrame): DataFrame = {
+  private[graft] def normalizeEvents(df: DataFrame): DataFrame = {
     val tsType = df.schema("ts").dataType.typeName
     if (tsType == "long") {
       // Integer division — ns values (~1.7e18) overflow double precision,

@@ -185,6 +185,18 @@ object TextQueries {
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
           .as("fingerprint"))),
 
+    // Polynomial rolling-hash fingerprint (mod 1e9+7, base 31) over the
+    // character stream — the classic incremental document fingerprint.
+    // Pure integer fold, so the oracle reproduces it bit-exactly; the
+    // char array is materialized before the lambda (see docWords note).
+    "text_rolling_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(split(col("text"), ""), c => ascii(c)).as("codes"))
+        .select(col("doc_id"),
+          aggregate(col("codes"), lit(0L),
+            (a, x) => (a * 31 + x) % lit(P)).as("rhash"))),
+
     // Exact dedup: hash-groupBy on content, keep the smallest id —
     // one shuffle on the text (or its fingerprint at scale).
     "dedup_exact" -> ((s, d) =>
@@ -306,6 +318,14 @@ object TextQueries {
     "text_fingerprint" -> """
       SELECT doc_id,
         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents""",
+    "text_rolling_hash" -> s"""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text) + 1),
+                           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (a, x) -> (a * 31 + x) % $P) AS BIGINT) AS rhash
       FROM documents""",
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
