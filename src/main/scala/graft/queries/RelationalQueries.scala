@@ -34,6 +34,18 @@ object RelationalQueries {
     // ---- aggregation family ------------------------------------------
     // TPC-H Q1 shape: hash aggregate with partial (map-side) combine;
     // at 100 TB the shuffle carries #groups × #partitions rows only.
+    // Sketch aggregates (HLL++ distinct, approximate quantiles): no SQL
+    // oracle by design — approximation is engine-specific, so the driver
+    // records the weaker rows-only check; the accuracy bound against the
+    // exact answer is asserted in ExtensionsSpec.
+    "q_sketch_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price"))),
+
     // Custom typed Aggregator (UDAF surface): one partial-aggregating
     // buffer per (partition, key); see graft.functions.Aggregators.
     "q_custom_udaf" -> ((s, d) =>

@@ -185,6 +185,17 @@ object TextQueries {
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
           .as("fingerprint"))),
 
+    // The canonical streaming demo — word frequency: explode the
+    // materialized token array (a Generate, Spark's UDTF shape), hash-
+    // aggregate, total-order top-20. At scale the partial aggregation
+    // collapses each partition to its distinct words before the shuffle.
+    "text_word_freq" -> ((s, d) =>
+      docWords(s, d)
+        .select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)),
+
     // Polynomial rolling-hash fingerprint (mod 1e9+7, base 31) over the
     // character stream — the classic incremental document fingerprint.
     // Pure integer fold, so the oracle reproduces it bit-exactly; the
@@ -319,6 +330,12 @@ object TextQueries {
       SELECT doc_id,
         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents""",
+    "text_word_freq" -> s"""
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest($wordsSql) AS word FROM documents)
+      GROUP BY word
+      ORDER BY cnt DESC, word
+      LIMIT 20""",
     "text_rolling_hash" -> s"""
       SELECT doc_id,
         CAST(list_reduce(

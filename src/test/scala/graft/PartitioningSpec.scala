@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.queries.{RelationalQueries => RQ}
+
+/** Physical-plan assertions: the properties that matter at 100 TB are
+  * structural (where the exchanges are), not row counts — so test the
+  * plans directly.
+  */
+class PartitioningSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def withoutAqe[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("co-partitioned join reuses the explicit repartitioning (no extra exchange)") {
+    withoutAqe {
+      val a = (1 to 100).map(i => (i % 10, s"a$i")).toDF("k", "va")
+        .repartition(8, col("k"))
+      val b = (1 to 50).map(i => (i % 10, s"b$i")).toDF("k", "vb")
+        .repartition(8, col("k"))
+      val joined = a.join(b, "k")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // exactly the two explicit repartitions — the join itself adds none
+      assert(exchanges.length === 2)
+      assert(joined.count() === 500)
+    }
+  }
+
+  test("partial aggregation happens before the shuffle (map-side combine)") {
+    withoutAqe {
+      val df = (1 to 1000).map(i => (i % 5, i)).toDF("k", "v")
+      val agg = df.groupBy("k").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      // two HashAggregates around one Exchange = partial + final
+      assert("HashAggregate".r.findAllIn(plan).length === 2)
+      assert("Exchange".r.findAllIn(plan).length === 1)
+    }
+  }
+
+  test("sketch aggregates stay within tolerance of exact answers") {
+    val d = "/root/testdata/sf0.001"
+    val approx = RQ.queries("q_sketch_approx")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, ex) <- exact) {
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1,
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+}
