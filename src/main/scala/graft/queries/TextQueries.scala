@@ -219,8 +219,12 @@ object TextQueries {
     // n-gram Jaccard near-dup: shingle-explode → equi-join on shingle →
     // per-pair intersection counts → threshold. No cross join; the
     // shuffle key is the shingle.
+    // The interned shingle set feeds three subplans (both join sides +
+    // sizes); caching materializes the scan+explode+distinct once. At
+    // 100 TB the equivalent is persisting the narrow (doc_id, sid)
+    // projection to fast storage before the pair phase.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardDirect(docShingleIds(s, d), 0.5)),
+      jaccardDirect(docShingleIds(s, d).cache(), 0.5)),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
@@ -239,7 +243,7 @@ object TextQueries {
         l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
           .select(col("da"), col("db"))
       }.reduce(_ unionAll _)
-      jaccardVerify(cand, docShingleIds(s, d), 0.5).distinct()
+      jaccardVerify(cand, docShingleIds(s, d).cache(), 0.5).distinct()
     }),
 
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
