@@ -115,6 +115,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped (append mode)") {
+    implicit val sql = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = ms.toDF().toDF("k", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k")).count()
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_sink").start()
+    try {
+      ms.addData(("a", ts(1)))
+      q.processAllAvailable()          // watermark -> 00:00
+      ms.addData(("a", ts(10)))        // advances watermark to 09:00
+      q.processAllAvailable()
+      ms.addData(("a", ts(1)))         // late by 8h: must be dropped
+      ms.addData(("a", ts(11)))
+      q.processAllAvailable()
+      ms.addData(("a", ts(23)))        // close all windows
+      q.processAllAvailable()
+      val counts = spark.table("late_sink").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getLong(2))).toMap
+      assert(counts(ts(1)) === 1L)     // the late duplicate did NOT count
+      assert(counts(ts(10)) === 1L && counts(ts(11)) === 1L)
+    } finally q.stop()
+  }
+
   test("tumbling window streaming equals batch aggregation") {
     val evDir = tmpDir("events-pq")
     Tables.events(spark, "/root/testdata/sf0.001")
