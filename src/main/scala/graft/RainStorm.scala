@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.Core
+
+/** The reference's user-facing entry point, re-expressed as a library
+  * call: `RainStorm <op1_exe> <op2_exe> <hydfs_src> <hydfs_dest>
+  * <num_tasks> [pattern]` (main.go:206-222, rainstorm/server.go:88-153)
+  * becomes `RainStorm.run(spark, src, op1, op2, dest, numTasks,
+  * pattern)`. A user of the reference migrates by mapping each operator
+  * executable to an `RsOp`:
+  *
+  *  - an executable printing 2k alternating key/value lines → `FlatMap`
+  *    (the general contract, rainstorm/server.go:334-361);
+  *  - an executable printing exactly 1 line → the engine's keyed-COUNT
+  *    protocol → `CountByKey` (rainstorm/server.go:344-355).
+  *
+  * The four in-repo executables ship as builtins (`Ops`). Exactly-once,
+  * WAL, replay, and ack/retry need no mapping — Spark's checkpointed
+  * execution subsumes them (SURVEY.md §2.3-§2.5).
+  */
+object RainStorm {
+
+  /** An operator slot in the 3-stage pipeline. */
+  sealed trait RsOp
+  /** General flat-map contract: (key, value, pattern) → 0..k records. */
+  final case class FlatMap(f: (String, String, String) => Seq[(String, String)]) extends RsOp
+  /** The 1-line COUNT protocol: running count per key. */
+  case object CountByKey extends RsOp
+
+  /** Builtin ports of the reference's operator executables. */
+  object Ops {
+    /** ops/app1op1: emit unchanged iff value contains pattern. */
+    val app1op1: RsOp = FlatMap((k, v, p) =>
+      if (v.contains(p)) Seq(k -> v) else Seq.empty)
+
+    /** ops/app1op2: CSV-parse value, emit (col2, col3) = (OBJECTID,
+      * Sign_Type); malformed rows dropped. Generalized to any column
+      * pair via csvProject.
+      */
+    val app1op2: RsOp = csvProject(2, 3)
+
+    def csvProject(keyIdx: Int, valIdx: Int): RsOp = FlatMap((_, v, _) => {
+      val cols = splitCsv(v)
+      if (cols.isDefined && cols.get.length > math.max(keyIdx, valIdx))
+        Seq(cols.get(keyIdx) -> cols.get(valIdx))
+      else Seq.empty
+    })
+
+    /** ops/app2op1: CSV-parse, iff col6 == pattern emit (col8, "1"). */
+    val app2op1: RsOp = csvFilterEq(6, 8)
+
+    def csvFilterEq(filterIdx: Int, keyIdx: Int): RsOp = FlatMap((_, v, p) => {
+      val cols = splitCsv(v)
+      if (cols.isDefined && cols.get.length > math.max(filterIdx, keyIdx)
+          && cols.get(filterIdx) == p)
+        Seq(cols.get(keyIdx) -> "1")
+      else Seq.empty
+    })
+
+    /** ops/app2op2: echo key → engine COUNT protocol. */
+    val app2op2: RsOp = CountByKey
+
+    /** RFC-4180 single-record parse (Go encoding/csv semantics): returns
+      * None on malformed input (unterminated quote, stray quote).
+      */
+    private[graft] def splitCsv(line: String): Option[Array[String]] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var i = 0
+      var inQ = false
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+            else inQ = false
+          } else cur += c
+        } else c match {
+          case ','                      => out += cur.result(); cur.clear()
+          case '"' if cur.isEmpty       => inQ = true
+          case '"'                      => return None
+          case _                        => cur += c
+        }
+        i += 1
+      }
+      if (inQ) None
+      else { out += cur.result(); Some(out.result().toArray) }
+    }
+  }
+
+  private def applyOp(df: DataFrame, op: RsOp, pattern: String, numTasks: Int): DataFrame =
+    op match {
+      case FlatMap(f) =>
+        // stage boundary: the reference hash-exchanges on key between
+        // stages (rainstorm/server.go:384-390); numTasks ≈ partitions
+        Core.flatMapRecords(
+          df.repartition(numTasks, col("key")),
+          r => f(r.key, r.value, pattern).map { case (k, v) =>
+            Core.Record(java.util.UUID.randomUUID().toString, k, v)
+          })
+      case CountByKey =>
+        df.groupBy(col("key")).agg(count(lit(1)).as("value"))
+          .select(col("key"), col("value").cast("string").as("value"))
+    }
+
+  private def sourceBatch(spark: SparkSession, src: String): DataFrame =
+    spark.read.textFile(src).toDF("value")
+      .select(
+        concat(lit(src), lit(":"), md5(col("value"))).as("key"),
+        col("value"))
+      .withColumn("id", expr("uuid()"))
+
+  /** Batch run: source → op1 → [exchange] → op2 → dest (one text-like
+    * csv line `key,value` per record, matching the leader's
+    * `<key, value>` sink format, rainstorm/types.go:79). Returns the
+    * result frame; pass dest = None to skip the write.
+    */
+  def run(spark: SparkSession, src: String, op1: RsOp, op2: RsOp,
+          dest: Option[String], numTasks: Int = 3, pattern: String = ""): DataFrame = {
+    val out = applyOp(applyOp(sourceBatch(spark, src), op1, pattern, numTasks),
+      op2, pattern, numTasks)
+      .select(col("key"), col("value")) // sink format, rainstorm/types.go:79
+    dest.foreach(d => out.write.mode("overwrite").csv(d))
+    out
+  }
+
+  /** Streaming run with checkpointed exactly-once, draining available
+    * input (AvailableNow): the reference's long-running job shape with
+    * its WAL/replay machinery replaced by the checkpoint.
+    */
+  def runStreaming(spark: SparkSession, srcDir: String, op1: RsOp, op2: RsOp,
+                   queryName: String, checkpoint: String,
+                   numTasks: Int = 3, pattern: String = ""): StreamingQuery = {
+    val src = spark.readStream.text(srcDir)
+      .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
+        col("value"))
+      .withColumn("id", expr("uuid()"))
+    val out = applyOp(applyOp(src, op1, pattern, numTasks), op2, pattern, numTasks)
+      .select(col("key"), col("value"))
+    val mode =
+      if (op2 == CountByKey || op1 == CountByKey) OutputMode.Complete()
+      else OutputMode.Append()
+    out.writeStream.outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName(queryName).start()
+  }
+}
