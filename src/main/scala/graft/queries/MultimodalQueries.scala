@@ -39,8 +39,9 @@ object MultimodalQueries {
           col("st.sum_bytes").as("sum_bytes"),
           col("st.min_byte").as("min_byte"),
           col("st.max_byte").as("max_byte"),
-          round(col("st.sum_bytes").cast("double") / col("st.n_bytes"), 6)
-            .as("mean_byte"))
+          // exact integer ppm: ROUND on small-denominator rationals hits
+          // .5 ties that Spark and DuckDB resolve differently
+          expr("(1000000 * st.sum_bytes) div st.n_bytes").as("mean_byte_ppm"))
     }),
 
     // Frame sampling: fixed 16-byte frames, every 4th frame fingerprinted
@@ -78,7 +79,7 @@ object MultimodalQueries {
              CAST(list_sum(bs) AS BIGINT) AS sum_bytes,
              list_min(bs) AS min_byte,
              list_max(bs) AS max_byte,
-             ROUND(CAST(list_sum(bs) AS DOUBLE) / len(bs), 6) AS mean_byte
+             CAST((1000000 * CAST(list_sum(bs) AS BIGINT)) // len(bs) AS BIGINT) AS mean_byte_ppm
       FROM b""",
     "mm_frame_sample" -> """
       SELECT doc_id AS media_id, k AS frame_idx,

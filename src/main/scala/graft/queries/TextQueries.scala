@@ -94,7 +94,7 @@ object TextQueries {
     * Σ df(sh)² rows of three narrow columns; partial aggregation combines
     * map-side before the pair shuffle.
     */
-  private def jaccardDirect(sh: DataFrame, minJ: Double): DataFrame = {
+  private def jaccardDirect(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("da"), col("sid"))
     val b = sh.select(col("doc_id").as("db"), col("sid"))
@@ -102,10 +102,9 @@ object TextQueries {
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= minJ)
-      .select(col("da"), col("db"), col("jaccard"))
+      .filter(col("inter") * 2 >= (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"),
+        expr("(1000000 * inter) div (na + nb - inter)").as("jaccard_ppm"))
   }
 
   /** Verified-Jaccard for an explicit candidate-pair set: attach each
@@ -114,19 +113,18 @@ object TextQueries {
     * docsets side is tiny relative to cand, so AQE broadcasts it;
     * SortedIntersectCount keeps the per-pair kernel allocation-free.
     */
-  private def jaccardVerify(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sets = sh.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sid"))).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
       .withColumn("inter",
-        ArrayFunctions.sortedIntersectCount(col("sa"), col("sb")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")), 6))
-      .filter(col("jaccard") >= minJ)
-      .select(col("da"), col("db"), col("jaccard"))
+        ArrayFunctions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
+      .withColumn("union_", size(col("sa")).cast("long") + size(col("sb")) - col("inter"))
+      .filter(col("inter") * 2 >= col("union_"))
+      .select(col("da"), col("db"),
+        expr("(1000000 * inter) div union_").as("jaccard_ppm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,20 +144,25 @@ object TextQueries {
     }),
 
     // Quality scoring: length/stopword/avg-token-length heuristics with
-    // fixed weights; integer sums then one double division → portable.
+    // fixed weights, in EXACT integer micro-units (parts-per-million,
+    // floor division). Doubles are deliberately absent: the weighted sum
+    // lands on exact .5 rounding ties for many documents (terminating
+    // decimal denominators), and Spark's BigDecimal HALF_UP and DuckDB's
+    // float-path ROUND resolve such ties differently.
     "text_quality" -> ((s, d) => {
       val w = col("w")
-      val nTok = size(w).cast("double")
-      val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
-      val stop = size(filter(w, x =>
-        x.isin("the", "a", "of", "and", "is", "to", "in"))).cast("double")
       docWords(s, d).select(
         col("doc_id"),
-        size(w).cast("long").as("n_tokens"),
-        round(
-          lit(0.4) * least(nTok / 50.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - stop / nTok) +
-          lit(0.3) * least((sumLen / nTok) / 8.0, lit(1.0)), 6).as("quality"))
+        size(w).cast("long").as("n"),
+        size(filter(w, x =>
+          x.isin("the", "a", "of", "and", "is", "to", "in")))
+          .cast("long").as("stop"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr("""8000 * least(n, 50L)
+                + (300000 * (n - stop)) div n
+                + least((300000 * sumlen) div (8 * n), 300000L)""")
+            .as("quality_ppm"))
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -224,7 +227,7 @@ object TextQueries {
     // 100 TB the equivalent is persisting the narrow (doc_id, sid)
     // projection to fast storage before the pair phase.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardDirect(docShingleIds(s, d).cache(), 0.5)),
+      jaccardDirect(docShingleIds(s, d).cache())),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
@@ -243,7 +246,7 @@ object TextQueries {
         l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
           .select(col("da"), col("db"))
       }.reduce(_ unionAll _)
-      jaccardVerify(cand, docShingleIds(s, d).cache(), 0.5).distinct()
+      jaccardVerify(cand, docShingleIds(s, d).cache()).distinct()
     }),
 
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
@@ -295,11 +298,11 @@ object TextQueries {
           JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
           GROUP BY c.da, c.db)
         SELECT i.da, i.db,
-               ROUND(CAST(i.inter AS DOUBLE) / (a.nsh + b.nsh - i.inter), 6) AS jaccard
+               CAST((1000000 * i.inter) // (a.nsh + b.nsh - i.inter) AS BIGINT) AS jaccard_ppm
         FROM inter i
         JOIN sizes a ON a.doc_id = i.da
         JOIN sizes b ON b.doc_id = i.db
-        WHERE CAST(i.inter AS DOUBLE) / (a.nsh + b.nsh - i.inter) >= 0.5"""
+        WHERE i.inter * 2 >= (a.nsh + b.nsh - i.inter)"""
 
   private val sigSqlCols = minhashCoef.zipWithIndex.map { case ((a, b), j) =>
     s"MIN(($a * $shingleValSql + $b) % $P) AS m${j + 1}"
@@ -314,12 +317,16 @@ object TextQueries {
       FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
     "text_quality" -> s"""
       SELECT doc_id,
-        CAST(len(w) AS BIGINT) AS n_tokens,
-        ROUND(
-          0.4 * LEAST(len(w) / 50.0, 1.0) +
-          0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / len(w)) +
-          0.3 * LEAST((CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(w)) / 8.0, 1.0), 6) AS quality
-      FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
+        CAST(n AS BIGINT) AS n_tokens,
+        CAST(8000 * LEAST(n, 50)
+           + (300000 * (n - stop)) // n
+           + LEAST((300000 * sumlen) // (8 * n), 300000) AS BIGINT) AS quality_ppm
+      FROM (
+        SELECT doc_id,
+          len(w) AS n,
+          len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS stop,
+          CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents))""",
     "text_langid" -> s"""
       SELECT doc_id, en_hits, es_hits, de_hits,
         CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
