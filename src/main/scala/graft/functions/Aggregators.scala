@@ -36,4 +36,32 @@ object Aggregators {
 
   /** Column form: `longStats($"q")` yields a struct(n_q, sum_q, min_q, max_q). */
   def longStats(c: Column): Column = udaf(LongStatsAggregator).apply(c)
+
+  /** Bounded-heap top-k per group: keeps the k largest (score, id) pairs
+    * in the aggregation buffer, so the shuffle carries at most k rows
+    * per (partition, group) — the scale answer to top-k-per-group that
+    * a window `row_number` (full sort, full shuffle) cannot give.
+    * Deterministic under ties via the id tie-break.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sorted(ord).take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ x)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `topK(3)($"score", $"id")` → array of the 3 largest (score, id). */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAggregator(k)).apply(score, id)
 }

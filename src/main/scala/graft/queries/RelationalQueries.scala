@@ -34,6 +34,48 @@ object RelationalQueries {
     // ---- aggregation family ------------------------------------------
     // TPC-H Q1 shape: hash aggregate with partial (map-side) combine;
     // at 100 TB the shuffle carries #groups × #partitions rows only.
+    // Top-k per group via the bounded-heap Aggregator: the shuffle
+    // carries at most k rows per (partition, group) — compare q_topk's
+    // window row_number, which sorts and shuffles every row.
+    "q_topk_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.Aggregators.topK(3)(
+          col("o_totalprice").cast("double"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"),
+          col("t._1").as("price"), col("t._2").as("okey"))),
+
+    // NULL semantics: NULLIF-induced nulls, COALESCE, null-safe equality
+    // (<=>), and the count(col) vs count(*) distinction.
+    "q_null_semantics" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("rf_n", nullif(col("l_returnflag"), lit("N")))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("rf_n")).as("n_nonnull"),
+          count(when(col("rf_n") <=> lit(null), 1)).as("n_null_safe_eq"),
+          countDistinct(coalesce(col("rf_n"), lit("?"))).as("n_distinct_c"))),
+
+    // Exact second moments: variance/stddev over doubles is
+    // order-nondeterministic, so compute Σx and Σx² as exact decimals
+    // and derive the variance once in double — engine-identical.
+    "q_agg_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s1d"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)"))
+            .as("s2d"))
+        .select(col("l_returnflag"), col("n"),
+          col("s1d").cast("double").as("sum_q"),
+          ((col("s2d").cast("double") -
+            col("s1d").cast("double") * col("s1d").cast("double") / col("n"))
+            / (col("n") - 1)).as("var_q"))),
+
     // Sketch aggregates (HLL++ distinct, approximate quantiles): no SQL
     // oracle by design — approximation is engine-specific, so the driver
     // records the weaker rows-only check; the accuracy bound against the
@@ -353,6 +395,31 @@ object RelationalQueries {
         LEAD(o_orderkey, 1) OVER w AS next_key
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_topk_agg" -> """
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price, o_orderkey AS okey
+      FROM (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3""",
+    "q_null_semantics" -> """
+      SELECT l_linestatus,
+             COUNT(*) AS n_rows,
+             COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull,
+             COUNT(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULL THEN 1 END) AS n_null_safe_eq,
+             COUNT(DISTINCT COALESCE(NULLIF(l_returnflag, 'N'), '?')) AS n_distinct_c
+      FROM lineitem GROUP BY l_linestatus""",
+    "q_agg_moments" -> """
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1d,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS s2d
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             CAST(s1d AS DOUBLE) AS sum_q,
+             (CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / n) / (n - 1) AS var_q
+      FROM m""",
     "q_custom_udaf" -> """
       SELECT l_returnflag,
              COUNT(*) AS n_q,
