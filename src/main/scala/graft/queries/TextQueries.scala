@@ -15,7 +15,10 @@ import graft.functions.ArrayFunctions
   * empty tokens dropped (identical in Spark `split` and DuckDB
   * `regexp_split_to_array`), hashes are pure integer arithmetic over
   * ASCII codes (no engine hash builtins, which differ), md5 for content
-  * fingerprints (bit-identical in both engines).
+  * fingerprints (bit-identical in both engines), and every score
+  * (quality, Jaccard) is an exact integer in parts-per-million via floor
+  * division — ROUND on small-denominator rationals hits exact .5 ties
+  * that the engines resolve differently.
   *
   * Scale design: every pairwise operator (Jaccard, MinHash, SimHash)
   * goes through an equi-join on a banding/shingle key — never a cross

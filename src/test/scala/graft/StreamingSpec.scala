@@ -115,6 +115,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent sink: batch replay writes no duplicates") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    // idempotent sink contract: keyed by batchId, replay overwrites
+    val sink = scala.collection.concurrent.TrieMap[Long, Array[(String, Long)]]()
+    val q = ms.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rows = batch.collect().map(r => (r.getString(0), r.getLong(1)))
+        sink.put(batchId, rows) // put, not append: replays are absorbed
+        ()
+      }
+      .start()
+    try {
+      ms.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      ms.addData(("c", 3L))
+      q.processAllAvailable()
+      val all = sink.values.flatten.toSeq.sorted
+      assert(all === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+      // simulate a replay of batch 0 (what restart-after-crash does):
+      // the keyed put leaves the sink unchanged
+      sink.put(0L, sink(0L))
+      assert(sink.values.flatten.toSeq.sorted === all)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped (append mode)") {
     implicit val sql = spark.sqlContext
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
