@@ -63,7 +63,9 @@ object AdvancedJoinQueries {
       Tables.orders(s, d)
         .join(broadcast(months),
           col("o_orderdate") >= col("mstart") && col("o_orderdate") < col("mend"))
-        .groupBy(col("mstart"))
+        // NTZ on the wire: the month literals are session-local
+        // timestamps; NTZ keeps the parquet output naive like the oracle
+        .groupBy(col("mstart").cast("timestamp_ntz").as("mstart"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))

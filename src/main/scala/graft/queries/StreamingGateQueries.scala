@@ -73,8 +73,8 @@ object StreamingGateQueries {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("cnt"))
-          .select(col("window.start").as("wstart"), col("event_type"),
-            col("cnt")))
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt")))
     })
   )
 
