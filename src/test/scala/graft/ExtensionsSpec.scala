@@ -44,6 +44,38 @@ class ExtensionsSpec extends GraftSpec {
     assert(out("b") === ((1L, 7L, 7L, 7L)))
   }
 
+  test("TopKAggregator equals window row_number top-k on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500)(i =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id") // duplicate scores -> tie-break matters
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.Aggregators.topK(3)(col("score"), col("id")).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t._1").as("score"), col("t._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("g", "score", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("SortedIntersectCount equals array_intersect size on random sets") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq.tabulate(50) { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40)).distinct.sorted
+      (a, b)
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("merge",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("merge") =!= col("ref")).count() === 0)
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     implicit val sql = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
