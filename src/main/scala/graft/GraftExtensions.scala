@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -11,18 +11,32 @@ import graft.functions.{BinaryByteStats, FloatDotProduct}
   * so SQL users get the same codegen'd operators as the DataFrame API.
   *
   * Registered via `builder.withExtensions(new GraftExtensions)` (see
-  * GraftSession) or
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * GraftSession), `spark.sql.extensions=graft.GraftExtensions`, or —
+  * for an already-running session (getOrCreate ignores withExtensions
+  * on reuse) — `GraftExtensions.install(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float_dot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("byte_stats"),
+      (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))),
+    (new FunctionIdentifier("byte_stats"),
       new ExpressionInfo(classOf[BinaryByteStats].getName, "byte_stats"),
       (children: Seq[Expression]) => BinaryByteStats(children.head)))
-  }
+
+  /** Register into a live session (post-hoc equivalent of the builder
+    * extension path).
+    */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -14,11 +14,11 @@ class ExtensionsSpec extends GraftSpec {
   import spark.implicits._
 
   test("GraftExtensions registers float_dot and byte_stats for SQL") {
-    // The shared test session isn't built with extensions; register the
-    // same way GraftExtensions does, through the session's catalog-less
-    // function registry via a fresh session with extensions.
-    val s2 = GraftSession.builder("graft-ext-test")
-      .master("local[2]").getOrCreate()
+    // getOrCreate reuses the shared test session (ignoring
+    // withExtensions), so install the same function descriptions into
+    // its live registry — identical builders to the extension path.
+    val s2 = spark
+    GraftExtensions.install(s2)
     try {
       val d = s2.sql(
         "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT))," +
