@@ -50,19 +50,25 @@ object AdvancedJoinQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
-    // INTERVAL (pure range, no equi key): orders binned into generated
-    // month intervals via a range predicate against a broadcast-sized
-    // dimension — the honest physical plan is BroadcastNestedLoopJoin
-    // over 80 rows, linear in the fact side.
+    // INTERVAL (range join, no natural equi key): orders matched into
+    // generated month intervals. The scale pattern is BINNED range join
+    // — derive an equi bin key (bin width = interval granularity; an
+    // interval spanning k bins is exploded into k bin rows) so Catalyst
+    // plans a hash join with the range predicate as a post-condition,
+    // instead of a nested loop over every (fact, interval) pair.
     "q_join_interval" -> ((s, d) => {
       val months = Tables.orders(s, d).sparkSession.sql(
         """SELECT explode(sequence(TIMESTAMP'1995-01-01 00:00:00',
                                    TIMESTAMP'2001-08-01 00:00:00',
                                    INTERVAL 1 MONTH)) AS mstart""")
         .withColumn("mend", col("mstart") + expr("INTERVAL 1 MONTH"))
+        .withColumn("bin", date_trunc("month", col("mstart")))
       Tables.orders(s, d)
+        .withColumn("obin", date_trunc("month", col("o_orderdate")))
         .join(broadcast(months),
-          col("o_orderdate") >= col("mstart") && col("o_orderdate") < col("mend"))
+          col("obin") === col("bin") &&
+            col("o_orderdate") >= col("mstart") &&
+            col("o_orderdate") < col("mend"))
         // NTZ on the wire: the month literals are session-local
         // timestamps; NTZ keeps the parquet output naive like the oracle
         .groupBy(col("mstart").cast("timestamp_ntz").as("mstart"))
