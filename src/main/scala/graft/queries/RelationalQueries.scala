@@ -216,6 +216,49 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
     }),
 
+    // RANGE frame: value-based window (all rows within 5 quantity units
+    // below), vs the row-count frames above. Exact longs keep the frame
+    // boundary and sum engine-identical.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("q"))
+        .rangeBetween(-5L, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"))
+        .withColumn("range_cnt", count(lit(1)).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("q"),
+          col("range_cnt"))
+    }),
+
+    // ntile / percent_rank / cume_dist analytic family with a total
+    // order; percent_rank and cume_dist are exact small-int ratios —
+    // compared unrounded, both engines derive them from identical
+    // (rank, count) integers.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
+    // FULL OUTER join: customers and a filtered order subset, both
+    // null-extended sides observable in the aggregate.
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          when(col("c_custkey").isNull, -1L).otherwise(col("c_custkey"))
+            .as("cust"),
+          col("o_orderkey"))
+        .groupBy(col("cust"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -383,6 +426,25 @@ object RelationalQueries {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       ) WHERE rn <= 3""",
+    "q_window_range_frame" -> """
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q,
+             COUNT(*) OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_quantity AS BIGINT)
+                            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_cnt
+      FROM lineitem""",
+    "q_window_ntile" -> """
+      SELECT o_orderpriority, o_orderkey,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+    "q_join_full" -> """
+      SELECT COALESCE(c_custkey, -1) AS cust, COUNT(o_orderkey) AS n_orders
+      FROM customer c FULL OUTER JOIN
+           (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY COALESCE(c_custkey, -1)""",
     "q_window_running" -> """
       SELECT o_custkey, o_orderkey,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
