@@ -57,20 +57,20 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** k-bit random-hyperplane signature of a float vector: bit j is set iff
-  * `sum_i weights(j)(i) * v(i) > 0`. Weights are plan-time constants
-  * (shipped via codegen reference objects), so the expression is pure and
-  * foldable-free.
+/** k-bit (k ≤ 64) random-hyperplane signature of a float vector: bit j is
+  * set iff `sum_i weights(j)(i) * v(i) > 0`. Weights are plan-time
+  * constants (shipped via codegen reference objects), so the expression is
+  * pure and foldable-free.
   */
 case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
     extends UnaryExpression {
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    var sg = 0
+    var sg = 0L
     var j = 0
     while (j < weights.length) {
       val w = weights(j)
@@ -81,7 +81,7 @@ case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
         acc += w(i) * v.getFloat(i).toDouble
         i += 1
       }
-      if (acc > 0) sg |= 1 << j
+      if (acc > 0) sg |= 1L << j
       j += 1
     }
     sg
@@ -91,7 +91,7 @@ case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
     val wRef = ctx.addReferenceObj("weights", weights, "int[][]")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-      int sg = 0;
+      long sg = 0L;
       for (int j = 0; j < $wRef.length; j++) {
         int[] w = $wRef[j];
         int n = Math.min(w.length, $v.numElements());
@@ -99,7 +99,7 @@ case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
         for (int i = 0; i < n; i++) {
           acc += w[i] * (double) $v.getFloat(i);
         }
-        if (acc > 0) sg |= 1 << j;
+        if (acc > 0) sg |= 1L << j;
       }
       ${ev.value} = sg;
       """

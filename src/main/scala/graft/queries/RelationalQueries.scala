@@ -173,9 +173,12 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // Filter on status 'F' so some customers genuinely lack matches (the
+    // synthetic data gives every customer at least one order overall —
+    // unfiltered anti-join would be a vacuous 0=0 gate).
     "q_join_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -296,10 +299,13 @@ object RelationalQueries {
       cn.intersect(sn)
     }),
 
+    // Custkeys that ordered but never with status 'F' — sets chosen so
+    // the difference is non-empty (nationkey sets were identical: 0=0).
     "q_set_except" -> ((s, d) => {
-      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
-      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
-      cn.except(sn)
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
     }),
 
     // ---- scalar functions ------------------------------------------------
@@ -407,9 +413,13 @@ object RelationalQueries {
     "q_join_semi" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    // NOT EXISTS, not NOT IN: left_anti keeps non-matching rows even if
+    // the subquery side had NULL keys, exactly NOT EXISTS semantics
+    // (NOT IN yields zero rows if any o_custkey were NULL).
     "q_join_anti" -> """
-      SELECT c_custkey, c_name FROM customer
-      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
     "q_join_multiway" -> """
       SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_orders
@@ -505,9 +515,9 @@ object RelationalQueries {
       INTERSECT
       SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
     "q_set_except" -> """
-      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      SELECT o_custkey AS custkey FROM orders
       EXCEPT
-      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
     "q_scalar_string" -> """
       SELECT p_partkey,
         UPPER(p_name) AS uname,

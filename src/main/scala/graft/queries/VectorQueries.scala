@@ -12,42 +12,92 @@ import graft.functions.VectorFunctions
   *
   * Cross-engine float determinism: every dot product is an explicit
   * 64-term left-associated sum with each element cast to double before
-  * multiplying — Spark's Column DSL `.reduce(_ + _)` and DuckDB's
+  * multiplying — Spark's native loop expression and DuckDB's
   * left-associative `+` then perform bit-identical IEEE arithmetic, so
-  * scores (and therefore top-k ranking) agree exactly. Hyperplane
-  * weights are compile-time Scala integer constants embedded as literals
-  * in BOTH the Spark plan and the oracle SQL — no cross-engine RNG or
-  * hash dependency.
+  * scores (and therefore top-k ranking and signature bits) agree
+  * exactly. Hyperplane weights are compile-time Scala integer constants
+  * embedded as literals in BOTH the Spark plan and the oracle SQL — no
+  * cross-engine RNG or hash dependency.
   *
-  * Scale design: brute-force top-k is a broadcast nested loop (queries
-  * broadcast, corpus streamed — linear in corpus size, embarrassingly
-  * parallel); the LSH variant buckets a 16-bit random-hyperplane
-  * signature into 4 bands × 4 bits and joins per band (equi-join on the
-  * band value), so candidate generation is a hash-partitioned shuffle
-  * join that never goes quadratic as the corpus grows.
+  * LSH design (64-bit random-hyperplane signature, 4 bands × 16 bits):
+  *
+  *  - 16-bit bands give 65 536 buckets per band, so a random pair
+  *    collides on a band with p = 2⁻¹⁶ — candidate volume stays
+  *    ~n²/65 536 per band for random data and concentrates sharply on
+  *    genuinely-near pairs (p_match = (1-θ/π)¹⁶ per band). The previous
+  *    4-bit bands had 16 buckets — quadratic candidate growth.
+  *  - Query-side MULTI-PROBE (hamming radius 2 over a band, 137 probe
+  *    values) buys recall back without touching the corpus side: probes
+  *    explode the tiny query set, never the corpus, then equi-join — the
+  *    standard asymmetric multi-probe trade (Lv et al., VLDB'07).
+  *  - Corpus-vs-corpus dedup uses exact band equality (probing both
+  *    sides would square the blow-up) — 4 shuffle equi-joins on the
+  *    band value.
+  *
+  * Threshold note: the synthetic corpus has NO planted near-duplicates
+  * (max pairwise cosine ≈ 0.46 at sf0.01) — the dedup threshold 0.3 is
+  * set below that so the gate exercises the full candidate+verify path
+  * with non-empty output; a production corpus would run 0.8-0.9.
   */
 object VectorQueries {
 
   private val Dim = 64
+  private val Planes = 64            // signature bits
+  private val BandBits = 16          // bits per band
+  private val Bands = Planes / BandBits
+  private val ProbeRadius = 2        // query-side multi-probe hamming radius
+  private val DedupCos = 0.3         // see threshold note above
 
   /** Integer hyperplane weights in [-1000, 1000], LCG-derived at compile
     * time (deterministic, engine-independent).
     */
-  private val W: Array[Array[Int]] = Array.tabulate(16, Dim) { (j, i) =>
+  private val W: Array[Array[Int]] = Array.tabulate(Planes, Dim) { (j, i) =>
     val x = (1103515245L * (j * Dim + i + 1) + 12345L) % 2147483648L
     (x % 2001).toInt - 1000
   }
+
+  /** All 16-bit XOR masks with popcount ≤ ProbeRadius (137 for r=2). */
+  private val probeMasks: Seq[Int] =
+    (0 until (1 << BandBits)).filter(m => Integer.bitCount(m) <= ProbeRadius)
 
   // ---- Spark-side expressions (native, codegen'd loops) -----------
 
   private def dot(x: Column, y: Column): Column = VectorFunctions.dotF(x, y)
 
-  /** 16-bit random-hyperplane signature (vector SimHash). */
+  /** 64-bit random-hyperplane signature (vector SimHash). */
   private def sig(v: Column): Column = VectorFunctions.hyperplaneSig(v, W)
 
-  /** 4-bit band `b` (0..3) of a signature column. */
+  /** 16-bit band `b` (0..3) of a signature column. */
   private def band(b: Int, s: Column): Column =
-    shiftright(s, b * 4).bitwiseAND(lit(15))
+    shiftright(s, b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
+
+  /** Corpus with per-band columns b0..b3 materialized once. */
+  private def banded(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("sg", sig(col("embedding")))
+    (0 until Bands).foldLeft(e)((df, b) => df.withColumn(s"b$b", band(b, col("sg"))))
+  }
+
+  /** Multi-probe ANN candidate pairs (qid, nn_id), distinct.
+    *
+    * Scale shape: the probe table is |queries| × 137 × 4 rows — tiny —
+    * and is broadcast; the corpus is streamed through 4 broadcast hash
+    * joins with NO shuffle and NO quadratic term. Candidates per query
+    * are bounded by the band-ball collision probability (~0.8% of the
+    * corpus for random data), asserted sublinear in VectorSpec.
+    */
+  private[graft] def annCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = banded(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: (0 until Bands).map(b => col(s"b$b").as(s"qb$b")): _*)
+    val masks = array(probeMasks.map(m => lit(m)): _*)
+    (0 until Bands).map { b =>
+      val probes = q.select(col("qid"), col(s"qb$b"), explode(masks).as("m"))
+        .select(col("qid"), col(s"qb$b").bitwiseXOR(col("m")).as("probe"))
+      e.join(broadcast(probes),
+          col("probe") === col(s"b$b") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"))
+    }.reduce(_ unionAll _).distinct()
+  }
 
   // ---- Oracle-side SQL generators (same constants, same order) ----
 
@@ -55,15 +105,22 @@ object VectorQueries {
     (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 
-  private def sigSql(v: String): String =
-    (0 until 16).map { j =>
+  /** Band `b` of the signature, computed directly (bits 16b .. 16b+15) —
+    * per-band form keeps every SQL integer within 16 bits, avoiding the
+    * BIGINT `1 << 63` overflow a single 64-bit signature column would hit.
+    */
+  private def bandSigSql(b: Int, v: String): String =
+    (0 until BandBits).map { k =>
+      val j = b * BandBits + k
       val s = (0 until Dim).map(i =>
         s"${W(j)(i)}.0*CAST($v[${i + 1}] AS DOUBLE)").mkString(" + ")
-      s"(CASE WHEN ($s) > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN ($s) > 0 THEN ${1 << k} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def bandSql(b: Int, s: String): String =
-    s"(($s >> ${b * 4}) & 15)"
+  private def bandsCteSql: String =
+    s"""sigs AS (SELECT vec_id, embedding,
+          ${(0 until Bands).map(b => s"${bandSigSql(b, "embedding")} AS b$b").mkString(",\n          ")}
+        FROM embeddings)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -86,25 +143,16 @@ object VectorQueries {
           round(col("cos"), 6).as("cos_sim"))
     }),
 
-    // LSH-bucketed ANN: candidates = corpus vectors sharing >=1 of 4
-    // signature bands with the query, then exact-cosine top-3 within
-    // the candidate set. Candidate generation is 4 equi-joins on the
-    // band value — the plan that survives a 1e9-vector corpus.
+    // LSH-bucketed ANN: multi-probe banded candidates, then exact-cosine
+    // top-3 within the candidate set (see class doc for the banding math).
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .withColumn("sg", sig(col("embedding")))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("sg").as("qsg"))
-      val cand = (0 until 4).map { b =>
-        q.join(e, band(b, col("qsg")) === band(b, col("sg")) &&
-          col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nn_id"))
-      }.reduce(_ unionAll _).distinct()
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nn_id"))
-      cand
-        .join(q.select(col("qid"), col("qe")), "qid")
+      annCandidates(s, d)
+        .join(broadcast(q), "qid")
         .join(e.select(col("vec_id").as("nn_id"), col("embedding")), "nn_id")
         .withColumn("cos", dot(col("qe"), col("embedding")))
         .withColumn("rnk", row_number().over(w))
@@ -114,25 +162,27 @@ object VectorQueries {
           round(col("cos"), 6).as("cos_sim"))
     }),
 
-    // Embedding-cosine near-dup: banded-signature candidate pairs
-    // (da < db), verified at cosine >= 0.5.
+    // Embedding-cosine near-dup: exact-band candidate pairs (da < db),
+    // verified at cosine >= 0.3 (threshold note in class doc). Four
+    // shuffle equi-joins on the 16-bit band value — bounded buckets,
+    // no corpus-side probe blow-up.
     "dedup_embedding" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("sg", sig(col("embedding")))
-      val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"),
-        col("sg").as("sa"))
-      val bb = e.select(col("vec_id").as("db"), col("embedding").as("eb"),
-        col("sg").as("sb"))
-      val cand = (0 until 4).map { b =>
-        a.join(bb, band(b, col("sa")) === band(b, col("sb")) &&
-          col("da") < col("db"))
+      val e = banded(s, d)
+      val a = e.select(col("vec_id").as("da") +: col("embedding").as("ea") +:
+        (0 until Bands).map(b => col(s"b$b").as(s"sa$b")): _*)
+      val bb = e.select(col("vec_id").as("db") +: col("embedding").as("eb") +:
+        (0 until Bands).map(b => col(s"b$b").as(s"sb$b")): _*)
+      val cand = (0 until Bands).map { b =>
+        a.select(col("da"), col(s"sa$b")).join(
+            bb.select(col("db"), col(s"sb$b")),
+            col(s"sa$b") === col(s"sb$b") && col("da") < col("db"))
           .select(col("da"), col("db"))
       }.reduce(_ unionAll _).distinct()
       cand
         .join(a.select(col("da"), col("ea")), "da")
         .join(bb.select(col("db"), col("eb")), "db")
         .withColumn("cos", dot(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.5)
+        .filter(col("cos") >= DedupCos)
         .select(col("da"), col("db"), round(col("cos"), 6).as("cos_sim"))
     }),
 
@@ -166,15 +216,18 @@ object VectorQueries {
       SELECT qid, vec_id AS nn_id, CAST(rnk AS BIGINT) AS rnk,
              ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rnk <= 3""",
+    // Multi-probe candidates stated as a hamming-ball theta join —
+    // semantically identical to the Spark side's probe-mask explode
+    // (xor(qb, eb) has popcount <= r  <=>  eb is in qb's radius-r ball).
     "ann_lsh_topk" -> s"""
-      WITH sigs AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sg FROM embeddings),
-      q AS (SELECT vec_id AS qid, embedding AS qe, sg AS qsg FROM sigs WHERE vec_id < 5),
+      WITH $bandsCteSql,
+      q AS (SELECT vec_id AS qid, embedding AS qe,
+                   ${(0 until Bands).map(b => s"b$b AS qb$b").mkString(", ")}
+            FROM sigs WHERE vec_id < 5),
       cand AS (
-        SELECT DISTINCT qid, nn_id FROM (
-          ${(0 until 4).map(b =>
-            s"""SELECT q.qid, e.vec_id AS nn_id FROM q JOIN sigs e
-                ON ${bandSql(b, "q.qsg")} = ${bandSql(b, "e.sg")} AND e.vec_id != q.qid""")
-            .mkString("\n          UNION ALL\n          ")})),
+        SELECT DISTINCT q.qid, e.vec_id AS nn_id
+        FROM q JOIN sigs e ON e.vec_id != q.qid AND (
+          ${(0 until Bands).map(b => s"bit_count(xor(q.qb$b, e.b$b)) <= $ProbeRadius").mkString(" OR ")})),
       scored AS (
         SELECT c.qid, c.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
         FROM cand c JOIN q ON q.qid = c.qid
@@ -186,18 +239,16 @@ object VectorQueries {
       SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rnk <= 3""",
     "dedup_embedding" -> s"""
-      WITH sigs AS (SELECT vec_id, embedding, ${sigSql("embedding")} AS sg FROM embeddings),
+      WITH $bandsCteSql,
       cand AS (
-        SELECT DISTINCT da, db FROM (
-          ${(0 until 4).map(b =>
-            s"""SELECT a.vec_id AS da, b.vec_id AS db FROM sigs a JOIN sigs b
-                ON ${bandSql(b, "a.sg")} = ${bandSql(b, "b.sg")} AND a.vec_id < b.vec_id""")
-            .mkString("\n          UNION ALL\n          ")})),
+        SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND (
+          ${(0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})),
       scored AS (
         SELECT c.da, c.db, ${dotSql("a.embedding", "b.embedding")} AS cos
         FROM cand c JOIN embeddings a ON a.vec_id = c.da
         JOIN embeddings b ON b.vec_id = c.db)
-      SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.5""",
+      SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= $DedupCos""",
     "vec_label_centroid" -> """
       SELECT label, CAST(i - 1 AS BIGINT) AS pos,
              list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))), (a, x) -> a + x) / COUNT(*) AS c,

@@ -34,12 +34,22 @@ class VectorSpec extends GraftSpec {
     // weights row j = [(j+1)*1-2, (j+1)*2-2, (j+1)*3-2]
     val v = Seq(1.0f, 0.0f, 0.0f)
     val expected = (0 until 4).map { j =>
-      if (W(j)(0) * 1.0 > 0) 1 << j else 0
+      if (W(j)(0) * 1.0 > 0) 1L << j else 0L
     }.sum
     val got = Seq(Tuple1(v)).toDF("v")
       .select(VectorFunctions.hyperplaneSig(col("v"), W).as("s"))
-      .head().getInt(0)
+      .head().getLong(0)
     assert(got === expected)
+  }
+
+  test("LSH candidate set is sublinear in the pair space and non-empty") {
+    val d = "/root/testdata/sf0.01"
+    val n = graft.Tables.embeddings(spark, d).count()
+    val cand = graft.queries.VectorQueries.annCandidates(spark, d).count()
+    val pairSpace = 5 * (n - 1) // 5 queries x full corpus = brute force
+    assert(cand > 0, "banded candidates must exist")
+    assert(cand < pairSpace / 5,
+      s"multi-probe candidates ($cand) must stay well under brute-force ($pairSpace)")
   }
 
   test("identical vectors share the full signature (near-dup contract)") {
