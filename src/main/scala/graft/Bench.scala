@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: times every SparkEntry query at the given SF and
+  * prints ONE JSON line. Queries are materialized through the `noop`
+  * datasource writer — every column of every row is computed and handed
+  * to the sink — because `count()` lets Catalyst prune unreferenced
+  * columns and would time the scan, not the compute, for projection
+  * queries. A query that throws is recorded as -1 in `queries` and named
+  * in `failed` (its elapsed time would otherwise report a broken query
+  * as very fast).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +22,19 @@ object Bench {
     // one query must not tax the next one's measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
-    }.toMap
+      (name, if (ok) dt else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types._
 
-/** Intersection size of two SORTED int arrays by linear merge — the
+/** Intersection size of two SORTED integral arrays by linear merge — the
   * set-similarity verification kernel. `array_intersect` builds a hash
   * set per call; for the LSH verify stage (millions of candidate pairs
   * x ~50-element shingle-id sets) the branch-predictable merge loop is
   * several times cheaper and allocation-free.
+  *
+  * Element width follows the input array type (int or long — shingle
+  * ids are xxhash64 longs).
   *
   * Inputs MUST be sorted ascending and duplicate-free (graft builds
   * them with array_sort over distinct ids); outputs are undefined
@@ -23,15 +26,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements()
     val nb = b.numElements()
+    val long = isLong
     var i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
-      val x = a.getInt(i)
-      val y = b.getInt(j)
+      val x = if (long) a.getLong(i) else a.getInt(i).toLong
+      val y = if (long) b.getLong(j) else b.getInt(j).toLong
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
@@ -39,19 +48,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     n
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val jt = if (isLong) "long" else "int"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
       int na = $a.numElements(), nb = $b.numElements();
       int i = 0, j = 0, n = 0;
       while (i < na && j < nb) {
-        int x = $a.getInt(i), y = $b.getInt(j);
+        $jt x = $a.get${if (isLong) "Long" else "Int"}(i);
+        $jt y = $b.get${if (isLong) "Long" else "Int"}(j);
         if (x == y) { n++; i++; j++; }
         else if (x < y) { i++; } else { j++; }
       }
       ${ev.value} = n;
       """
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
@@ -59,7 +71,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object ArrayFunctions {
-  /** |a ∩ b| for sorted duplicate-free int arrays. */
+  /** |a ∩ b| for sorted duplicate-free int or long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Shim.column(SortedIntersectCount(Shim.expression(a), Shim.expression(b)))
 }

