@@ -103,16 +103,29 @@ object RainStorm {
             Core.Record(java.util.UUID.randomUUID().toString, k, v)
           })
       case CountByKey =>
+        // Re-synthesize a (key-derived) id so a FlatMap stage may legally
+        // follow a CountByKey stage in batch — the public RsOp API allows
+        // the combination, and flatMapRecords requires an id column.
         df.groupBy(col("key")).agg(count(lit(1)).as("value"))
           .select(col("key"), col("value").cast("string").as("value"))
+          .withColumn("id", concat(lit("count:"), col("key")))
     }
 
-  private def sourceBatch(spark: SparkSession, src: String): DataFrame =
-    spark.read.textFile(src).toDF("value")
-      .select(
-        concat(lit(src), lit(":"), md5(col("value"))).as("key"),
-        col("value"))
+  /** Batch source with the reference's EXACT record identity: key =
+    * "<srcFile>:<lineNo>", 1-based (rainstorm/server.go:427-439) — so
+    * duplicate identical lines stay distinct records. zipWithIndex costs
+    * one extra pass to size each partition; the scan itself stays
+    * distributed (indices are assigned per-partition from split order).
+    * The streaming source keys by content hash instead (a stream cannot
+    * assign stable line ordinals) — divergence pinned in RainStormSpec.
+    */
+  private def sourceBatch(spark: SparkSession, src: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(src).zipWithIndex()
+      .map { case (line, i) => (s"$src:${i + 1}", line) }
+      .toDF("key", "value")
       .withColumn("id", expr("uuid()"))
+  }
 
   /** Batch run: source → op1 → [exchange] → op2 → dest (one text-like
     * csv line `key,value` per record, matching the leader's
@@ -135,6 +148,10 @@ object RainStorm {
   def runStreaming(spark: SparkSession, srcDir: String, op1: RsOp, op2: RsOp,
                    queryName: String, checkpoint: String,
                    numTasks: Int = 3, pattern: String = ""): StreamingQuery = {
+    require(!(op1 == CountByKey && op2.isInstanceOf[FlatMap]),
+      "CountByKey followed by FlatMap is not supported in streaming mode: " +
+        "Structured Streaming cannot apply a row-generating transform after " +
+        "a streaming aggregation. Run this combination in batch (RainStorm.run).")
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))

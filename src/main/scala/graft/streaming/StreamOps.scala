@@ -67,12 +67,15 @@ object StreamOps {
       }
   }
 
-  /** F5 streaming exactly-once dedup: drop duplicate ids, with a
-    * watermark bound so state cannot grow unboundedly (the reference's
-    * dedup set grows forever — server.go:34).
+  /** F5 streaming exactly-once dedup on the record ID ALONE — the
+    * reference's `processedRecordIDs` set semantics (server.go:292-298):
+    * a redelivered id is dropped even if its event-time column differs
+    * between deliveries. dropDuplicatesWithinWatermark keys state by id
+    * only and evicts entries past the watermark, so state stays bounded
+    * (the reference's dedup set grows forever — server.go:34).
     */
   def dedupById(df: DataFrame, tsCol: String, watermark: String): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicates("id", tsCol)
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("id")
 
   /** Tumbling event-time window aggregation with watermarking. */
   def tumblingCounts(df: DataFrame, tsCol: String, width: String,

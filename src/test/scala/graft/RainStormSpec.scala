@@ -63,6 +63,69 @@ class RainStormSpec extends GraftSpec {
     assert(lines === Set("102,Yield"))
   }
 
+  test("CLI runs both demo apps end-to-end, equal to the library facade") {
+    val src = writeFixture()
+    // App-1 through the CLI path (pattern with no spaces)
+    val dest1 = tmpDir("rainstorm-cli") + "/app1"
+    RainStormCli.runCli(spark,
+      Array("app1op1", "app1op2", src, dest1, "2", "Stop"))
+    assert(spark.read.textFile(dest1).collect().toSet ===
+      Set("101,Stop", "105,Stop"))
+    // App-2 through the CLI path — pattern contains a space, joined from
+    // the remaining args exactly like the reference REPL does.
+    val dest2 = tmpDir("rainstorm-cli") + "/app2"
+    RainStormCli.runCli(spark,
+      Array("app2op1", "app2op2", src, dest2, "2", "Punched", "Telespar"))
+    val lib = RainStorm.run(spark, src, Ops.app2op1, Ops.app2op2,
+      dest = None, numTasks = 2, pattern = "Punched Telespar")
+      .collect().map(r => s"${r.getString(0)},${r.getString(1)}").toSet
+    assert(spark.read.textFile(dest2).collect().toSet === lib)
+    // Unknown operator names are rejected with the known set listed.
+    val err = intercept[IllegalArgumentException] {
+      RainStormCli.runCli(spark, Array("nope", "app1op2", src, dest1, "2"))
+    }
+    assert(err.getMessage.contains("app1op1"))
+  }
+
+  test("batch source keys are <srcFile>:<lineNo>, distinct for duplicate lines") {
+    // The reference keys records "<src>:<lineNo>" 1-based
+    // (rainstorm/server.go:427-439): two IDENTICAL lines are distinct
+    // records. A content-hash key would collapse them.
+    val dir = tmpDir("rainstorm-dup")
+    val dup = "9.0,9.0,900,Stop,30,NONE,Wood Post,2020,Regulatory"
+    Files.write(Paths.get(dir, "dup.csv"),
+      String.join("\n", dup, dup, dup).getBytes, StandardOpenOption.CREATE)
+    // Identity op1/op2 expose the source keys unchanged.
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+    val keys = out.collect().map(_.getString(0)).sorted
+    assert(keys.length === 3)
+    assert(keys.distinct.length === 3, "duplicate lines must keep distinct keys")
+    assert(keys.forall(_.matches(s"\\Q$dir\\E:[1-3]")))
+  }
+
+  test("CountByKey then FlatMap: allowed in batch, rejected in streaming") {
+    val src = writeFixture()
+    // batch: CountByKey over the per-line source keys (all distinct ->
+    // count 1 each), then a FlatMap stage — requires the re-synthesized
+    // id column on the aggregate output.
+    val out = RainStorm.run(spark, src,
+      RainStorm.CountByKey, RainStorm.FlatMap((k, v, _) => Seq(v -> k)),
+      dest = None, numTasks = 2)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length === 5)
+    assert(got.forall(_._1 == "1"))
+    // streaming: Structured Streaming cannot run a row-generating
+    // transform after a streaming aggregation — clear require, not an
+    // opaque analysis error.
+    val err = intercept[IllegalArgumentException] {
+      RainStorm.runStreaming(spark, src, Ops.app2op2,
+        RainStorm.FlatMap((k, v, _) => Seq(k -> v)),
+        "cbk_flatmap", tmpDir("rainstorm-ckpt2"))
+    }
+    assert(err.getMessage.contains("streaming"))
+  }
+
   test("splitCsv matches Go encoding/csv on quoted fields and errors") {
     assert(Ops.splitCsv("a,b,c").get.toSeq === Seq("a", "b", "c"))
     assert(Ops.splitCsv("\"a,b\",c").get.toSeq === Seq("a,b", "c"))

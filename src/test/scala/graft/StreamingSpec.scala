@@ -107,9 +107,13 @@ class StreamingSpec extends GraftSpec {
       .format("memory").queryName("dedup_sink").start()
     try {
       val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
       ms.addData(("a", t, "x"), ("a", t, "x"), ("b", t, "y"))
       q.processAllAvailable()
-      ms.addData(("a", t, "x")) // redelivery in a later micro-batch
+      // Redelivery in a later micro-batch with a DIFFERENT event time:
+      // the reference dedups on record id alone (processedRecordIDs,
+      // server.go:292-298), so this must be dropped too.
+      ms.addData(("a", t2, "x"))
       q.processAllAvailable()
       assert(spark.table("dedup_sink").count() === 2)
     } finally q.stop()
