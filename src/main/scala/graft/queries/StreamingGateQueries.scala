@@ -21,6 +21,12 @@ import graft.Tables
   * here: with AvailableNow the source still plans bounded batches, and
   * the state store carries counts across micro-batches exactly as the
   * reference's recoverable `map[string]int` did (SURVEY.md §2.3 A1/A2).
+  *
+  * NOTE — do not copy the memory-sink pattern to production paths: a
+  * memory sink (and Complete mode in particular) materializes the whole
+  * result on the driver. It is appropriate here ONLY because gate
+  * results are small aggregates/joins; large-cardinality streaming
+  * results belong in a file/table sink (StreamOps.runPipeline).
   */
 object StreamingGateQueries {
 
@@ -33,7 +39,8 @@ object StreamingGateQueries {
     */
   private def runStream(s: SparkSession, path: String,
                         normalize: DataFrame => DataFrame,
-                        agg: DataFrame => DataFrame): DataFrame = {
+                        agg: DataFrame => DataFrame,
+                        mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"gate_stream_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
     // The file stream source wants a directory; the driver tables are
@@ -45,7 +52,7 @@ object StreamingGateQueries {
     val schema = s.read.parquet(path).schema
     val src = normalize(s.readStream.schema(schema).parquet(srcDir.toString))
     val q = agg(src).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("memory").queryName(name).start()
@@ -61,6 +68,34 @@ object StreamingGateQueries {
       runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
         df => df.groupBy(col("event_type").as("key"))
           .agg(count(lit(1)).as("cnt")))
+    }),
+
+    // Stream-stream INNER JOIN (the canonical Spark shape: equality key
+    // + event-time range, watermarks on BOTH sides so join state is
+    // evictable): clicks matched to same-user purchases within 30
+    // minutes. Append mode — joins don't support Complete. A self-join
+    // of one streaming source is deliberate: one scan feeds both sides.
+    "stream_join" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => {
+          val e = df.withColumn("ts", col("ts").cast("timestamp"))
+          val c = e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("cts"))
+            .withWatermark("cts", "1 hour")
+          val p = e.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"), col("ts").as("pts"))
+            .withWatermark("pts", "1 hour")
+          c.join(p, col("p_user") === col("user_id") &&
+              col("pts") >= col("cts") &&
+              col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+            .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("cts").cast("timestamp_ntz").as("click_ts"),
+              col("pts").cast("timestamp_ntz").as("purchase_ts"))
+        },
+        OutputMode.Append())
     }),
 
     // Event-time tumbling window aggregation with a watermark, streamed.
@@ -81,6 +116,13 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    "stream_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             c.ts AS click_ts, p.ts AS purchase_ts
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "stream_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS cnt
       FROM events GROUP BY 1, 2"""
