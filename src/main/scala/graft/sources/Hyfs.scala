@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The reference's HyDFS verbs (create / get / append / ls /
+  * multiappend / merge — dht/dht.go:773-931, main.go REPL commands)
+  * re-expressed on the storage model Spark itself assumes: a "file" is
+  * a directory of immutable BLOCKS (part files), exactly like a
+  * Spark/HDFS table directory.
+  *
+  *  - `append` writes a NEW immutable block (temp file + atomic rename)
+  *    — never mutates existing bytes, so concurrent appenders cannot
+  *    corrupt each other, the same isolation the reference gets from
+  *    replica-side append queues.
+  *  - Canonical content order = lexicographic block name. Block names
+  *    embed a process-monotonic sequence + uuid, so every reader
+  *    (`get`) sees ONE deterministic order regardless of append
+  *    interleaving — the consistency `merge` establishes across
+  *    replicas in the reference (dht.go:807+).
+  *  - `multiappend` runs appends concurrently (the reference fans out
+  *    to several VMs; here, several writer threads) — all blocks land,
+  *    order resolved by the canonical name order.
+  *  - `merge` compacts all blocks into one, preserving canonical order
+  *    (get-before == get-after); replication itself is delegated to the
+  *    underlying FS (HDFS/object store), per SURVEY §2.2 non-goals.
+  *
+  * Everything goes through the Hadoop FileSystem API, so the same code
+  * runs on local disk in tests and HDFS/S3A on a cluster.
+  */
+object Hyfs {
+
+  private val seq = new AtomicLong(0L)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Globally-ordered unique block name: zero-padded wall-clock millis +
+    * process sequence + uuid. Writers on different machines order by
+    * time-then-uuid; same-process writers are strictly sequenced.
+    */
+  private def blockName(): String =
+    f"block-${System.currentTimeMillis()}%016d-${seq.incrementAndGet()}%012d-${UUID.randomUUID()}"
+
+  def create(spark: SparkSession, file: String, content: String): Unit = {
+    val dir = new Path(file)
+    val f = fs(spark, dir)
+    require(!f.exists(dir), s"$file already exists")
+    f.mkdirs(dir)
+    append(spark, file, content)
+  }
+
+  /** Append one immutable block: write to a hidden temp name, then
+    * atomic rename into place — a reader never observes a partial block.
+    */
+  def append(spark: SparkSession, file: String, content: String): String = {
+    val dir = new Path(file)
+    val f = fs(spark, dir)
+    val name = blockName()
+    val tmp = new Path(dir, s".tmp-$name")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, new Path(dir, name))
+    name
+  }
+
+  /** Concurrent appends (reference fans out to VMs; dht.go:773-805). */
+  def multiappend(spark: SparkSession, file: String, contents: Seq[String]): Seq[String] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(contents.map(c => Future(append(spark, file, c)))),
+      Duration.Inf)
+  }
+
+  /** Block names in canonical (lexicographic) order. */
+  def ls(spark: SparkSession, file: String): Seq[String] = {
+    val dir = new Path(file)
+    fs(spark, dir).listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("block-"))
+      .toSeq.sorted
+  }
+
+  private def readBlocks(spark: SparkSession, file: String, names: Seq[String]): String = {
+    val dir = new Path(file)
+    val f = fs(spark, dir)
+    names.map { n =>
+      val in = f.open(new Path(dir, n))
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(new Path(dir, n)).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    }.mkString
+  }
+
+  /** Whole-file content: blocks concatenated in canonical order. */
+  def get(spark: SparkSession, file: String): String =
+    readBlocks(spark, file, ls(spark, file))
+
+  /** Compact all blocks into one, preserving canonical order; content
+    * observed by `get` is unchanged. Like the reference (merge is
+    * fulfilled by the file's primary replica, dht.go:807+), merge is a
+    * SINGLE-writer operation: an append racing a merge keeps its data
+    * (its block is not in `old` so it survives), but its position
+    * relative to pre-merge content is unspecified — the same contract
+    * the reference's primary-decides ordering gives; concurrent merges
+    * are not allowed.
+    */
+  def merge(spark: SparkSession, file: String): Unit = {
+    val old = ls(spark, file)
+    if (old.length <= 1) return
+    // Read exactly the captured block set — an append landing after the
+    // listing survives the merge untouched instead of being duplicated.
+    val content = readBlocks(spark, file, old)
+    val dir = new Path(file)
+    val f = fs(spark, dir)
+    append(spark, file, content)
+    old.foreach(n => f.delete(new Path(dir, n), false))
+  }
+}
