@@ -52,6 +52,7 @@ object VectorQueries {
   // fixed stage overhead at bench scale, so the LSH/brute asymmetry is
   // actually measurable.
   private val NQueries = 100
+  private val NProbe = 3             // IVF cells probed per query (of 10)
 
   /** Integer hyperplane weights in [-1000, 1000], LCG-derived at compile
     * time (deterministic, engine-independent).
@@ -177,6 +178,60 @@ object VectorQueries {
           round(col("cos"), 6).as("cos_sim"))
     }),
 
+    // IVF (inverted-file) ANN — the other classic scale path next to
+    // LSH: a coarse quantizer (here: exact per-label mean vectors, the
+    // same bit-identical sorted-fold as vec_label_centroid) partitions
+    // the corpus into cells; each query probes its NProbe nearest cells
+    // and runs exact top-k ONLY within them (~NProbe/10 of the corpus).
+    // At 100 TB the cell id becomes the table's partition key, so a
+    // probe reads only its cells' partitions (partition pruning).
+    // Determinism: centroid components are sorted-fold doubles; all
+    // centroid-dot products fold over positions in index order via
+    // zip_with+aggregate — both mirrored exactly in the oracle SQL.
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // (label, pos, c) exact centroids -> (clabel, carr) ordered arrays
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("c"))
+      val carr = cent.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("clabel"),
+          transform(col("pc"), x => x.getField("c")).as("carr"))
+      // index-ordered centroid-dot: fold of carr[i] * (double)v[i]
+      def cdot(c: Column, v: Column): Column =
+        aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
+          lit(0.0), (a, x) => a + x)
+      val scoredCells = e.crossJoin(broadcast(carr))
+        .withColumn("adot", cdot(col("carr"), col("embedding")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("adot").desc, col("clabel"))))
+      // corpus assignment: nearest cell only
+      val assigned = scoredCells.filter(col("crn") === 1)
+        .select(col("vec_id").as("nn_id"), col("clabel").as("cell"),
+          col("embedding"))
+      // queries probe their NProbe nearest cells
+      val probed = scoredCells
+        .filter(col("vec_id") < NQueries && col("crn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nn_id"))
+      assigned.join(broadcast(probed), "cell")
+        .filter(col("nn_id") =!= col("qid"))
+        .join(broadcast(q), "qid")
+        .withColumn("cos", dot(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("nn_id"),
+          col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+    }),
+
     // Embedding-cosine near-dup: exact-band candidate pairs (da < db),
     // verified at cosine >= 0.3 (threshold note in class doc). ONE
     // shuffle equi-join of the LSH table with itself on (band, value) —
@@ -243,6 +298,39 @@ object VectorQueries {
         SELECT c.qid, c.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
         FROM cand c JOIN q ON q.qid = c.qid
         JOIN embeddings e ON e.vec_id = c.nn_id),
+      ranked AS (
+        SELECT qid, nn_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
+        FROM scored)
+      SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rnk <= 3""",
+    // Mirrors the Spark plan constant-for-constant: exact sorted-fold
+    // centroids, index-ordered centroid-dot folds, same tie-breaks.
+    "ann_ivf_topk" -> s"""
+      WITH cent AS (
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+               list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))), (a, x) -> a + x) / COUNT(*) AS c
+        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        GROUP BY label, i),
+      carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+      scored_cells AS (
+        SELECT e.vec_id, c.clabel,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                  i -> c.carr[i] * CAST(e.embedding[i] AS DOUBLE))), (a, x) -> a + x) AS adot
+        FROM embeddings e CROSS JOIN carr c),
+      ranked_cells AS (
+        SELECT vec_id, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot DESC, clabel) AS crn
+        FROM scored_cells),
+      assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
+      probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
+                 WHERE vec_id < $NQueries AND crn <= $NProbe),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT p.qid, a.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
+        FROM probed p JOIN assigned a ON a.cell = p.cell AND a.nn_id != p.qid
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.nn_id),
       ranked AS (
         SELECT qid, nn_id, cos,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
