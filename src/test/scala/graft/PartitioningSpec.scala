@@ -45,6 +45,27 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("Jaccard dedup plans contain no global (partitionBy-less) Window") {
+    // Round-1 regression: shingle interning via row_number over an
+    // unpartitioned Window serialized the vocabulary through one
+    // partition. Interning is now an inline hash — pin the plan shape.
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val plan = graft.queries.TextQueries.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q plan must not contain a Window")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("LSH candidate generation is a broadcast join of probes, corpus unshuffled") {
+    val d = "/root/testdata/sf0.001"
+    val plan = graft.queries.VectorQueries.annCandidates(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probes must broadcast against the streamed corpus LSH table")
+  }
+
   test("sketch aggregates stay within tolerance of exact answers") {
     val d = "/root/testdata/sf0.001"
     val approx = RQ.queries("q_sketch_approx")(spark, d).collect()
