@@ -41,6 +41,21 @@ object StreamingGateQueries {
                         normalize: DataFrame => DataFrame,
                         agg: DataFrame => DataFrame,
                         mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    // One state store per shuffle partition PER stateful operator side:
+    // at gate scale (tens of k rows) 32 partitions means the run is
+    // dominated by store commit I/O, not data. Size partitions to the
+    // data for the gate run, restore after (stream pins the value at
+    // start; a production job sizes this to its key cardinality).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try runStreamInner(s, path, normalize, agg, mode)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runStreamInner(s: SparkSession, path: String,
+                             normalize: DataFrame => DataFrame,
+                             agg: DataFrame => DataFrame,
+                             mode: OutputMode): DataFrame = {
     val name = s"gate_stream_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
     // The file stream source wants a directory; the driver tables are
@@ -68,6 +83,23 @@ object StreamingGateQueries {
       runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
         df => df.groupBy(col("event_type").as("key"))
           .agg(count(lit(1)).as("cnt")))
+    }),
+
+    // Gap-based session windows as a genuine streaming job — the state
+    // store merges/extends open sessions across micro-batches. Complete
+    // mode (like the other windowed gates) so no window is withheld by
+    // the final watermark.
+    "stream_session_window" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => df.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("sstart"),
+            col("session_window.end").cast("timestamp_ntz").as("send"),
+            col("cnt")))
     }),
 
     // Stream-stream INNER JOIN (the canonical Spark shape: equality key
@@ -116,6 +148,24 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    // Same gaps-and-islands construction as the batch q_session_window
+    // oracle (>= gap starts a new session, half-open, per the playbook).
+    "stream_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '2 hours'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, MIN(ts) AS sstart,
+             MAX(ts) + INTERVAL '2 hours' AS send, COUNT(*) AS cnt
+      FROM sessions GROUP BY user_id, sid""",
     "stream_join" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              c.ts AS click_ts, p.ts AS purchase_ts
