@@ -294,6 +294,45 @@ object TextQueries {
         sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
     }),
 
+    // The composite curation pipeline — what a training-data run
+    // actually executes: language gate (en), quality gate (>= 0.8 in
+    // ppm units), and exact-dup canonicalization (keep the smallest
+    // doc_id per content fingerprint), in ONE plan. Everything is a
+    // narrow projection + one fingerprint aggregation: the full filter
+    // chain runs scan-side before any shuffle, so at 100 TB the only
+    // exchanged data is (fingerprint, doc_id) for the canonical-copy
+    // choice.
+    "docs_curation" -> ((s, d) => {
+      val w = col("w")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("text"),
+          size(w).cast("long").as("n"),
+          size(filter(w, x =>
+            x.isin("the", "a", "of", "and", "is", "to", "in")))
+            .cast("long").as("stop"),
+          aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"),
+          size(filter(w, x => x.isin("the", "a", "of", "and", "is")))
+            .cast("long").as("en_hits"),
+          size(filter(w, x => x.isin("el", "la", "de", "y", "es")))
+            .cast("long").as("es_hits"),
+          size(filter(w, x => x.isin("der", "die", "das", "und", "ist")))
+            .cast("long").as("de_hits"))
+        .withColumn("quality_ppm",
+          expr("""8000 * least(n, 50L)
+                + (300000 * (n - stop)) div n
+                + least((300000 * sumlen) div (8 * n), 300000L)"""))
+        .withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        .filter(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits") &&
+          col("quality_ppm") >= 800000L)
+      val canonical = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      scored.join(canonical, Seq("fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("n").as("n_tokens"), col("quality_ppm"))
+    }),
+
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
     // hashes; docs sharing a signature are near-dup clusters. One
     // explode + one aggregation + one groupBy — fully linear.
@@ -407,6 +446,28 @@ object TextQueries {
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
       FROM documents GROUP BY text""",
+    "docs_curation" -> s"""
+      WITH scored AS (
+        SELECT doc_id,
+          len(w) AS n,
+          len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS stop,
+          CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen,
+          len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+          len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits,
+          len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)),
+      gated AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, fp,
+          CAST(8000 * LEAST(n, 50)
+             + (300000 * (n - stop)) // n
+             + LEAST((300000 * sumlen) // (8 * n), 300000) AS BIGINT) AS quality_ppm
+        FROM scored
+        WHERE en_hits >= es_hits AND en_hits >= de_hits),
+      kept AS (SELECT * FROM gated WHERE quality_ppm >= 800000),
+      canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
+      SELECT k.doc_id, k.n_tokens, k.quality_ppm
+      FROM kept k JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id""",
     // Same DfCapFrac cap as the Spark plan — feature space and result
     // are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(

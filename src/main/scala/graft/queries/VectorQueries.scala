@@ -252,6 +252,25 @@ object VectorQueries {
         .select(col("da"), col("db"), round(col("cos"), 6).as("cos_sim"))
     }),
 
+    // Symmetric int8 quantization (the embedding-compression step of a
+    // training pipeline): per-vector scale = max |x|, q = round-half-up
+    // (127 * x / scale). floor(t + 0.5) rather than ROUND because the
+    // engines' ROUND tie-behaviors differ; the arithmetic (cast, /, *,
+    // +) is ordered identically on both sides so ties are bit-identical.
+    // Long form (vec_id, pos, qv) — narrow, shuffle-free scan.
+    "vec_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(0.0),
+            (a, x) => greatest(a, abs(x.cast("double")))).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") / col("scale") * lit(127.0) + lit(0.5))
+            .cast("long").as("qv"),
+          col("scale"))),
+
     // Per-label centroid in long form (label, pos, c, n): grouped double
     // addition is made order-independent by folding over the SORTED value
     // list on both engines (collect_list+aggregate here, list_sort+
@@ -348,6 +367,14 @@ object VectorQueries {
         FROM cand c JOIN embeddings a ON a.vec_id = c.da
         JOIN embeddings b ON b.vec_id = c.db)
       SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= $DedupCos""",
+    "vec_quantize" -> """
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) AS qv,
+             scale
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t""",
     "vec_label_centroid" -> """
       SELECT label, CAST(i - 1 AS BIGINT) AS pos,
              list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))), (a, x) -> a + x) / COUNT(*) AS c,
