@@ -138,6 +138,20 @@ object VectorQueries {
           ${(0 until Bands).map(b => s"${bandSigSql(b, "embedding")} AS b$b").mkString(",\n          ")}
         FROM embeddings)"""
 
+  /** Shared CTE chain: banded signatures → exact-band candidate pairs →
+    * exact-cosine scores (used by dedup_embedding and dedup_clusters).
+    */
+  private def dedupScoredCtes: String =
+    s"""$bandsCteSql,
+      cand AS (
+        SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND (
+          ${(0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})),
+      scored AS (
+        SELECT c.da, c.db, ${dotSql("a.embedding", "b.embedding")} AS cos
+        FROM cand c JOIN embeddings a ON a.vec_id = c.da
+        JOIN embeddings b ON b.vec_id = c.db)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-3 for NQueries query vectors: broadcast
@@ -271,6 +285,49 @@ object VectorQueries {
             .cast("long").as("qv"),
           col("scale"))),
 
+    // Connected components over the near-dup pair graph — the canonical-
+    // assignment step a dedup pipeline runs AFTER pair generation: docs
+    // linked (transitively) by dedup_embedding pairs share a cluster,
+    // labeled by the cluster's smallest vec_id. Iterative neighbor-min
+    // label propagation (the Pregel/large-star pattern): each round is
+    // one hash join + aggregation, converging in O(component diameter)
+    // rounds — the loop is driver CONTROL FLOW only; all data stays
+    // distributed. Every round eagerly localCheckpoints its result:
+    // each iteration references the previous labels twice, so WITHOUT
+    // lineage truncation the logical plan doubles per round
+    // (exponential planning blow-up — the classic iterative-DataFrame
+    // trap; GraphX materializes per round for the same reason). At
+    // 100 TB swap localCheckpoint for reliable checkpoint().
+    // Min-propagation has a unique fixpoint, so the result is order-
+    // and partitioning-independent — matched by a recursive-CTE
+    // transitive closure in the oracle.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = queries("dedup_embedding")(s, d).select(col("da"), col("db"))
+      val edges = pairs
+        .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+        .localCheckpoint(true)
+      var comp = edges.select(col("da").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(comp.select(col("id").as("db"), col("comp")), "db")
+          .groupBy(col("da").as("nid")).agg(min(col("comp")).as("ncomp"))
+        val next = comp
+          .join(nbrMin, comp("id") === nbrMin("nid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        changed = next
+          .join(comp.select(col("id"), col("comp").as("old")), "id")
+          .filter(col("comp") =!= col("old")).count()
+        comp.unpersist()
+        comp = next
+      }
+      comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    }),
+
     // Per-label centroid in long form (label, pos, c, n): grouped double
     // addition is made order-independent by folding over the SORTED value
     // list on both engines (collect_list+aggregate here, list_sort+
@@ -357,16 +414,21 @@ object VectorQueries {
       SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rnk <= 3""",
     "dedup_embedding" -> s"""
-      WITH $bandsCteSql,
-      cand AS (
-        SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
-        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND (
-          ${(0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")})),
-      scored AS (
-        SELECT c.da, c.db, ${dotSql("a.embedding", "b.embedding")} AS cos
-        FROM cand c JOIN embeddings a ON a.vec_id = c.da
-        JOIN embeddings b ON b.vec_id = c.db)
+      WITH $dedupScoredCtes
       SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= $DedupCos""",
+    // Transitive closure of the near-dup pairs (same CTEs as
+    // dedup_embedding), component labeled by its smallest member — the
+    // unique fixpoint the Spark min-propagation loop converges to.
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $dedupScoredCtes,
+      pairs AS (SELECT da, db FROM scored WHERE cos >= $DedupCos),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a""",
     "vec_quantize" -> """
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) AS qv,
