@@ -218,11 +218,15 @@ object VectorQueries {
       def cdot(c: Column, v: Column): Column =
         aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
           lit(0.0), (a, x) => a + x)
+      // cached: both the corpus assignment and the query probing read
+      // this — uncached, the centroid build + n×10 scoring runs twice
+      // (at 100 TB the assignment is a persisted table keyed by cell).
       val scoredCells = e.crossJoin(broadcast(carr))
         .withColumn("adot", cdot(col("carr"), col("embedding")))
         .withColumn("crn", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("adot").desc, col("clabel"))))
+        .cache()
       // corpus assignment: nearest cell only
       val assigned = scoredCells.filter(col("crn") === 1)
         .select(col("vec_id").as("nn_id"), col("clabel").as("cell"),

@@ -76,6 +76,25 @@ class ExtensionsSpec extends GraftSpec {
     assert(df.filter(col("merge") =!= col("ref")).count() === 0)
   }
 
+  test("SortedIntersectCount handles LONG arrays incl. negatives (hash ids)") {
+    // Regression: shingle ids are xxhash64 longs (often negative); the
+    // kernel must read 8-byte elements — getInt over a long array reads
+    // garbage and silently undercounts.
+    val rnd = new scala.util.Random(13)
+    val cases = Seq.tabulate(50) { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong()).distinct.sorted
+      val b = (Seq.fill(rnd.nextInt(30))(rnd.nextLong()) ++ a.take(5)).distinct.sorted
+      (a, b)
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("merge",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+    assert(df.filter(col("merge") =!= col("ref")).count() === 0)
+    // shared prefix guarantees non-trivial intersections were exercised
+    assert(df.filter(col("ref") >= 3).count() > 0)
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     implicit val sql = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
