@@ -45,6 +45,30 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // The 100 TB fact-fact join pattern: both sides bucketed on the key
+    // at write time -> the join reads co-located buckets and the plan
+    // has NO shuffle at all (broadcast disabled to force the SMJ path).
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 1000).map(i => (i % 100, s"a$i")).toDF("k", "va")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+      (1 to 500).map(i => (i % 100, s"b$i")).toDF("k", "vb")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(j.count() === 5000) // 100 keys x 10 x 5
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "bucketed join must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("Jaccard dedup plans contain no global (partitionBy-less) Window") {
     // Round-1 regression: shingle interning via row_number over an
     // unpartitioned Window serialized the vocabulary through one
