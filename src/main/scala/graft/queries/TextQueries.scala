@@ -294,6 +294,25 @@ object TextQueries {
         sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
     }),
 
+    // Array/map scalar-function family (§2.6 "scalar functions —
+    // array/map") over the token arrays: sort/distinct/slice/contains/
+    // filter plus map construction + lookup. Strings are pure ASCII so
+    // both engines' lexicographic sorts agree byte-for-byte.
+    "q_scalar_array" -> ((s, d) => {
+      val w = col("w")
+      docWords(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        element_at(array_sort(w), 1).as("first_word"),
+        element_at(array_sort(w), -1).as("last_word"),
+        concat_ws("|", slice(array_sort(array_distinct(w)), 1, 3)).as("first3"),
+        array_contains(w, "the").as("has_the"),
+        size(filter(w, x => length(x) > 4)).cast("long").as("n_long"),
+        element_at(
+          map_from_arrays(array(lit("n")), array(size(w).cast("long"))), "n")
+          .as("map_get"))
+    }),
+
     // The composite curation pipeline — what a training-data run
     // actually executes: language gate (en), quality gate (>= 0.8 in
     // ppm units), and exact-dup canonicalization (keep the smallest
@@ -452,6 +471,18 @@ object TextQueries {
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
       FROM documents GROUP BY text""",
+    // DuckDB map extraction yields a single-element list — [key][1]
+    // unwraps to the scalar Spark's element_at(map, key) returns.
+    "q_scalar_array" -> s"""
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        list_sort(w)[1] AS first_word,
+        list_sort(w)[-1] AS last_word,
+        array_to_string(list_sort(list_distinct(w))[1:3], '|') AS first3,
+        list_contains(w, 'the') AS has_the,
+        CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        map(['n'], [CAST(len(w) AS BIGINT)])['n'][1] AS map_get
+      FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
     "docs_curation" -> s"""
       WITH scored AS (
         SELECT doc_id,
