@@ -31,8 +31,8 @@ import graft.functions.VectorFunctions
   *    explode the tiny query set, never the corpus, then equi-join — the
   *    standard asymmetric multi-probe trade (Lv et al., VLDB'07).
   *  - Corpus-vs-corpus dedup uses exact band equality (probing both
-  *    sides would square the blow-up) — 4 shuffle equi-joins on the
-  *    band value.
+  *    sides would square the blow-up) — one self-join of the LSH table
+  *    on (band, value).
   *
   * Threshold note: the synthetic corpus has NO planted near-duplicates
   * (max pairwise cosine ≈ 0.46 at sf0.01) — the dedup threshold 0.3 is
