@@ -85,6 +85,27 @@ object StreamingGateQueries {
           .agg(count(lit(1)).as("cnt")))
     }),
 
+    // The reference's A1 fidelity contract, driver-gated: an emission
+    // on EVERY increment (rainstorm/server.go:344-355), not one row per
+    // micro-batch — flatMapGroupsWithState in Update mode. Which input
+    // record receives which running count depends on shuffle arrival
+    // order, but the emitted MULTISET per key is exactly {1..count} —
+    // deterministic, so it oracles as a LATERAL range expansion.
+    "stream_running_count" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => {
+          import s.implicits._
+          val recs = df.select(
+            col("event_id").cast("string").as("id"),
+            col("event_type").as("key"),
+            lit("").as("value")).as[graft.operators.Core.Record]
+          graft.streaming.StreamOps.runningCountPerRecord(recs)
+            .toDF("key", "n")
+        },
+        OutputMode.Update())
+    }),
+
     // Gap-based session windows as a genuine streaming job — the state
     // store merges/extends open sessions across micro-batches. Complete
     // mode (like the other windowed gates) so no window is withheld by
@@ -148,6 +169,10 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    "stream_running_count" -> """
+      SELECT event_type AS key, CAST(i AS BIGINT) AS n
+      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+           LATERAL (SELECT unnest(range(1, c + 1)) AS i) t""",
     // Same gaps-and-islands construction as the batch q_session_window
     // oracle (>= gap starts a new session, half-open, per the playbook).
     "stream_session_window" -> """
