@@ -123,6 +123,19 @@ object StreamingGateQueries {
             col("cnt")))
     }),
 
+    // Sliding event-time windows (1 hour every 30 minutes — each event
+    // in exactly two epoch-aligned windows), streamed with a watermark.
+    "stream_sliding_window" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => df.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt")))
+    }),
+
     // Stream-stream INNER JOIN (the canonical Spark shape: equality key
     // + event-time range, watermarks on BOTH sides so join state is
     // evictable): clicks matched to same-user purchases within 30
@@ -191,6 +204,11 @@ object StreamingGateQueries {
       SELECT user_id, MIN(ts) AS sstart,
              MAX(ts) + INTERVAL '2 hours' AS send, COUNT(*) AS cnt
       FROM sessions GROUP BY user_id, sid""",
+    "stream_sliding_window" -> """
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS wstart,
+             event_type, COUNT(*) AS cnt
+      FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+      GROUP BY 1, 2""",
     "stream_join" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              c.ts AS click_ts, p.ts AS purchase_ts
