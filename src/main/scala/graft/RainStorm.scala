@@ -152,6 +152,10 @@ object RainStorm {
       "CountByKey followed by FlatMap is not supported in streaming mode: " +
         "Structured Streaming cannot apply a row-generating transform after " +
         "a streaming aggregation. Run this combination in batch (RainStorm.run).")
+    require(!(op1 == CountByKey && op2 == CountByKey),
+      "CountByKey followed by CountByKey is not supported in streaming mode: " +
+        "Structured Streaming does not allow chained streaming aggregations " +
+        "in this output mode. Run this combination in batch (RainStorm.run).")
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))

@@ -19,6 +19,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // queries may cache intermediates (shingle sets, LSH assignment
+        // tables); don't let one query's cache tax the rest of the run
+        spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -66,7 +66,9 @@ object MediaOps {
         } else if (id == "data") dataLen = sz
         i += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
+      // bits must be a positive multiple of 8: bits/8 == 0 for 1..7
+      // would divide by zero on a corrupt file mislabeled PCM
+      if (rate <= 0 || channels <= 0 || bits < 8 || bits % 8 != 0 || dataLen < 0) None
       else Some((rate, channels, dataLen / (bits / 8) / channels))
     }
 
@@ -91,9 +93,13 @@ object MediaOps {
         }
       }
       if (fields.length < 3) return None
-      val (w, h) = (fields(0), fields(1))
-      // single whitespace after maxval, then w*h*3 payload bytes
-      if (w <= 0 || h <= 0 || b.length < i + 1 + w * h * 3) None
+      val (w, h, maxval) = (fields(0), fields(1), fields(2))
+      // single whitespace after maxval, then w*h*3 payload bytes.
+      // Long arithmetic: huge claimed dimensions must fail the length
+      // check, not overflow Int and pass it. maxval > 255 (2-byte
+      // samples) is out of scope for this parser.
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+          b.length.toLong < i.toLong + 1L + w.toLong * h.toLong * 3L) None
       else Some((w, h))
     }
 

@@ -55,6 +55,26 @@ object TextQueries {
     a(1) * 2097152L + a(2) * 16384L + a(3) * 128L + a(4)
   }
 
+  // Shared vocab + scoring constants — text_quality / text_langid /
+  // docs_curation (and their oracles) must stay in lockstep, so there
+  // is exactly one definition of each.
+  private val StopWords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val EnMarkers = Seq("the", "a", "of", "and", "is")
+  private val EsMarkers = Seq("el", "la", "de", "y", "es")
+  private val DeMarkers = Seq("der", "die", "das", "und", "ist")
+  private def inListSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+  /** quality score in ppm over columns n/stop/sumlen — Spark SQL form. */
+  private val QualityExpr =
+    """8000 * least(n, 50L)
+     + (300000 * (n - stop)) div n
+     + least((300000 * sumlen) div (8 * n), 300000L)"""
+  /** Same formula, DuckDB form (`//` floor division). */
+  private val QualitySql =
+    """8000 * LEAST(n, 50)
+     + (300000 * (n - stop)) // n
+     + LEAST((300000 * sumlen) // (8 * n), 300000)"""
+
   private val P = 1000000007L
   // (A, B) coefficients for the 8 MinHash functions h_j(v) = (A*v+B) mod P
   private val minhashCoef = Seq(
@@ -185,15 +205,14 @@ object TextQueries {
       docWords(s, d).select(
         col("doc_id"),
         size(w).cast("long").as("n"),
-        size(filter(w, x =>
-          x.isin("the", "a", "of", "and", "is", "to", "in")))
+        size(filter(w, x => x.isin(StopWords: _*)))
           .cast("long").as("stop"),
         aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"))
+        // a whitespace-only document has no tokens to score — and n = 0
+        // would divide by zero under Spark 4's ANSI default
+        .filter(col("n") > 0)
         .select(col("doc_id"), col("n").as("n_tokens"),
-          expr("""8000 * least(n, 50L)
-                + (300000 * (n - stop)) div n
-                + least((300000 * sumlen) div (8 * n), 300000L)""")
-            .as("quality_ppm"))
+          expr(QualityExpr).as("quality_ppm"))
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -201,9 +220,9 @@ object TextQueries {
     "text_langid" -> ((s, d) => {
       val w = col("w")
       def hits(m: Seq[String]) = size(filter(w, x => x.isin(m: _*))).cast("long")
-      val en = hits(Seq("the", "a", "of", "and", "is"))
-      val es = hits(Seq("el", "la", "de", "y", "es"))
-      val de = hits(Seq("der", "die", "das", "und", "ist"))
+      val en = hits(EnMarkers)
+      val es = hits(EsMarkers)
+      val de = hits(DeMarkers)
       docWords(s, d).select(
         col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
         when(en >= es && en >= de, "en")
@@ -303,8 +322,11 @@ object TextQueries {
       docWords(s, d).select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
-        element_at(array_sort(w), 1).as("first_word"),
-        element_at(array_sort(w), -1).as("last_word"),
+        // guarded: element_at on an empty array ERRORS under Spark 4's
+        // ANSI default, while DuckDB's list_sort(w)[1] yields NULL — a
+        // whitespace-only document must produce NULL on both engines
+        when(size(w) >= 1, element_at(array_sort(w), 1)).as("first_word"),
+        when(size(w) >= 1, element_at(array_sort(w), -1)).as("last_word"),
         concat_ws("|", slice(array_sort(array_distinct(w)), 1, 3)).as("first3"),
         array_contains(w, "the").as("has_the"),
         size(filter(w, x => length(x) > 4)).cast("long").as("n_long"),
@@ -327,20 +349,19 @@ object TextQueries {
         .select(col("doc_id"), col("text"), words(col("text")).as("w"))
         .select(col("doc_id"), col("text"),
           size(w).cast("long").as("n"),
-          size(filter(w, x =>
-            x.isin("the", "a", "of", "and", "is", "to", "in")))
+          size(filter(w, x => x.isin(StopWords: _*)))
             .cast("long").as("stop"),
           aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"),
-          size(filter(w, x => x.isin("the", "a", "of", "and", "is")))
+          size(filter(w, x => x.isin(EnMarkers: _*)))
             .cast("long").as("en_hits"),
-          size(filter(w, x => x.isin("el", "la", "de", "y", "es")))
+          size(filter(w, x => x.isin(EsMarkers: _*)))
             .cast("long").as("es_hits"),
-          size(filter(w, x => x.isin("der", "die", "das", "und", "ist")))
+          size(filter(w, x => x.isin(DeMarkers: _*)))
             .cast("long").as("de_hits"))
-        .withColumn("quality_ppm",
-          expr("""8000 * least(n, 50L)
-                + (300000 * (n - stop)) div n
-                + least((300000 * sumlen) div (8 * n), 300000L)"""))
+        // tokenless documents cannot be scored (and n = 0 divides by
+        // zero under ANSI) — curation drops them by definition
+        .filter(col("n") > 0)
+        .withColumn("quality_ppm", expr(QualityExpr))
         .withColumn("fp",
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
         .filter(col("en_hits") >= col("es_hits") &&
@@ -431,24 +452,23 @@ object TextQueries {
     "text_quality" -> s"""
       SELECT doc_id,
         CAST(n AS BIGINT) AS n_tokens,
-        CAST(8000 * LEAST(n, 50)
-           + (300000 * (n - stop)) // n
-           + LEAST((300000 * sumlen) // (8 * n), 300000) AS BIGINT) AS quality_ppm
+        CAST($QualitySql AS BIGINT) AS quality_ppm
       FROM (
         SELECT doc_id,
           len(w) AS n,
-          len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS stop,
+          len(list_filter(w, x -> x IN ${inListSql(StopWords)})) AS stop,
           CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen
-        FROM (SELECT doc_id, $wordsSql AS w FROM documents))""",
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents))
+      WHERE n > 0""",
     "text_langid" -> s"""
       SELECT doc_id, en_hits, es_hits, de_hits,
         CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
              WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
       FROM (
         SELECT doc_id,
-          CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
-          CAST(len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS es_hits,
-          CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits
+          CAST(len(list_filter(w, x -> x IN ${inListSql(EnMarkers)})) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(w, x -> x IN ${inListSql(EsMarkers)})) AS BIGINT) AS es_hits,
+          CAST(len(list_filter(w, x -> x IN ${inListSql(DeMarkers)})) AS BIGINT) AS de_hits
         FROM (SELECT doc_id, $wordsSql AS w FROM documents))""",
     "text_fingerprint" -> """
       SELECT doc_id,
@@ -487,11 +507,11 @@ object TextQueries {
       WITH scored AS (
         SELECT doc_id,
           len(w) AS n,
-          len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS stop,
+          len(list_filter(w, x -> x IN ${inListSql(StopWords)})) AS stop,
           CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen,
-          len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
-          len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits,
-          len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+          len(list_filter(w, x -> x IN ${inListSql(EnMarkers)})) AS en_hits,
+          len(list_filter(w, x -> x IN ${inListSql(EsMarkers)})) AS es_hits,
+          len(list_filter(w, x -> x IN ${inListSql(DeMarkers)})) AS de_hits,
           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)),
       gated AS (
@@ -500,7 +520,7 @@ object TextQueries {
              + (300000 * (n - stop)) // n
              + LEAST((300000 * sumlen) // (8 * n), 300000) AS BIGINT) AS quality_ppm
         FROM scored
-        WHERE en_hits >= es_hits AND en_hits >= de_hits),
+        WHERE en_hits >= es_hits AND en_hits >= de_hits AND n > 0),
       kept AS (SELECT * FROM gated WHERE quality_ppm >= 800000),
       canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
       SELECT k.doc_id, k.n_tokens, k.quality_ppm

@@ -289,8 +289,11 @@ object VectorQueries {
         .select(col("vec_id"), col("scale"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
-          floor(col("v").cast("double") / col("scale") * lit(127.0) + lit(0.5))
-            .cast("long").as("qv"),
+          // zero-vector guard: scale = 0 would give 0/0 = NaN and an
+          // ANSI cast error; define qv = 0 for the all-zero embedding
+          when(col("scale") > 0.0,
+            floor(col("v").cast("double") / col("scale") * lit(127.0) + lit(0.5))
+              .cast("long")).otherwise(lit(0L)).as("qv"),
           col("scale"))),
 
     // Connected components over the near-dup pair graph — the canonical-
@@ -439,7 +442,9 @@ object VectorQueries {
       FROM reach GROUP BY a""",
     "vec_quantize" -> """
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) AS qv,
+             CASE WHEN scale > 0
+                  THEN CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS qv,
              scale
       FROM (SELECT vec_id, embedding,
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale

@@ -66,7 +66,10 @@ object Hyfs {
     val tmp = new Path(dir, s".tmp-$name")
     val out = f.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    f.rename(tmp, new Path(dir, name))
+    // rename reports failure as `false` (not an exception) on HDFS/S3A —
+    // surfacing it prevents a silently lost block
+    if (!f.rename(tmp, new Path(dir, name)))
+      throw new java.io.IOException(s"append: rename of block $name into $file failed")
     name
   }
 
@@ -111,7 +114,12 @@ object Hyfs {
     * (its block is not in `old` so it survives), but its position
     * relative to pre-merge content is unspecified — the same contract
     * the reference's primary-decides ordering gives; concurrent merges
-    * are not allowed.
+    * are not allowed. A GET racing a merge may transiently observe the
+    * compacted block alongside not-yet-deleted originals (duplicated
+    * content) — merge is a maintenance operation to run at quiescent
+    * points, exactly like the reference's REPL-invoked merge. The
+    * append-then-delete order is deliberate: a crash mid-merge leaves
+    * duplicate data (recoverable by re-merging), never lost data.
     */
   def merge(spark: SparkSession, file: String): Unit = {
     val old = ls(spark, file)
