@@ -49,7 +49,7 @@ object MediaOps {
       * `fmt `, count samples from `data`. Returns (sampleRate, channels,
       * nSamplesPerChannel) or None if not a well-formed PCM WAV.
       */
-    private[multimodal] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    private[graft] def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
         return None
       var i = 12
@@ -75,7 +75,7 @@ object MediaOps {
     /** REAL PPM P6 parse: ASCII header (width height maxval) then raw
       * RGB triplets. Returns (width, height) or None.
       */
-    private[multimodal] def parsePpm(b: Array[Byte]): Option[(Int, Int)] = {
+    private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int)] = {
       if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
       var i = 2
       val fields = new scala.collection.mutable.ArrayBuffer[Int](3)

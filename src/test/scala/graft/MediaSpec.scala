@@ -86,6 +86,20 @@ class MediaSpec extends GraftSpec {
     assert(Codec.decode(bad).width === None)
   }
 
+  test("malformed media is rejected, not crashed on") {
+    // PCM with bits_per_sample = 4: bits/8 would divide by zero
+    val wav4 = wavBytes(8000, Array.tabulate(8)(_.toShort))
+    wav4(34) = 4 // bits_per_sample LE16 low byte
+    assert(Codec.parseWav(wav4) === None)
+    // huge claimed dimensions: w*h*3 overflows Int; the length check
+    // must still reject the tiny payload
+    val huge = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++ Array.fill(30)(1.toByte)
+    assert(Codec.parsePpm(huge) === None)
+    // 16-bit-per-sample PPM (maxval > 255) is out of parser scope
+    val deep = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(24)(1.toByte)
+    assert(Codec.parsePpm(deep) === None)
+  }
+
   test("opaque payloads fall back to byte-stats fake with no container fields") {
     val f = Codec.decode(sample(1))
     assert(f.width === None && f.sample_rate === None)
