@@ -57,6 +57,16 @@ object VectorQueries {
   // asymptotic story the sublinearity spec pins.
   private val NQueries = 100
   private val NProbe = 3             // IVF cells probed per query (of 10)
+  // Fixed-point scale for exact cross-engine centroid sums: each float
+  // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
+  // (the same round-half-up device as vec_quantize). Integer addition is
+  // associative, so a plain sum() is order-independent AND
+  // partial-aggregating — per-group state is ONE long, never a buffer
+  // proportional to group size. Unit-norm components are in [-1, 1], so
+  // |q| <= 2^24 and a BIGINT sum overflows only past 2^39 rows per
+  // (label) group (~5.5e11 vectors) — far beyond 100 TB of 64-dim
+  // float32 embeddings (~4e11 vectors TOTAL, spread over 10 labels).
+  private val CentScale = 1L << 24
 
   /** Integer hyperplane weights in [-1000, 1000], LCG-derived at compile
     * time (deterministic, engine-independent).
@@ -197,27 +207,29 @@ object VectorQueries {
     }),
 
     // IVF (inverted-file) ANN — the other classic scale path next to
-    // LSH: a coarse quantizer (here: exact per-label mean vectors, the
-    // same bit-identical sorted-fold as vec_label_centroid) partitions
-    // the corpus into cells; each query probes its NProbe nearest cells
-    // and runs exact top-k ONLY within them (~NProbe/10 of the corpus).
-    // At 100 TB the cell id becomes the table's partition key, so a
-    // probe reads only its cells' partitions (partition pruning).
-    // Determinism: centroid components are sorted-fold doubles; all
+    // LSH: a coarse quantizer (here: exact per-label mean vectors via
+    // fixed-point integer sums, see CentScale) partitions the corpus
+    // into cells; each query probes its NProbe nearest cells and runs
+    // exact top-k ONLY within them (~NProbe/10 of the corpus). At
+    // 100 TB the cell id becomes the table's partition key, so a probe
+    // reads only its cells' partitions (partition pruning).
+    // Determinism: centroid components are exact integer-sum means; all
     // centroid-dot products fold over positions in index order via
     // zip_with+aggregate — both mirrored exactly in the oracle SQL.
     "ann_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // (label, pos, c) exact centroids -> (clabel, carr) ordered arrays
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
-          lit(0.0), (a, x) => a + x) / count(lit(1))).as("c"))
-      val carr = cent.groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("label").as("clabel"),
-          transform(col("pc"), x => x.getField("c")).as("carr"))
+      // Centroid build: ONE groupBy(label) with 64 bounded-state sum
+      // columns — no explode (no 64x row blow-up), no per-group buffer;
+      // per-group state is 64 longs + a count regardless of corpus size.
+      val sums = e.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        (0 until Dim).map(i =>
+          sum(floor(element_at(col("embedding"), i + 1).cast("double")
+            * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
+      val carr = sums.select(col("label").as("clabel"),
+        array((0 until Dim).map(i =>
+          col(s"c$i").cast("double")
+            / (col("n") * lit(CentScale)).cast("double")): _*).as("carr"))
       // index-ordered centroid-dot: fold of carr[i] * (double)v[i]
       def cdot(c: Column, v: Column): Column =
         aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
@@ -336,22 +348,35 @@ object VectorQueries {
         comp.unpersist()
         comp = next
       }
-      comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      // Materialize the answer into its own (small, result-sized)
+      // checkpoint, then release every working block: `edges` and the
+      // final label table would otherwise stay pinned in the block
+      // manager across Verify's sweep and Bench's repeated runs
+      // (clearCache() does not free localCheckpoint RDD blocks). Only
+      // the result itself remains resident — the minimum for a live
+      // DataFrame whose lineage has been truncated.
+      val result = comp
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .localCheckpoint(true)
+      comp.unpersist()
+      edges.unpersist()
+      result
     }),
 
     // Per-label centroid in long form (label, pos, c, n): grouped double
-    // addition is made order-independent by folding over the SORTED value
-    // list on both engines (collect_list+aggregate here, list_sort+
-    // list_reduce in DuckDB) — bit-identical IEEE sums without decimal
-    // quantization. 64 dims x 10 labels = 640 rows out.
+    // addition is made order-independent by summing FIXED-POINT integers
+    // (see CentScale) — associative, partial-aggregating, one long of
+    // state per group, bit-identical across engines. 64 dims x 10
+    // labels = 640 rows out.
     "vec_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(collect_list(col("v").cast("double")).as("vs"),
+        .agg(sum(floor(col("v").cast("double") * lit(CentScale.toDouble)
+            + lit(0.5))).as("q"),
           count(lit(1)).as("n"))
         .select(col("label"), col("pos").cast("long").as("pos"),
-          (aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x) / col("n"))
+          (col("q").cast("double") / (col("n") * lit(CentScale)).cast("double"))
             .as("c"),
           col("n")))
   )
@@ -391,15 +416,20 @@ object VectorQueries {
         FROM scored)
       SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
       FROM ranked WHERE rnk <= 3""",
-    // Mirrors the Spark plan constant-for-constant: exact sorted-fold
-    // centroids, index-ordered centroid-dot folds, same tie-breaks.
+    // Mirrors the Spark plan constant-for-constant: fixed-point integer
+    // centroid sums, index-ordered centroid-dot folds, same tie-breaks.
     "ann_ivf_topk" -> s"""
-      WITH cent AS (
-        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-               list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))), (a, x) -> a + x) / COUNT(*) AS c
-        FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
-        GROUP BY label, i),
-      carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+      WITH csum AS (
+        SELECT label, COUNT(*) AS n,
+               ${(0 until Dim).map(i =>
+                 s"SUM(CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS c$i")
+                .mkString(",\n               ")}
+        FROM embeddings GROUP BY label),
+      carr AS (SELECT label AS clabel,
+               [${(0 until Dim).map(i =>
+                  s"CAST(c$i AS DOUBLE) / CAST(n * $CentScale AS DOUBLE)")
+                 .mkString(", ")}] AS carr
+               FROM csum),
       scored_cells AS (
         SELECT e.vec_id, c.clabel,
                list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
@@ -450,9 +480,10 @@ object VectorQueries {
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
             FROM embeddings),
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t""",
-    "vec_label_centroid" -> """
+    "vec_label_centroid" -> s"""
       SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-             list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))), (a, x) -> a + x) / COUNT(*) AS c,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * $CentScale AS DOUBLE) AS c,
              COUNT(*) AS n
       FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
       GROUP BY label, i"""
