@@ -100,23 +100,34 @@ object TextQueries {
   private[graft] def docShingleIds(s: SparkSession, d: String): DataFrame =
     docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
 
-  /** Fraction-of-corpus document-frequency cap for the n-gram Jaccard
-    * feature space (see dedup_ngram_jaccard).
+  /** ABSOLUTE document-frequency cap for the n-gram Jaccard feature
+    * space (see dedup_ngram_jaccard). Absolute — df ≤ K, not a corpus
+    * fraction — because only an absolute cap gives a corpus-size-
+    * INDEPENDENT pair bound: a surviving shingle contributes at most
+    * K² ≈ 9·10⁴ pairs no matter how many documents exist, so total
+    * pair-join volume is ≤ |capped vocab| · K² regardless of corpus
+    * growth. (A relative cap lets a surviving shingle's df — and its
+    * df² pair contribution — grow with the corpus: 6% of 10⁹ docs is
+    * 3.6·10¹⁵ pairs from ONE shingle.) K = 300 sits in the standard
+    * 10²–10⁴ shingle-df-cap range and is measured result-preserving on
+    * the gate corpora: at sf0.1 it caps the same 148 stop-shingles as
+    * the previous 6% relative cap (pair-identical join volume), at
+    * sf0.01 max df is 46 so no shingle is capped (and round 2 measured
+    * the capped and uncapped results identical there).
     */
-  private val DfCapFrac = 0.06
+  private val DfCapK = 300
 
-  /** df-capped shingle space: shingles seen in more than
-    * ceil(DfCapFrac * n_docs) documents are dropped BEFORE the pair
-    * join, bounding the O(Σ df²) pair blow-up that stop-shingles cause
-    * (one bigram shared by 10⁶ docs is 10¹² pairs). The capped-vocab
-    * dim is small after the cap; AQE broadcasts it at test scale, and
-    * at 100 TB the sid-key shuffle join is the right shape anyway.
+  /** df-capped shingle space: shingles seen in more than DfCapK
+    * documents are dropped BEFORE the pair join, bounding the O(Σ df²)
+    * pair blow-up that stop-shingles cause (one bigram shared by 10⁶
+    * docs is 10¹² pairs). The capped-vocab dim is small after the cap;
+    * AQE broadcasts it at test scale, and at 100 TB the sid-key shuffle
+    * join is the right shape anyway.
     */
   private def cappedShingleIds(s: SparkSession, d: String): DataFrame = {
     val sh = docShingleIds(s, d)
-    val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
     val low = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
-      .crossJoin(nd).filter(col("df") <= ceil(col("nd") * DfCapFrac))
+      .filter(col("df") <= DfCapK)
       .select(col("sid"))
     sh.join(low, "sid").select(col("doc_id"), col("sid"))
   }
@@ -261,25 +272,34 @@ object TextQueries {
           aggregate(col("codes"), lit(0L),
             (a, x) => (a * 31 + x) % lit(P)).as("rhash"))),
 
-    // Exact dedup: hash-groupBy on content, keep the smallest id —
-    // one shuffle on the text (or its fingerprint at scale).
+    // Exact dedup keyed by the 16-byte md5 fingerprint, not the text:
+    // the aggregation hash table and the shuffle key are fixed-width,
+    // and map-side partial aggregation collapses duplicates before the
+    // exchange — the shape that holds when documents are megabytes.
+    // min(text) carries one representative per (fingerprint, mapper)
+    // through the shuffle; within a group all texts are identical, so
+    // min is a deterministic pick on both engines. Collision stance: an
+    // md5 collision would merge two distinct texts — first expected
+    // collision near 2^64 documents (birthday bound), standard practice
+    // for content-addressed exact dedup.
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(col("text")).as("text"))
         .select(col("keep_id"), col("n_copies"), col("text"))),
 
     // n-gram Jaccard near-dup over the DF-CAPPED shingle space: shingles
-    // in > 6% of documents are dropped up front (both engines apply the
-    // identical cap), then shingle-explode → equi-join on sid → per-pair
-    // intersection counts → threshold. Exactness caveat (documented
-    // contract, standard large-corpus practice): pairs whose entire
-    // overlap is stop-shingles are not reported, and Jaccard is measured
-    // over the capped space. On a Zipfian real-world corpus the cap
-    // sheds only stop-n-grams; on this synthetic near-uniform corpus
-    // 6% is measured result-PRESERVING (25/25 pairs at sf0.01, 256/256
-    // at sf0.1) while cutting pair-join volume ~20% — tighter caps were
-    // measured to admit junk pairs from tiny surviving sets.
+    // in more than DfCapK documents are dropped up front (both engines
+    // apply the identical absolute cap — see DfCapK for the corpus-size-
+    // independent Σ df² ≤ |vocab|·K² pair bound), then shingle-explode →
+    // equi-join on sid → per-pair intersection counts → threshold.
+    // Exactness caveat (documented contract, standard large-corpus
+    // practice): pairs whose entire overlap is stop-shingles are not
+    // reported, and Jaccard is measured over the capped space. On a
+    // Zipfian real-world corpus the cap sheds only stop-n-grams; on
+    // this synthetic near-uniform corpus K=300 is measured
+    // result-PRESERVING (25/25 pairs at sf0.01, 256/256 at sf0.1).
     // The interned shingle set feeds three subplans (both join sides +
     // sizes); caching materializes the scan+explode+distinct once. At
     // 100 TB the equivalent is persisting the narrow (doc_id, sid)
@@ -488,9 +508,10 @@ object TextQueries {
                            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
           (a, x) -> (a * 31 + x) % $P) AS BIGINT) AS rhash
       FROM documents""",
+    // Same fingerprint grouping as the Spark plan (md5 of the raw text).
     "dedup_exact" -> """
-      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
-      FROM documents GROUP BY text""",
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(text) AS text
+      FROM documents GROUP BY md5(text)""",
     // DuckDB map extraction yields a single-element list — [key][1]
     // unwraps to the scalar Spark's element_at(map, key) returns.
     "q_scalar_array" -> s"""
@@ -525,8 +546,8 @@ object TextQueries {
       canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
       SELECT k.doc_id, k.n_tokens, k.quality_ppm
       FROM kept k JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id""",
-    // Same DfCapFrac cap as the Spark plan — feature space and result
-    // are defined over the capped shingle set on BOTH engines.
+    // Same absolute DfCapK cap as the Spark plan — feature space and
+    // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
       """cand AS (
            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -536,7 +557,7 @@ object TextQueries {
         capped AS (
           SELECT doc_id, sh FROM shing WHERE sh IN (
             SELECT sh FROM shing GROUP BY sh
-            HAVING COUNT(*) <= CEIL($DfCapFrac * (SELECT COUNT(*) FROM documents)))),"""),
+            HAVING COUNT(*) <= $DfCapK)),"""),
     "dedup_minhash_lsh" -> jaccardSql(
       s"""sv AS (SELECT doc_id, sh FROM shing),
          sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),
