@@ -17,6 +17,11 @@ import graft.streaming.StreamOps
   *    deterministic replacement for the reference's chaos demo (C4) and
   *    WAL replay (A2/C3, rainstorm/server.go:186-278).
   */
+/** Kill switch for the chaos test — a static @volatile flag is visible
+  * to executor threads in local mode (single JVM).
+  */
+object ChaosKill { @volatile var armed = false }
+
 class StreamingSpec extends GraftSpec {
   import spark.implicits._
 
@@ -96,6 +101,60 @@ class StreamingSpec extends GraftSpec {
     assert(spark.table("ckpt_run2").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap ===
       Map("u1" -> 3L, "u3" -> 1L)) // f1 not re-counted, state recovered
+  }
+
+  test("mid-flight kill: task crash mid-micro-batch, restart is exactly-once") {
+    // The reference's chaos demo kills two live op workers 1.5 s into a
+    // running job and shows output equivalence (main.go:223-243,
+    // rainstorm/server.go:543-572). Deterministic Spark analogue: a
+    // poison record crashes an executor task WHILE micro-batch 1 is
+    // executing — state updates and sink output for that batch are
+    // uncommitted — then a new incarnation restarts from the same
+    // checkpoint and must replay the batch exactly once. (Test-only
+    // UDF: chaos injection needs a side effect no Column expression
+    // should have.)
+    val srcDir = tmpDir("chaos-src")
+    val ckpt = tmpDir("chaos-ckpt")
+    writeLines(srcDir, "f1.txt", Seq("click u1", "view u2", "click u1"))
+    val killer = udf { (v: String) =>
+      if (ChaosKill.armed && v == "click u3") {
+        ChaosKill.armed = false // kill exactly one task attempt
+        throw new RuntimeException("chaos: injected mid-batch task kill")
+      }
+      v
+    }
+
+    def pipeline(ck: String, sinkName: String): Either[Throwable, Unit] = {
+      val counts = spark.readStream.text(srcDir)
+        .select(killer(col("value")).as("value"))
+        .filter(col("value").startsWith("click"))
+        .select(substring_index(col("value"), " ", -1).as("key"))
+        .groupBy("key").count()
+      val q = counts.writeStream.outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .format("memory").queryName(sinkName).start()
+      try { q.awaitTermination(); Right(()) }
+      catch { case e: Throwable => q.stop(); Left(e) }
+    }
+    def result(sinkName: String): Map[String, Long] =
+      spark.table(sinkName).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+
+    assert(pipeline(ckpt, "chaos_run1").isRight) // batch 0 commits
+    writeLines(srcDir, "f2.txt", Seq("click u3", "click u1"))
+    ChaosKill.armed = true
+    val killed = pipeline(ckpt, "chaos_run2")
+    assert(killed.isLeft, "the armed poison record must crash the query")
+    assert(!ChaosKill.armed, "the kill fired inside a running task")
+
+    // Restart from the same checkpoint: the uncommitted batch replays.
+    assert(pipeline(ckpt, "chaos_run3").isRight)
+    // Control: the same input through an uninterrupted incarnation.
+    val ckpt2 = tmpDir("chaos-ckpt-control")
+    assert(pipeline(ckpt2, "chaos_control").isRight)
+    assert(result("chaos_run3") === result("chaos_control"))
+    assert(result("chaos_run3") === Map("u1" -> 3L, "u3" -> 1L))
   }
 
   test("streaming dedup drops redelivered ids (F5)") {
