@@ -75,6 +75,40 @@ object StreamingGateQueries {
     s.table(name)
   }
 
+  /** Run a streaming aggregation through the PRODUCTION sink path: a
+    * parquet file sink in Append mode (the only mode file sinks
+    * support), then read the result back through the sink's
+    * `_spark_metadata` commit log — so only files committed exactly-once
+    * are visible, and no memory sink appears anywhere in the plan.
+    * Append-mode semantics are part of the contract: a window is
+    * emitted only once the final watermark passes its end, so windows
+    * the watermark never closes are withheld — the oracle states the
+    * same cutoff explicitly.
+    */
+  private def runFileSinkStream(s: SparkSession, path: String,
+                                normalize: DataFrame => DataFrame,
+                                agg: DataFrame => DataFrame): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val name = s"gate_fsink_${runId.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+      val srcDir = Files.createTempDirectory(s"graft-src-$name")
+      Files.createSymbolicLink(srcDir.resolve("part-0.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
+      val outDir = Files.createTempDirectory(s"graft-out-$name").toString
+      val schema = s.read.parquet(path).schema
+      val src = normalize(s.readStream.schema(schema).parquet(srcDir.toString))
+      val q = agg(src).writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // App-2's stateful keyed count as a genuine streaming job.
@@ -164,10 +198,14 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
-    // Event-time tumbling window aggregation with a watermark, streamed.
+    // Event-time tumbling window aggregation with a watermark, streamed
+    // through the PRODUCTION parquet file sink (Append mode, result read
+    // back via the sink's commit log — no memory sink in this plan).
+    // Only watermark-closed windows are emitted; the oracle states the
+    // same cutoff.
     "stream_tumbling_window" -> ((s, d) => {
       Tables.load(s, d, "region")
-      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+      runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
         // watermarks require an instant (TIMESTAMP); the UTC session
         // makes the NTZ→LTZ cast value-preserving
         df => df.withColumn("ts", col("ts").cast("timestamp"))
@@ -216,8 +254,15 @@ object StreamingGateQueries {
         ON c.event_type = 'click' AND p.event_type = 'purchase'
        AND p.user_id = c.user_id
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // Append-mode file-sink semantics, stated explicitly: a window is
+    // emitted iff the final watermark (ms-truncated max event time
+    // minus the 1-hour delay — Spark tracks watermarks in epoch ms)
+    // has passed its end. Windows the watermark never closes are
+    // withheld by design.
     "stream_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2"""
+      FROM events GROUP BY 1, 2
+      HAVING wstart + INTERVAL 1 HOUR <=
+             date_trunc('milliseconds', (SELECT MAX(ts) FROM events)) - INTERVAL 1 HOUR"""
   )
 }
