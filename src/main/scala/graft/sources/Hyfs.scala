@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util.UUID
-import java.util.concurrent.atomic.AtomicLong
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -20,10 +19,11 @@ import org.apache.spark.sql.SparkSession
   *    corrupt each other, the same isolation the reference gets from
   *    replica-side append queues.
   *  - Canonical content order = lexicographic block name. Block names
-  *    embed a process-monotonic sequence + uuid, so every reader
-  *    (`get`) sees ONE deterministic order regardless of append
-  *    interleaving — the consistency `merge` establishes across
-  *    replicas in the reference (dht.go:807+).
+  *    embed a per-file LOGICAL sequence (max existing block seq + 1 —
+  *    clock-free, so writer clock skew cannot reorder content) + a uuid
+  *    tiebreak, so every reader (`get`) sees ONE deterministic order
+  *    regardless of append interleaving — the consistency `merge`
+  *    establishes across replicas in the reference (dht.go:807+).
   *  - `multiappend` runs appends concurrently (the reference fans out
   *    to several VMs; here, several writer threads) — all blocks land,
   *    order resolved by the canonical name order.
@@ -36,17 +36,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Hyfs {
 
-  private val seq = new AtomicLong(0L)
-
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Globally-ordered unique block name: zero-padded wall-clock millis +
-    * process sequence + uuid. Writers on different machines order by
-    * time-then-uuid; same-process writers are strictly sequenced.
+  /** Next LOGICAL block sequence for a file: max existing block seq + 1.
+    * Clock-free — ordering is derived from the file's own state, so a
+    * writer with a skewed (or regressed) clock still orders strictly
+    * after every block it can observe, which is the multi-writer
+    * determinism wall-clock names cannot give. Two appenders racing the
+    * same listing may pick the same seq; both blocks land (unique uuid
+    * suffix) and their relative order resolves by uuid — concurrent
+    * appends have no defined order anyway, the contract is that ALL
+    * readers agree on ONE order after the fact.
     */
-  private def blockName(): String =
-    f"block-${System.currentTimeMillis()}%016d-${seq.incrementAndGet()}%012d-${UUID.randomUUID()}"
+  private def nextSeq(f: FileSystem, dir: Path): Long = {
+    val names =
+      if (f.exists(dir))
+        f.listStatus(dir).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("block-")).toSeq
+      else Seq.empty
+    val maxSeq = names.flatMap(n => n.split("-").lift(1).map(_.toLong))
+    (if (maxSeq.isEmpty) 0L else maxSeq.max) + 1L
+  }
+
+  /** Unique block name: zero-padded logical sequence + uuid tiebreak. */
+  private def blockName(seqNo: Long): String =
+    f"block-$seqNo%016d-${UUID.randomUUID()}"
 
   def create(spark: SparkSession, file: String, content: String): Unit = {
     val dir = new Path(file)
@@ -62,7 +77,7 @@ object Hyfs {
   def append(spark: SparkSession, file: String, content: String): String = {
     val dir = new Path(file)
     val f = fs(spark, dir)
-    val name = blockName()
+    val name = blockName(nextSeq(f, dir))
     val tmp = new Path(dir, s".tmp-$name")
     val out = f.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -94,9 +109,18 @@ object Hyfs {
     val dir = new Path(file)
     val f = fs(spark, dir)
     names.map { n =>
+      val len = f.getFileStatus(new Path(dir, n)).getLen
+      // getLen.toInt on a >2 GiB block would wrap negative and either
+      // throw NegativeArraySizeException or truncate the read — reject
+      // with a clear error instead (merge concatenates blocks, so
+      // repeated merges of a growing file WILL eventually cross this).
+      if (len > Int.MaxValue)
+        throw new java.io.IOException(
+          s"get: block $n of $file is $len bytes; the string read API " +
+            "supports blocks up to 2 GiB (Int.MaxValue) — see merge doc")
       val in = f.open(new Path(dir, n))
       try {
-        val bytes = new Array[Byte](f.getFileStatus(new Path(dir, n)).getLen.toInt)
+        val bytes = new Array[Byte](len.toInt)
         in.readFully(bytes)
         new String(bytes, "UTF-8")
       } finally in.close()
@@ -120,6 +144,10 @@ object Hyfs {
     * points, exactly like the reference's REPL-invoked merge. The
     * append-then-delete order is deliberate: a crash mid-merge leaves
     * duplicate data (recoverable by re-merging), never lost data.
+    * Size bound: merge concatenates every block into ONE, and blocks
+    * are capped at 2 GiB by the string read path (readBlocks) — do not
+    * merge files whose total content exceeds that; they remain fully
+    * readable unmerged.
     */
   def merge(spark: SparkSession, file: String): Unit = {
     val old = ls(spark, file)

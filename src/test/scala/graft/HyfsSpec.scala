@@ -39,6 +39,30 @@ class HyfsSpec extends GraftSpec {
     assert(Hyfs.get(spark, f) === got)
   }
 
+  test("block order is clock-free: logical sequence, no timestamp in names") {
+    // A writer with a regressed/skewed clock cannot reorder content,
+    // because block names carry NO wall-clock component at all: the
+    // sequence is derived from the file's current max block seq + 1, so
+    // ANY writer — whatever its clock says — orders strictly after
+    // every block it can observe.
+    val f = tmpDir("hyfs") + "/file5"
+    Hyfs.create(spark, f, "a")
+    Hyfs.append(spark, f, "b")
+    def seqs() = Hyfs.ls(spark, f).map(_.split("-")(1).toLong)
+    assert(seqs() === Seq(1L, 2L))
+    Hyfs.append(spark, f, "c") // the "regressed-clock" writer
+    assert(seqs() === Seq(1L, 2L, 3L))
+    assert(Hyfs.get(spark, f) === "abc")
+    // name shape: zero-padded logical seq + uuid — nothing time-derived
+    Hyfs.ls(spark, f).foreach(n =>
+      assert(n.matches("block-\\d{16}-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    // merge compacts to seq max+1; later appends keep ordering after it
+    Hyfs.merge(spark, f)
+    Hyfs.append(spark, f, "d")
+    assert(Hyfs.get(spark, f) === "abcd")
+    assert(seqs() === seqs().sorted)
+  }
+
   test("merge compacts to one block and preserves content; appends continue") {
     val f = tmpDir("hyfs") + "/file4"
     Hyfs.create(spark, f, "x")
