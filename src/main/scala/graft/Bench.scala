@@ -40,7 +40,16 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line: the round driver captures only the log
+    // TAIL, which has truncated the per-query times of the
+    // alphabetically-first (heaviest) entries before — the file keeps
+    // the full evidence regardless of log truncation.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // benchmark output must never fail the run
     spark.stop()
   }
 }

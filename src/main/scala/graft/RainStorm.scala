@@ -112,17 +112,33 @@ object RainStorm {
     }
 
   /** Batch source with the reference's EXACT record identity: key =
-    * "<srcFile>:<lineNo>", 1-based (rainstorm/server.go:427-439) — so
-    * duplicate identical lines stay distinct records. zipWithIndex costs
-    * one extra pass to size each partition; the scan itself stays
+    * "<srcFile>:<lineNo>", 1-based PER FILE (rainstorm/server.go:
+    * 427-439) — so duplicate identical lines stay distinct records.
+    * When src is a directory, each contained file gets its own 1-based
+    * line numbering under its own path (a global index under the
+    * directory name would diverge from the reference's per-file
+    * identity). Hidden files (`_`/`.` prefixes) are skipped, matching
+    * what a plain textFile scan would read. zipWithIndex costs one
+    * extra pass to size each partition; the scan itself stays
     * distributed (indices are assigned per-partition from split order).
     * The streaming source keys by content hash instead (a stream cannot
     * assign stable line ordinals) — divergence pinned in RainStormSpec.
     */
   private def sourceBatch(spark: SparkSession, src: String): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.textFile(src).zipWithIndex()
-      .map { case (line, i) => (s"$src:${i + 1}", line) }
+    val p = new org.apache.hadoop.fs.Path(src)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (hfs.getFileStatus(p).isDirectory)
+        hfs.listStatus(p).iterator
+          .filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+          .map(_.toUri.getPath).toSeq.sorted
+      else Seq(src)
+    files.map { f =>
+      spark.sparkContext.textFile(f).zipWithIndex()
+        .map { case (line, i) => (s"$f:${i + 1}", line) }
+    }.reduce(_ union _)
       .toDF("key", "value")
       .withColumn("id", expr("uuid()"))
   }

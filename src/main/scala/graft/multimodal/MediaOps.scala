@@ -57,7 +57,10 @@ object MediaOps {
       while (i + 8 <= b.length) {
         val id = ascii(b, i, 4)
         val sz = le32(b, i + 4)
-        if (sz < 0 || i + 8 + sz > b.length) return None
+        // Long arithmetic: a crafted chunk size near Int.MaxValue makes
+        // `i + 8 + sz` wrap negative in Int, bypassing the bound check
+        // and crashing the walk below — same overflow guard as parsePpm.
+        if (sz < 0 || i.toLong + 8L + sz.toLong > b.length) return None
         if (id == "fmt " && sz >= 16) {
           if (le16(b, i + 8) != 1) return None // PCM only
           channels = le16(b, i + 10)

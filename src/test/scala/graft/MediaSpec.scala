@@ -98,6 +98,16 @@ class MediaSpec extends GraftSpec {
     // 16-bit-per-sample PPM (maxval > 255) is out of parser scope
     val deep = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(24)(1.toByte)
     assert(Codec.parsePpm(deep) === None)
+    // crafted RIFF chunk size near Int.MaxValue: `i + 8 + sz` wraps
+    // negative in Int arithmetic — the bound check must reject it (in
+    // Long), not walk to a negative offset and crash
+    val evil = wavBytes(8000, Array.tabulate(8)(_.toShort))
+    val sz = 0x7ffffff0
+    evil(16) = (sz & 0xff).toByte         // fmt chunk size LE32
+    evil(17) = ((sz >> 8) & 0xff).toByte
+    evil(18) = ((sz >> 16) & 0xff).toByte
+    evil(19) = ((sz >> 24) & 0xff).toByte
+    assert(Codec.parseWav(evil) === None)
   }
 
   test("opaque payloads fall back to byte-stats fake with no container fields") {

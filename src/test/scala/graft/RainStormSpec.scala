@@ -101,7 +101,21 @@ class RainStormSpec extends GraftSpec {
     val keys = out.collect().map(_.getString(0)).sorted
     assert(keys.length === 3)
     assert(keys.distinct.length === 3, "duplicate lines must keep distinct keys")
-    assert(keys.forall(_.matches(s"\\Q$dir\\E:[1-3]")))
+    // per-FILE identity, the reference's key (rainstorm/server.go:427-439)
+    assert(keys.forall(_.matches(s"\\Q$dir\\E/dup\\.csv:[1-3]")))
+  }
+
+  test("directory source: line numbers restart per file under each file's name") {
+    // The reference numbers lines within ONE source file; a directory
+    // of files must therefore key each file independently — NOT a
+    // global index under the directory name.
+    val dir = tmpDir("rainstorm-multi")
+    Files.write(Paths.get(dir, "a.csv"), "l1\nl2".getBytes, StandardOpenOption.CREATE)
+    Files.write(Paths.get(dir, "b.csv"), "l1".getBytes, StandardOpenOption.CREATE)
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+    val keys = out.collect().map(_.getString(0)).toSet
+    assert(keys === Set(s"$dir/a.csv:1", s"$dir/a.csv:2", s"$dir/b.csv:1"))
   }
 
   test("CountByKey then FlatMap: allowed in batch, rejected in streaming") {
