@@ -51,16 +51,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val jt = if (isLong) "long" else "int"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everything: whole-stage codegen inlines this block into
+      // a method that may already declare `i`/`n`, and Java rejects
+      // shadowing an enclosing local — the collision killed codegen for
+      // the whole stage (silent interpreted-mode fallback).
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-      int na = $a.numElements(), nb = $b.numElements();
-      int i = 0, j = 0, n = 0;
-      while (i < na && j < nb) {
-        $jt x = $a.get${if (isLong) "Long" else "Int"}(i);
-        $jt y = $b.get${if (isLong) "Long" else "Int"}(j);
-        if (x == y) { n++; i++; j++; }
-        else if (x < y) { i++; } else { j++; }
+      int $na = $a.numElements(), $nb = $b.numElements();
+      int $i = 0, $j = 0, $n = 0;
+      while ($i < $na && $j < $nb) {
+        $jt $x = $a.get${if (isLong) "Long" else "Int"}($i);
+        $jt $y = $b.get${if (isLong) "Long" else "Int"}($j);
+        if ($x == $y) { $n++; $i++; $j++; }
+        else if ($x < $y) { $i++; } else { $j++; }
       }
-      ${ev.value} = n;
+      ${ev.value} = $n;
       """
     })
   }

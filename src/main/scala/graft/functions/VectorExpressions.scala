@@ -42,13 +42,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName every local (incl. loop vars): Java forbids shadowing an
+      // enclosing local, and whole-stage codegen may inline this next to
+      // another `i`/`n` — a collision kills codegen for the entire stage.
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-      int n = Math.min($x.numElements(), $y.numElements());
-      double acc = 0.0;
-      for (int i = 0; i < n; i++) {
-        acc += (double) $x.getFloat(i) * (double) $y.getFloat(i);
+      int $n = Math.min($x.numElements(), $y.numElements());
+      double $acc = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
       }
-      ${ev.value} = acc;
+      ${ev.value} = $acc;
       """
     })
 
@@ -90,18 +95,22 @@ case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("weights", weights, "int[][]")
     nullSafeCodeGen(ctx, ev, v => {
+      // freshName every local — see FloatDotProduct.doGenCode.
+      val sg = ctx.freshName("sg"); val j = ctx.freshName("j")
+      val w = ctx.freshName("w"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       s"""
-      long sg = 0L;
-      for (int j = 0; j < $wRef.length; j++) {
-        int[] w = $wRef[j];
-        int n = Math.min(w.length, $v.numElements());
-        double acc = 0.0;
-        for (int i = 0; i < n; i++) {
-          acc += w[i] * (double) $v.getFloat(i);
+      long $sg = 0L;
+      for (int $j = 0; $j < $wRef.length; $j++) {
+        int[] $w = $wRef[$j];
+        int $n = Math.min($w.length, $v.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $w[$i] * (double) $v.getFloat($i);
         }
-        if (acc > 0) sg |= 1L << j;
+        if ($acc > 0) $sg |= 1L << $j;
       }
-      ${ev.value} = sg;
+      ${ev.value} = $sg;
       """
     })
   }
