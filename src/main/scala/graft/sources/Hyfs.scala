@@ -33,6 +33,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Everything goes through the Hadoop FileSystem API, so the same code
   * runs on local disk in tests and HDFS/S3A on a cluster.
+  *
+  * Verb mapping for the reference's replica-introspection and
+  * membership REPL commands (main.go:88-157), which have no meaningful
+  * analogue once replication is the FS's job:
+  *  - `cat <localfile>` (main.go:144) — printing a local file; that is
+  *    `get` with a `file://` path (the Hadoop API serves both schemes).
+  *  - `store` (main.go:150) — "which blocks does THIS replica hold";
+  *    block→machine placement lives below the FS API here, so the
+  *    truthful equivalent is `ls`, which reports the file's full block
+  *    set (placement queries go to the store's own tooling, e.g.
+  *    `hdfs fsck -files -blocks -locations`).
+  *  - `getfromreplica <vm> <file> <out>` (main.go:152) — read a
+  *    SPECIFIC replica's copy to check convergence; an FS with atomic
+  *    rename has no divergent replicas to compare, which is the point
+  *    of building on one.
+  *  - `list_mem` / `list_self` / `leave` / `{enable,disable,status}_sus`
+  *    (main.go:89-115) — SWIM membership introspection; delegated to
+  *    the cluster manager's executor liveness (Spark UI / REST), per
+  *    SURVEY §2.2 non-goals.
   */
 object Hyfs {
 
