@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedJoinQueries, MultimodalQueries, ReferenceQueries, RelationalQueries, StreamingGateQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.queries.{AdvancedJoinQueries, CurationQueries, MultimodalQueries, ReferenceQueries, RelationalQueries, StreamingGateQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
       (ReferenceQueries.queries, ReferenceQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
+      (CurationQueries.queries, CurationQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (TimeWindowQueries.queries, TimeWindowQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),

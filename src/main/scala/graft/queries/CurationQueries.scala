@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-assembly operators of an LLM training-data pipeline —
+  * the steps that come AFTER cleaning/dedup (TextQueries) and decide
+  * what actually ships in a training run: reproducible sampling,
+  * train/val/test splitting, benchmark decontamination, and
+  * token-budget packing.
+  *
+  * Portability contract: the sampler/splitter hash is a pure-integer
+  * LCG over doc_id (both engines compute it bit-identically); on a real
+  * deployment you would swap in `xxhash64(doc_id)` — the plan shape
+  * (stateless narrow scan) is identical, only the mixing constant
+  * changes. Decontamination n-grams are md5 over the joined words
+  * (md5 is bit-identical across engines).
+  *
+  * Scale design: sample/split are shuffle-FREE narrow scans (the
+  * decision is a pure function of doc_id, so it needs no coordination
+  * and no sort — the property that makes hash-splitting the standard
+  * over random()+seed, which is neither reproducible across retries
+  * nor partitioning-stable). Decontamination is a broadcast semi/anti
+  * join: the benchmark side is tiny by definition, so the 100 TB train
+  * side is never shuffled. Packing partitions by an explicit shard key
+  * so each window is independent — the global-order single-partition
+  * window trap does not appear.
+  */
+object CurationQueries {
+
+  /** Pure-integer LCG bucket in [0, 100): both engines evaluate this
+    * bit-identically on BIGINT (all intermediates positive and below
+    * 2^62, so `%` and floor-div agree). The high-bit slice (div 2^16)
+    * avoids the LCG's weak low bits.
+    */
+  private def bucket100(id: Column): Column =
+    (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .divide(65536L).cast("long") % 100L
+
+  private val bucketSql =
+    "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100"
+
+  /** Tokenized docs: (doc_id, w array). Same tokenizer as TextQueries. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      filter(split(col("text"), "\\s+"), w => w =!= "").as("w"))
+
+  private val wordsSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+
+  /** Word n-gram fingerprints (md5 of space-joined window) — the
+    * decontamination key. N = 3: long enough that a shared gram means
+    * shared phrasing, short enough to catch partial quotes.
+    */
+  private val GramN = 3
+
+  private def grams(w: Column): Column =
+    when(size(w) >= GramN,
+      transform(sequence(lit(1), size(w) - (GramN - 1)),
+        i => md5(concat_ws(" ",
+          (0 until GramN).map(k => element_at(w, i + lit(k))): _*)
+          .cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+
+  private val gramsSql = {
+    val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(", ")
+    s"CASE WHEN len(w) >= $GramN THEN " +
+      s"list_transform(range(1, len(w) - ${GramN - 1} + 1), " +
+      s"i -> md5(concat_ws(' ', $parts))) ELSE [] END"
+  }
+
+  /** Benchmark membership: a deterministic doc_id slice stands in for
+    * the eval set (in production: an actual benchmark table).
+    */
+  private val BenchMod = 97L
+
+  /** Packing budget (tokens per training sequence bin). */
+  private val PackBudget = 512L
+  /** Shard count — each shard packs independently, so parallelism is
+    * explicit and no window ever sees more than 1/Shards of the corpus.
+    */
+  private val PackShards = 32L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Reproducible 10% sample: pure function of doc_id, so the same
+    // rows survive re-runs, retries, and repartitioning — no shuffle,
+    // no sort, no RNG state. THE way to subsample a 100 TB corpus.
+    "docs_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket100(col("doc_id")).as("bucket"))
+        .filter(col("bucket") < 10)),
+
+    // Deterministic 80/10/10 train/val/test assignment from the same
+    // hash — membership is stable under corpus growth (a doc's split
+    // never changes when other docs are added), which random splitting
+    // cannot give.
+    "docs_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(bucket100(col("doc_id")) < 80, "train")
+            .when(bucket100(col("doc_id")) < 90, "val")
+            .otherwise("test").as("split"))),
+
+    // Benchmark decontamination: drop every training doc that shares a
+    // word n-gram with the (tiny) benchmark set. Both joins broadcast
+    // the benchmark-derived side, so the train side streams through
+    // map-side — no shuffle of the big table at any scale.
+    "docs_decontaminate" -> ((s, d) => {
+      val dw = docWords(s, d)
+      val isBench = col("doc_id") % BenchMod === 0L
+      val benchGrams = dw.filter(isBench)
+        .select(explode(grams(col("w"))).as("g")).distinct()
+      val contaminated = dw.filter(!isBench)
+        .select(col("doc_id"), explode(grams(col("w"))).as("g"))
+        .join(broadcast(benchGrams), "g")
+        .select(col("doc_id")).distinct()
+      dw.filter(!isBench)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    }),
+
+    // Token-budget packing: greedy contiguous fill of PackBudget-token
+    // bins, independently per shard. bin = tokens-before-this-doc div
+    // budget — the distributed form of "append until the bin is full,
+    // then start the next" (an oversized doc overflows its own bin and
+    // the next doc starts fresh, exactly like the sequential greedy).
+    "docs_pack" -> ((s, d) => {
+      val tok = docWords(s, d).select(
+        col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(col("w")).cast("long").as("n_tokens"))
+      val win = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(sum(n_tokens) over " +
+          s"(partition by shard order by doc_id " +
+          s"rows between unbounded preceding and current row) " +
+          s"- n_tokens) div $PackBudget").as("bin"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "docs_sample" -> s"""
+      SELECT doc_id, CAST($bucketSql AS BIGINT) AS bucket
+      FROM documents WHERE $bucketSql < 10""",
+    "docs_split" -> s"""
+      SELECT doc_id,
+        CASE WHEN $bucketSql < 80 THEN 'train'
+             WHEN $bucketSql < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents""",
+    "docs_decontaminate" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      bench_grams AS (
+        SELECT DISTINCT unnest($gramsSql) AS g
+        FROM dw WHERE doc_id % $BenchMod = 0),
+      train_grams AS (
+        SELECT doc_id, unnest($gramsSql) AS g
+        FROM dw WHERE doc_id % $BenchMod != 0),
+      contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM train_grams t JOIN bench_grams b ON t.g = b.g)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      FROM dw
+      WHERE doc_id % $BenchMod != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "docs_pack" -> s"""
+      SELECT doc_id, shard, n_tokens,
+        CAST((SUM(n_tokens) OVER
+                (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // $PackBudget AS BIGINT) AS bin
+      FROM (
+        SELECT doc_id, doc_id % $PackShards AS shard,
+          CAST(len($wordsSql) AS BIGINT) AS n_tokens
+        FROM documents)""")
+}

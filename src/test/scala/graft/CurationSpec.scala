@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationQueries
+
+/** Contract specs for the dataset-assembly operators (CurationQueries):
+  * the properties that make each one trustworthy in a pipeline, beyond
+  * the oracle's value equality.
+  */
+class CurationSpec extends GraftSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = CurationQueries.queries(name)(spark, sf)
+
+  test("docs_sample is reproducible and a subset of docs_split's train universe") {
+    val a = run("docs_sample").collect().map(_.getLong(0)).sorted
+    val b = run("docs_sample").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "hash sampling must be re-run-identical")
+    val n = Tables.documents(spark, sf).count()
+    assert(a.length > 0 && a.length < n, "sample must be a proper subset")
+    // ~10% with slack for the small gate corpus
+    assert(math.abs(a.length.toDouble / n - 0.10) < 0.06)
+  }
+
+  test("docs_split: assignment is a pure function of doc_id (stable under corpus growth)") {
+    val full = run("docs_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute on an arbitrary half of the corpus: every doc must keep
+    // the split it had on the full corpus — the property random splits lack
+    val half = CurationQueries.queries("docs_split")(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    half.foreach { case (id, s) => assert(full(id) === s) }
+    val bySplit = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("docs_decontaminate: no survivor shares a word 3-gram with the benchmark slice") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), w => w =!= "").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("g"))
+    val benchGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g")).as("g")).distinct()
+      .as[String].collect().toSet
+    val survivors = run("docs_decontaminate").collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty)
+    val survivorGrams = docs.filter(col("doc_id").isin(survivors.toSeq: _*))
+      .select(explode(col("g")).as("g")).as[String].collect().toSet
+    assert(survivorGrams.intersect(benchGrams).isEmpty,
+      "a surviving doc still shares an n-gram with the benchmark set")
+    // and the filter must not be vacuous: something was removed
+    val train = docs.filter(col("doc_id") % 97 =!= 0).count()
+    assert(survivors.size < train, "decontamination removed nothing")
+  }
+
+  test("docs_pack: bin ids equal the sequential greedy fill per shard") {
+    val rows = run("docs_pack").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._2).foreach { case (_, _, n, bin) =>
+        assert(bin === cum / 512,
+          "bin must be tokens-before-this-doc div budget")
+        cum += n
+      }
+    }
+    // bins are non-decreasing in doc order, so packing is streamable
+    assert(rows.nonEmpty)
+  }
+}
