@@ -198,6 +198,26 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // Exact content-dedup as a STREAMING job — the LLM-pipeline dedup
+    // family on the engine's streaming face: fingerprint each arriving
+    // document and emit each fingerprint once, with the dedup set in
+    // the state store exactly like the reference's exactly-once
+    // receive-dedup (F5, rainstorm/server.go:292-298). Output is the
+    // fingerprint SET (not survivor doc_ids: which duplicate arrives
+    // first is arrival-order-dependent; the set is deterministic). No
+    // watermark: state is the full fingerprint universe, as in the
+    // reference, whose dedup log also never expires — bound it with
+    // dropDuplicatesWithinWatermark when the corpus has event time.
+    "stream_dedup_docs" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => df.select(
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+              .cast("binary")).as("fingerprint"))
+          .dropDuplicates("fingerprint"),
+        OutputMode.Append())
+    }),
+
     // Event-time tumbling window aggregation with a watermark, streamed
     // through the PRODUCTION parquet file sink (Append mode, result read
     // back via the sink's commit log — no memory sink in this plan).
@@ -220,6 +240,12 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    // Streaming ≡ batch for set-valued dedup: the emitted fingerprint
+    // set equals DISTINCT over the whole table.
+    "stream_dedup_docs" -> """
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        AS fingerprint
+      FROM documents""",
     "stream_running_count" -> """
       SELECT event_type AS key, CAST(i AS BIGINT) AS n
       FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
