@@ -62,6 +62,28 @@ class CurationSpec extends GraftSpec {
     assert(survivors.size < train, "decontamination removed nothing")
   }
 
+  test("plan shapes: sample/split shuffle-free; pack shuffles once, by shard") {
+    // AQE wraps the plan before exchanges materialize; plan the queries
+    // with it off (same device as PartitioningSpec) so the exchange
+    // count is inspectable
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def exchanges(name: String): Seq[String] =
+        run(name).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning.toString
+        }
+      // membership is a pure function of doc_id — any exchange here would
+      // mean the 100 TB scan acquired a shuffle it never needs
+      assert(exchanges("docs_sample").isEmpty)
+      assert(exchanges("docs_split").isEmpty)
+      // packing needs exactly the one hash exchange on the shard key
+      val packEx = exchanges("docs_pack")
+      assert(packEx.length === 1 && packEx.head.contains("shard"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("docs_pack: bin ids equal the sequential greedy fill per shard") {
     val rows = run("docs_pack").collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
