@@ -280,6 +280,42 @@ object RelationalQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // TPC-H Q3 shape — the canonical 3-way join + aggregate + top-k
+    // composite: segment-filtered customers ⋈ open orders ⋈ late-shipped
+    // lineitems, revenue per order, top 10. The plan to want at 100 TB:
+    // both filters reach their scans (PushedFilters), the filtered
+    // customer side broadcasts, orders⋈lineitem shuffles on the join
+    // key with partial aggregation before the exchange, and the top-10
+    // is TakeOrderedAndProject (per-partition heaps, never a full
+    // sort). Revenue in decimal (exact, associative) cast back to
+    // double; l_orderkey added to the sort key so the limit boundary
+    // is deterministic across engines.
+    "q3_shipping" -> ((s, d) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+    }),
+
     "q_sort_limit" -> ((s, d) =>
       Tables.part(s, d)
         .orderBy(col("p_retailprice"), col("p_partkey"))
@@ -503,6 +539,17 @@ object RelationalQueries {
     "q_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q3_shipping" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_sort_limit" -> """
       SELECT p_partkey, p_name, p_retailprice FROM part
       ORDER BY p_retailprice, p_partkey LIMIT 50""",
