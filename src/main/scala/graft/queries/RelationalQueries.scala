@@ -280,6 +280,30 @@ object RelationalQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // Exact discrete percentiles (p50/p90/p99) per group: the value at
+    // rank ceil(p·n) in sorted order — rank-based, so the result is
+    // exact and engine-independent (interpolated percentiles do float
+    // arithmetic whose last bit differs across engines; the value AT a
+    // rank is unique no matter how ties are permuted). One window sort
+    // per group — the same shuffle a percentile UDAF would need; for
+    // approximate needs at 100 TB use q_sketch_approx instead.
+    "q_percentile_disc" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))).as("n"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("o_totalprice")))
+            .as("p90"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("o_totalprice")))
+            .as("p99"))
+    }),
+
     // TPC-H Q3 shape — the canonical 3-way join + aggregate + top-k
     // composite: segment-filtered customers ⋈ open orders ⋈ late-shipped
     // lineitems, revenue per order, top 10. The plan to want at 100 TB:
@@ -539,6 +563,18 @@ object RelationalQueries {
     "q_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_percentile_disc" -> """
+      SELECT o_orderpriority,
+        MAX(CASE WHEN rn = CEIL(n * 0.5) THEN o_totalprice END) AS p50,
+        MAX(CASE WHEN rn = CEIL(n * 0.9) THEN o_totalprice END) AS p90,
+        MAX(CASE WHEN rn = CEIL(n * 0.99) THEN o_totalprice END) AS p99
+      FROM (
+        SELECT o_orderpriority, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      GROUP BY o_orderpriority""",
     "q3_shipping" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
