@@ -124,6 +124,27 @@ object CurationQueries {
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     }),
 
+    // Data mixing: rebalance the corpus to target per-language weights
+    // by deterministic fractional up/downsampling — the step that sets
+    // a training run's mixture proportions. A doc with weight w emits
+    // floor(w) copies plus one more for the hash-chosen frac(w) slice
+    // (en 0.5x, es 2x, everything else 1x here). Same LCG bucket as
+    // docs_sample, so the mixture is reproducible and membership-stable;
+    // the copy explode is a narrow Generate — still no shuffle.
+    "docs_mixture" -> ((s, d) => {
+      val w = typedLit(Map("en" -> 0.5, "es" -> 2.0))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("wt", coalesce(element_at(w, col("lang")), lit(1.0)))
+        .withColumn("copies",
+          floor(col("wt")).cast("long") +
+            when(bucket100(col("doc_id"))
+              < ((col("wt") - floor(col("wt"))) * 100).cast("long"), 1L)
+              .otherwise(0L))
+        .filter(col("copies") > 0)
+      docs.select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+    }),
+
     // Token-budget packing: greedy contiguous fill of PackBudget-token
     // bins, independently per shard. bin = tokens-before-this-doc div
     // budget — the distributed form of "append until the bin is full,
@@ -169,6 +190,20 @@ object CurationQueries {
       FROM dw
       WHERE doc_id % $BenchMod != 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "docs_mixture" -> s"""
+      WITH weighted AS (
+        SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 2.0 ELSE 1.0 END AS wt
+        FROM documents),
+      counted AS (
+        SELECT doc_id, lang,
+          CAST(FLOOR(wt) AS BIGINT)
+            + CASE WHEN $bucketSql < CAST((wt - FLOOR(wt)) * 100 AS BIGINT)
+                   THEN 1 ELSE 0 END AS copies
+        FROM weighted)
+      SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
+      FROM counted, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) t
+      WHERE copies > 0""",
     "docs_pack" -> s"""
       SELECT doc_id, shard, n_tokens,
         CAST((SUM(n_tokens) OVER

@@ -84,6 +84,29 @@ class CurationSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("docs_mixture: per-language weights hold exactly and copies are contiguous") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    val rows = run("docs_mixture").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mixByLang = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    // integral weights are exact: es doubles, unweighted langs unchanged
+    assert(mixByLang("es") === 2 * byLang("es"))
+    for (l <- byLang.keySet -- Set("en", "es"))
+      assert(mixByLang(l) === byLang(l))
+    // the fractional 0.5 weight halves en via the hash slice — exact
+    // count is corpus-dependent, but it must be a strict downsample
+    val en = mixByLang.getOrElse("en", 0)
+    assert(en > 0 && en < byLang("en"))
+    // copy indices are 1..copies per doc (no gaps, no dups)
+    rows.groupBy(_._1).values.foreach { copies =>
+      assert(copies.map(_._3).sorted.sameElements(1L to copies.length))
+    }
+    // and the mixture is reproducible
+    assert(run("docs_mixture").count() === rows.length)
+  }
+
   test("docs_pack: bin ids equal the sequential greedy fill per shard") {
     val rows = run("docs_pack").collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
