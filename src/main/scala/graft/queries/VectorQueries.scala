@@ -329,22 +329,29 @@ object VectorQueries {
       val edges = pairs
         .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
         .localCheckpoint(true)
-      var comp = edges.select(col("da").as("id")).distinct()
-        .withColumn("comp", col("id"))
+      // Seed each vertex with min(id, direct neighbors) — identical to
+      // the state after one propagation round from comp=id, so the loop
+      // starts a full (join+agg+join+materialize) iteration ahead. One
+      // aggregation over the (symmetrized) edge list; every vertex
+      // appears as `da` there, so the vertex set is unchanged.
+      var comp = edges.groupBy(col("da"))
+        .agg(min(col("db")).as("nmin"))
+        .select(col("da").as("id"), least(col("da"), col("nmin")).as("comp"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val nbrMin = edges
           .join(comp.select(col("id").as("db"), col("comp")), "db")
           .groupBy(col("da").as("nid")).agg(min(col("comp")).as("ncomp"))
+        // Carry the previous label through the propagation join so
+        // convergence detection is a filter+count over the freshly
+        // checkpointed blocks, not an extra per-round join.
         val next = comp
           .join(nbrMin, comp("id") === nbrMin("nid"), "left")
-          .select(col("id"),
+          .select(col("id"), col("comp").as("old"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
           .localCheckpoint(true)
-        changed = next
-          .join(comp.select(col("id"), col("comp").as("old")), "id")
-          .filter(col("comp") =!= col("old")).count()
+        changed = next.filter(col("comp") =!= col("old")).count()
         comp.unpersist()
         comp = next
       }
