@@ -118,9 +118,16 @@ object RainStorm {
     * line numbering under its own path (a global index under the
     * directory name would diverge from the reference's per-file
     * identity). Hidden files (`_`/`.` prefixes) are skipped, matching
-    * what a plain textFile scan would read. zipWithIndex costs one
-    * extra pass to size each partition; the scan itself stays
-    * distributed (indices are assigned per-partition from split order).
+    * what a plain textFile scan would read. Each file is read via its
+    * FULLY QUALIFIED path (scheme+authority preserved — a bare
+    * `/dir/f.csv` would re-resolve against the default FS on a cluster
+    * whose defaultFS differs from the source's); the record key uses
+    * the scheme-less path, the closest analogue of the reference's
+    * plain file name. minPartitions=1 keeps single-split files to one
+    * partition, so zipWithIndex needs no extra sizing job for them
+    * (multi-split files still pay one — required for correct global
+    * line numbers). An empty directory yields an empty frame, like the
+    * plain textFile scan it replaced.
     * The streaming source keys by content hash instead (a stream cannot
     * assign stable line ordinals) — divergence pinned in RainStormSpec.
     */
@@ -128,19 +135,24 @@ object RainStorm {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(src)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[String] =
+    // (qualified read path, key path)
+    val files: Seq[(String, String)] =
       if (hfs.getFileStatus(p).isDirectory)
         hfs.listStatus(p).iterator
-          .filter(_.isFile).map(_.getPath)
-          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-          .map(_.toUri.getPath).toSeq.sorted
-      else Seq(src)
-    files.map { f =>
-      spark.sparkContext.textFile(f).zipWithIndex()
-        .map { case (line, i) => (s"$f:${i + 1}", line) }
-    }.reduce(_ union _)
-      .toDF("key", "value")
-      .withColumn("id", expr("uuid()"))
+          .filter(_.isFile)
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath.toString, f.getPath.toUri.getPath))
+          .toSeq.sortBy(_._2)
+      else Seq((src, src))
+    val parts = files.map { case (readPath, keyPath) =>
+      spark.sparkContext.textFile(readPath, minPartitions = 1).zipWithIndex()
+        .map { case (line, i) => (s"$keyPath:${i + 1}", line) }
+    }
+    val all =
+      if (parts.isEmpty) spark.sparkContext.emptyRDD[(String, String)]
+      else spark.sparkContext.union(parts)
+    all.toDF("key", "value").withColumn("id", expr("uuid()"))
   }
 
   /** Batch run: source → op1 → [exchange] → op2 → dest (one text-like

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -23,9 +22,10 @@ import graft.Tables
   * decision is a pure function of doc_id, so it needs no coordination
   * and no sort — the property that makes hash-splitting the standard
   * over random()+seed, which is neither reproducible across retries
-  * nor partitioning-stable). Decontamination is a broadcast semi/anti
-  * join: the benchmark side is tiny by definition, so the 100 TB train
-  * side is never shuffled. Packing partitions by an explicit shard key
+  * nor partitioning-stable). Decontamination broadcasts only the
+  * benchmark-bounded gram set, so the 100 TB train side is never
+  * shuffled with its payload — at worst its 16-byte ids shuffle for
+  * the final anti-join. Packing partitions by an explicit shard key
   * so each window is independent — the global-order single-partition
   * window trap does not appear.
   */
@@ -43,11 +43,12 @@ object CurationQueries {
   private val bucketSql =
     "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100"
 
-  /** Tokenized docs: (doc_id, w array). Same tokenizer as TextQueries. */
+  /** Tokenized docs: (doc_id, w array) — TextQueries' tokenizer,
+    * shared so decontamination/packing token counts can never drift
+    * from the cleaning queries'.
+    */
   private def docWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      filter(split(col("text"), "\\s+"), w => w =!= "").as("w"))
+    TextQueries.docWords(s, d)
 
   private val wordsSql =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
@@ -107,9 +108,14 @@ object CurationQueries {
             .otherwise("test").as("split"))),
 
     // Benchmark decontamination: drop every training doc that shares a
-    // word n-gram with the (tiny) benchmark set. Both joins broadcast
-    // the benchmark-derived side, so the train side streams through
-    // map-side — no shuffle of the big table at any scale.
+    // word n-gram with the (tiny) benchmark set. The gram join
+    // broadcasts the BENCHMARK side — bounded by the eval set, so safe
+    // to hint — and the train side streams through map-side. The final
+    // anti-join's `contaminated` set is train-derived and therefore
+    // UNBOUNDED (adversarially, every doc could share a gram); no
+    // broadcast hint there — AQE broadcasts it when it measures small
+    // and falls back to a shuffled anti-join (16-byte ids only) when
+    // it doesn't.
     "docs_decontaminate" -> ((s, d) => {
       val dw = docWords(s, d)
       val isBench = col("doc_id") % BenchMod === 0L
@@ -120,7 +126,7 @@ object CurationQueries {
         .join(broadcast(benchGrams), "g")
         .select(col("doc_id")).distinct()
       dw.filter(!isBench)
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     }),
 
@@ -155,8 +161,6 @@ object CurationQueries {
         col("doc_id"),
         (col("doc_id") % PackShards).as("shard"),
         size(col("w")).cast("long").as("n_tokens"))
-      val win = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tok.select(
         col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"(sum(n_tokens) over " +

@@ -40,39 +40,45 @@ object StreamingGateQueries {
   private def runStream(s: SparkSession, path: String,
                         normalize: DataFrame => DataFrame,
                         agg: DataFrame => DataFrame,
-                        mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    // One state store per shuffle partition PER stateful operator side:
-    // at gate scale (tens of k rows) 32 partitions means the run is
-    // dominated by store commit I/O, not data. Size partitions to the
-    // data for the gate run, restore after (stream pins the value at
-    // start; a production job sizes this to its key cardinality).
+                        mode: OutputMode = OutputMode.Complete()): DataFrame =
+    withGateParts(s) {
+      val name = s"gate_stream_${runId.incrementAndGet()}"
+      val (src, ckpt) = stageStream(s, path, name, normalize)
+      val q = agg(src).writeStream
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  /** One state store per shuffle partition PER stateful operator side:
+    * at gate scale (tens of k rows) 32 partitions means the run is
+    * dominated by store commit I/O, not data. Size partitions to the
+    * data for the gate run, restore after (stream pins the value at
+    * start; a production job sizes this to its key cardinality).
+    */
+  private def withGateParts[T](s: SparkSession)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try runStreamInner(s, path, normalize, agg, mode)
+    try body
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def runStreamInner(s: SparkSession, path: String,
-                             normalize: DataFrame => DataFrame,
-                             agg: DataFrame => DataFrame,
-                             mode: OutputMode): DataFrame = {
-    val name = s"gate_stream_${runId.incrementAndGet()}"
+  /** Stage a single-file parquet table as a file-stream source (the
+    * source wants a directory; a temp dir with a symlink keeps the read
+    * zero-copy) and hand back the normalized readStream frame plus a
+    * fresh throwaway checkpoint dir.
+    */
+  private def stageStream(s: SparkSession, path: String, name: String,
+                          normalize: DataFrame => DataFrame): (DataFrame, String) = {
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
-    // The file stream source wants a directory; the driver tables are
-    // single parquet files. A temp dir with a symlink keeps the read
-    // zero-copy.
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
     Files.createSymbolicLink(srcDir.resolve("part-0.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
     val schema = s.read.parquet(path).schema
-    val src = normalize(s.readStream.schema(schema).parquet(srcDir.toString))
-    val q = agg(src).writeStream
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("memory").queryName(name).start()
-    q.awaitTermination()
-    s.table(name)
+    (normalize(s.readStream.schema(schema).parquet(srcDir.toString)), ckpt)
   }
 
   /** Run a streaming aggregation through the PRODUCTION sink path: a
@@ -87,27 +93,24 @@ object StreamingGateQueries {
     */
   private def runFileSinkStream(s: SparkSession, path: String,
                                 normalize: DataFrame => DataFrame,
-                                agg: DataFrame => DataFrame): DataFrame = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+                                agg: DataFrame => DataFrame): DataFrame =
+    withGateParts(s) {
       val name = s"gate_fsink_${runId.incrementAndGet()}"
-      val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
-      val srcDir = Files.createTempDirectory(s"graft-src-$name")
-      Files.createSymbolicLink(srcDir.resolve("part-0.parquet"),
-        java.nio.file.Paths.get(path).toAbsolutePath)
+      val (src, ckpt) = stageStream(s, path, name, normalize)
       val outDir = Files.createTempDirectory(s"graft-out-$name").toString
-      val schema = s.read.parquet(path).schema
-      val src = normalize(s.readStream.schema(schema).parquet(srcDir.toString))
-      val q = agg(src).writeStream
+      val out = agg(src)
+      val q = out.writeStream
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .format("parquet").option("path", outDir).start()
       q.awaitTermination()
-      s.read.parquet(outDir)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+      // Read back with the query's own schema: a run whose watermark
+      // closes no window commits zero data files, and schema inference
+      // over a metadata-only sink dir throws instead of returning the
+      // empty frame the gate should compare.
+      s.read.schema(out.schema).parquet(outDir)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

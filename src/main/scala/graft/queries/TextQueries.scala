@@ -27,8 +27,11 @@ import graft.functions.ArrayFunctions
   */
 object TextQueries {
 
-  /** `\s+`-tokenized non-empty words. */
-  private def words(text: Column): Column =
+  /** `\s+`-tokenized non-empty words (shared with CurationQueries —
+    * decontamination/packing must tokenize exactly like the cleaning
+    * queries or their token counts drift).
+    */
+  private[queries] def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
   /** documents with the token array materialized ONCE as a column.
@@ -38,7 +41,7 @@ object TextQueries {
     * per element — O(len²) per document. Materializing `w` first makes
     * every element access O(1).
     */
-  private def docWords(s: SparkSession, d: String): DataFrame =
+  private[queries] def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
 
   /** Word bigrams "w1_w2" over a MATERIALIZED word-array column. */

@@ -118,6 +118,16 @@ class RainStormSpec extends GraftSpec {
     assert(keys === Set(s"$dir/a.csv:1", s"$dir/a.csv:2", s"$dir/b.csv:1"))
   }
 
+  test("directory source: empty dir (or only hidden files) yields empty output") {
+    // A plain textFile scan returns no rows for an empty directory;
+    // the per-file source must match, not crash on an empty file list.
+    val dir = tmpDir("rainstorm-empty")
+    Files.write(Paths.get(dir, "_hidden.csv"), "x".getBytes, StandardOpenOption.CREATE)
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+    assert(out.collect().isEmpty)
+  }
+
   test("CountByKey then FlatMap: allowed in batch, rejected in streaming") {
     val src = writeFixture()
     // batch: CountByKey over the per-line source keys (all distinct ->
