@@ -79,6 +79,12 @@ object CurationQueries {
     */
   private val BenchMod = 97L
 
+  /** Chunking geometry: ChunkWords-token windows every ChunkStride
+    * tokens (25% overlap) — the RAG/context-window prep shape.
+    */
+  private val ChunkWords = 32
+  private val ChunkStride = 24
+
   /** Packing budget (tokens per training sequence bin). */
   private val PackBudget = 512L
   /** Shard count — each shard packs independently, so parallelism is
@@ -151,6 +157,29 @@ object CurationQueries {
         explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
     }),
 
+    // Overlapping-window chunking: each document explodes into
+    // ChunkWords-token windows every ChunkStride tokens — the step
+    // that turns documents into retrieval/training sequences. The last
+    // chunk starts at the last stride boundary that still adds new
+    // tokens: chunk count = 1 + ceil((len - C)/S), all in integer
+    // arithmetic. A narrow scan + Generate — per-document work only,
+    // no shuffle at any corpus size.
+    "docs_chunk" -> ((s, d) => {
+      val (c, st) = (ChunkWords, ChunkStride)
+      docWords(s, d)
+        .withColumn("len", size(col("w")).cast("long"))
+        .filter(col("len") > 0)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L),
+            expr(s"CASE WHEN len > $c THEN (len - $c + $st - 1) div $st ELSE 0 END")))
+            .as("chunk_id"))
+        .withColumn("chunk",
+          slice(col("w"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_words"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+    }),
+
     // Token-budget packing: greedy contiguous fill of PackBudget-token
     // bins, independently per shard. bin = tokens-before-this-doc div
     // budget — the distributed form of "append until the bin is full,
@@ -208,6 +237,21 @@ object CurationQueries {
       SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
       FROM counted, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) t
       WHERE copies > 0""",
+    "docs_chunk" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      sized AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
+        FROM dw WHERE len(w) > 0)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        CAST(len(list_slice(w, k * $ChunkStride + 1,
+                            k * $ChunkStride + $ChunkWords)) AS BIGINT) AS n_words,
+        md5(array_to_string(list_slice(w, k * $ChunkStride + 1,
+                            k * $ChunkStride + $ChunkWords), ' ')) AS chunk_fp
+      FROM sized, LATERAL (
+        SELECT unnest(range(0,
+          CASE WHEN len > $ChunkWords
+               THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
+               ELSE 0 END + 1)) AS k) t""",
     "docs_pack" -> s"""
       SELECT doc_id, shard, n_tokens,
         CAST((SUM(n_tokens) OVER

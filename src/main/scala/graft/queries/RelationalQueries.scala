@@ -340,6 +340,44 @@ object RelationalQueries {
           col("o_orderpriority"), col("revenue"))
     }),
 
+    // TPC-H Q5 shape — the 6-way snowflake with the "local supplier"
+    // constraint (customer and supplier share a nation): the deepest
+    // composite in the registry. Scale shape: the region→nation chain
+    // is explicitly broadcast (5 and 25 rows at any SF); supplier,
+    // orders (year-filtered at its scan) and customer are left
+    // UNHINTED — they grow with the corpus, so AQE picks broadcast vs
+    // shuffle from measured sizes. lineitem, the dominant table, is
+    // only ever joined on its own keys and partially pre-aggregated
+    // into the final 25-group per-nation revenue.
+    "q5_local_supplier" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val nat = Tables.nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
+
     "q_sort_limit" -> ((s, d) =>
       Tables.part(s, d)
         .orderBy(col("p_retailprice"), col("p_partkey"))
@@ -586,6 +624,18 @@ object RelationalQueries {
         AND l_shipdate > TIMESTAMP '1998-01-01'
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name""",
     "q_sort_limit" -> """
       SELECT p_partkey, p_name, p_retailprice FROM part
       ORDER BY p_retailprice, p_partkey LIMIT 50""",

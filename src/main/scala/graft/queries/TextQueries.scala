@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -79,6 +80,20 @@ object TextQueries {
      + LEAST((300000 * sumlen) // (8 * n), 300000)"""
 
   private val P = 1000000007L
+
+  /** Integer TF-IDF score scale: score = tf·10^8 div df. Monotone in
+    * tf/df (the corpus-size factor N is constant, so it cancels from
+    * the ranking), and 10^8 keeps distinct tf/df ratios distinct for
+    * any df below 10^8 while tf·scale stays far under 2^62.
+    */
+  private val TfIdfScale = 100000000L
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
+    * (classes, bounded repeats; no backrefs/lookarounds) so Spark and
+    * the oracle redact identically.
+    */
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhoneRe = "\\+?[0-9][0-9()-]{6,}[0-9]"
   // (A, B) coefficients for the 8 MinHash functions h_j(v) = (A*v+B) mod P
   private val minhashCoef = Seq(
     (2971L, 433L), (6361L, 877L), (9013L, 1259L), (12289L, 1657L),
@@ -275,6 +290,44 @@ object TextQueries {
           aggregate(col("codes"), lit(0L),
             (a, x) => (a * 31 + x) % lit(P)).as("rhash"))),
 
+    // TF-IDF top terms per document, scored in pure integers so both
+    // engines rank identically: N is constant across a corpus, so
+    // ordering by tf·N/df ≡ ordering by tf·10^8 div df (floor division
+    // — no doubles, no log, no cross-engine rounding). Two shuffles
+    // total — (doc, term) term-frequency, then term document-frequency
+    // — and the df side joins back by term (vocabulary-sized, so AQE
+    // broadcasts it in practice). The rank window partitions by doc_id:
+    // per-document state only, never a global sort.
+    "tfidf_top_terms" -> ((s, d) => {
+      val tf = docWords(s, d)
+        .select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .withColumn("score", expr(s"tf * ${TfIdfScale}L div df"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+    }),
+
+    // PII scrubbing: redact emails and phone-shaped digit runs, report
+    // per-doc redaction counts plus the scrubbed fingerprint. The regex
+    // subset is chosen to mean the same thing in Java regex (Spark) and
+    // RE2 (DuckDB): character classes, bounded repeats, no backrefs or
+    // lookarounds. Pure narrow scan — no shuffle at any scale. (The
+    // synthetic corpus contains no PII, so the gate proves the
+    // pass-through path; the planted-PII redaction behavior is pinned
+    // in GraftSpec.)
+    "docs_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").cast("binary")).as("scrubbed_fp"))),
+
     // Exact dedup keyed by the 16-byte md5 fingerprint, not the text:
     // the aggregation hash table and the shuffle key are fixed-width,
     // and map-side partial aggregation collapses duplicates before the
@@ -466,6 +519,26 @@ object TextQueries {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      terms AS (SELECT doc_id, unnest(w) AS term FROM dw),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df, t.tf * 100000000 // d.df AS score
+        FROM tf t JOIN df d USING (term))
+      SELECT doc_id, term, tf, df, rank FROM (
+        SELECT doc_id, term, tf, df,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      WHERE rank <= 3""",
+    "docs_pii_scrub" -> s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_fp
+      FROM documents""",
     "text_tokens" -> s"""
       SELECT doc_id,
         CAST(len(w) AS BIGINT) AS n_tokens,

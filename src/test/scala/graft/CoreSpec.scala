@@ -95,6 +95,63 @@ class CoreSpec extends GraftSpec {
       Set(("u1", 2L)))
   }
 
+  test("docs_pii_scrub redacts planted emails and phones, counts them, passes clean text through") {
+    import spark.implicits._
+    val dir = tmpDir("pii")
+    Seq(
+      (1L, "contact me at alice.smith+work@example.co.uk for details", "en", "web", 52L),
+      (2L, "call +1(555)123-4567 or 555-867-5309 today", "en", "web", 42L),
+      (3L, "no personal data in this sentence at all", "en", "web", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.queries("docs_pii_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L)._1 === 1L && rows(1L)._2 === 0L)
+    assert(rows(1L)._3 === md5hex("contact me at <EMAIL> for details"))
+    assert(rows(2L)._1 === 0L && rows(2L)._2 === 2L)
+    assert(rows(2L)._3 === md5hex("call <PHONE> or <PHONE> today"))
+    assert(rows(3L) === ((0L, 0L, md5hex("no personal data in this sentence at all"))))
+  }
+
+  test("tfidf_top_terms ranks by tf/df with deterministic term tiebreak") {
+    // Independent recomputation of the scores for one corpus, then the
+    // contract: <=3 rows per doc, ranks 1..k, and each doc's rank-1 term
+    // maximizes (tf, 1/df) under the integer score with term tiebreak.
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.queries("tfidf_top_terms")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._5).sorted.sameElements(1L to rows.length))
+    }
+    // brute-force recompute on the raw text
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => ((id, w), g.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for ((id, rows) <- byDoc; (_, term, tfv, dfv, rank) <- rows) {
+      assert(tf((id, term)) === tfv, s"tf mismatch for doc $id term $term")
+      assert(df(term) === dfv, s"df mismatch for term $term")
+      if (rank == 1L) {
+        // highest score wins, lexicographically-smallest term breaks ties
+        val best = tf.collect { case ((i, w), t) if i == id =>
+          (w, t * 100000000L / df(w))
+        }.toSeq.sortBy { case (w, sc) => (-sc, w) }.head._1
+        assert(best === term, s"doc $id rank-1 term")
+      }
+    }
+  }
+
   test("xxhash64 shingle interning is collision-free on the test corpus") {
     // The Jaccard plans intern shingle strings to 64-bit hashes inline
     // (no dim table, no global window); this pins the bijection at test

@@ -107,6 +107,30 @@ class CurationSpec extends GraftSpec {
     assert(run("docs_mixture").count() === rows.length)
   }
 
+  test("docs_chunk: windows tile every document with the declared geometry") {
+    val (c, s) = (32, 24) // ChunkWords / ChunkStride
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = run("docs_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      val len = lens(id)
+      val expectN = if (len <= c) 1L else 1L + (len - c + s - 1) / s
+      assert(rows.length === expectN, s"doc $id chunk count")
+      assert(rows.map(_._2).sorted.sameElements(0L until expectN))
+      rows.sortBy(_._2).foreach { case (_, k, nWords) =>
+        // each chunk holds C words, except a short tail; starts tile by S
+        val expectWords = math.min(c.toLong, len - k * s)
+        assert(nWords === expectWords, s"doc $id chunk $k width")
+      }
+    }
+    // docs with at least one word all chunked
+    assert(chunks.map(_._1).distinct.length === lens.count(_._2 > 0))
+  }
+
   test("docs_pack: bin ids equal the sequential greedy fill per shard") {
     val rows = run("docs_pack").collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))

@@ -90,6 +90,21 @@ class PartitioningSpec extends GraftSpec {
       "probes must broadcast against the streamed corpus LSH table")
   }
 
+  test("Q5 snowflake: date filter reaches the orders scan, dims broadcast, agg is partial+final") {
+    val d = "/root/testdata/sf0.001"
+    val q = RQ.queries("q5_local_supplier")(spark, d)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") &&
+      formatted.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      "the order-year predicate must be pushed into the orders parquet scan")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "region/nation chain must broadcast")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "per-nation revenue must partially aggregate before the exchange")
+  }
+
   test("sketch aggregates stay within tolerance of exact answers") {
     val d = "/root/testdata/sf0.001"
     val approx = RQ.queries("q_sketch_approx")(spark, d).collect()
