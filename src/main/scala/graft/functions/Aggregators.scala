@@ -64,4 +64,32 @@ object Aggregators {
   /** `topK(3)($"score", $"id")` → array of the 3 largest (score, id). */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k)).apply(score, id)
+
+  /** Bounded-state K-minimum-values buffer: the k smallest DISTINCT
+    * longs per group. The KMV sketch's state — never more than k
+    * values in the buffer regardless of group size, partial-
+    * aggregating and exactly mergeable (union → distinct → take k),
+    * unlike the window row_number formulation, whose shuffle carries
+    * every distinct value. Per-row trim is O(k log k); fine for gate
+    * scale, and still linear in input overall.
+    */
+  class MinKDistinctAggregator(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], x: Long): Seq[Long] =
+      if (b.length == k && x >= b.last) b else trim(b :+ x)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `minKDistinct(64)($"h")` → sorted array of the group's 64 smallest
+    * distinct values.
+    */
+  def minKDistinct(k: Int)(c: Column): Column =
+    udaf(new MinKDistinctAggregator(k)).apply(c)
 }

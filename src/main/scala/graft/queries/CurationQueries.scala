@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -85,6 +86,9 @@ object CurationQueries {
   private val ChunkWords = 32
   private val ChunkStride = 24
 
+  /** Per-language stratified sample size. */
+  private val StratumK = 25L
+
   /** Packing budget (tokens per training sequence bin). */
   private val PackBudget = 512L
   /** Shard count — each shard packs independently, so parallelism is
@@ -155,6 +159,23 @@ object CurationQueries {
         .filter(col("copies") > 0)
       docs.select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+    }),
+
+    // Stratified sampling: a fixed-size, deterministic sample PER
+    // LANGUAGE (the balanced-eval-set builder) — rank docs within each
+    // language by the same portable hash and keep the k lowest. The
+    // per-stratum window shuffles only (doc_id, lang, h); for corpora
+    // where even one stratum's ids don't fit a sort, the bounded-state
+    // form is Aggregators.MinKDistinctAggregator (the KMV buffer).
+    "docs_stratified_sample" -> ((s, d) => {
+      val h = ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .filter(col("rn") <= StratumK)
+        .select(col("doc_id"), col("lang"), col("rn"))
     }),
 
     // Overlapping-window chunking: each document explodes into
@@ -237,6 +258,14 @@ object CurationQueries {
       SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
       FROM counted, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) t
       WHERE copies > 0""",
+    "docs_stratified_sample" -> s"""
+      SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                     doc_id) AS rn
+        FROM documents)
+      WHERE rn <= $StratumK""",
     "docs_chunk" -> s"""
       WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
       sized AS (

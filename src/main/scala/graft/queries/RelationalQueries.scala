@@ -29,6 +29,11 @@ object RelationalQueries {
   private def dsum(c: String, scale: Int = 2): org.apache.spark.sql.Column =
     sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
 
+  /** KMV sketch size: ~1/sqrt(k) ≈ 12% relative error, 64 longs of
+    * state per group.
+    */
+  private val KmvK = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregation family ------------------------------------------
@@ -87,6 +92,38 @@ object RelationalQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("p50_price"))),
+
+    // K-minimum-values distinct sketch — approximation with a FULLY
+    // oracle-gated estimate: the sketch state is the k smallest
+    // distinct values of a pure-integer hash (bounded buffer per
+    // group, exactly mergeable — Aggregators.MinKDistinctAggregator),
+    // and est = (k-1)·2^31 div kth-min is integer arithmetic, so both
+    // engines produce the IDENTICAL estimate — unlike HLL
+    // (q_sketch_approx), whose engine-specific sketch forces a
+    // rows-only gate. exact countDistinct rides along to show the
+    // sketch's error live.
+    "q_kmv_distinct" -> ((s, d) => {
+      val k = KmvK
+      // Collapse to distinct (flag, partkey) BEFORE the sketch: the
+      // distinct gets map-side partial dedupe, the KMV buffer then sees
+      // each value once (not once per lineitem), and the exact count
+      // becomes a plain count over the same distinct set. h is a pure
+      // function of partkey, so sketching after the distinct is
+      // identical to sketching the raw stream.
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .withColumn("h",
+          expr("((l_partkey % 2147483648) * 1103515245 + 12345) % 2147483648"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.Aggregators.minKDistinct(k)(col("h")).as("mins"),
+          count(lit(1)).as("exact_distinct"))
+        .select(col("l_returnflag"),
+          when(size(col("mins")) < k, size(col("mins")).cast("long"))
+            .otherwise(expr(s"(${k - 1} * 2147483648) div element_at(mins, $k)"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+    }),
 
     // Custom typed Aggregator (UDAF surface): one partial-aggregating
     // buffer per (partition, key); see graft.functions.Aggregators.
@@ -590,6 +627,26 @@ object RelationalQueries {
              CAST(s1d AS DOUBLE) AS sum_q,
              (CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / n) / (n - 1) AS var_q
       FROM m""",
+    "q_kmv_distinct" -> s"""
+      WITH hashes AS (
+        SELECT DISTINCT l_returnflag,
+          ((l_partkey % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hashes),
+      est AS (
+        SELECT l_returnflag,
+          CASE WHEN COUNT(*) < $KmvK THEN COUNT(*)
+               ELSE (${KmvK - 1} * 2147483648) // MAX(h) END AS est_distinct
+        FROM ranked WHERE rn <= $KmvK GROUP BY l_returnflag),
+      ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT e.l_returnflag, CAST(e.est_distinct AS BIGINT) AS est_distinct,
+             CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+      FROM est e JOIN ex x USING (l_returnflag)""",
     "q_custom_udaf" -> """
       SELECT l_returnflag,
              COUNT(*) AS n_q,

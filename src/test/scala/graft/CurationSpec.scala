@@ -107,6 +107,25 @@ class CurationSpec extends GraftSpec {
     assert(run("docs_mixture").count() === rows.length)
   }
 
+  test("docs_stratified_sample: min(k, stratum size) docs per language, reproducible") {
+    val byLang = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("docs_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sampled = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(sampled.keySet === byLang.keySet, "every language represented")
+    for ((lang, ids) <- sampled) {
+      assert(ids.size === math.min(25L, byLang(lang)), s"stratum $lang size")
+    }
+    // ranks are 1..k dense per language and the sample is re-run-identical
+    rows.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length))
+    }
+    val again = run("docs_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === rows.toSet)
+  }
+
   test("docs_chunk: windows tile every document with the declared geometry") {
     val (c, s) = (32, 24) // ChunkWords / ChunkStride
     val lens = Tables.documents(spark, sf)

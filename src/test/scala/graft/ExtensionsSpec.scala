@@ -62,6 +62,34 @@ class ExtensionsSpec extends GraftSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("MinKDistinctAggregator equals sorted-distinct-take-k across partitions") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(2000)(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(300).toLong)) // heavy duplicates
+    val df = rows.toDF("g", "v").repartition(7)
+    val viaAgg = df.groupBy("g")
+      .agg(Aggregators.minKDistinct(16)(col("v")).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expected = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(16)).toMap
+    assert(viaAgg.keySet === expected.keySet)
+    viaAgg.foreach { case (g, mins) =>
+      assert(mins === expected(g), s"group $g")
+    }
+  }
+
+  test("KMV estimate lands within theoretical error of the exact distinct count") {
+    // k=64 -> ~1/sqrt(64) = 12.5% expected relative error; assert 3x slack
+    val d = "/root/testdata/sf0.01"
+    graft.queries.RelationalQueries.queries("q_kmv_distinct")(spark, d)
+      .collect().foreach { r =>
+        val (est, exact) = (r.getLong(1), r.getLong(2))
+        assert(exact >= 64, "gate corpus must exercise the estimation branch")
+        assert(math.abs(est - exact).toDouble / exact < 0.375,
+          s"${r.getString(0)}: est $est vs exact $exact")
+      }
+  }
+
   test("SortedIntersectCount equals array_intersect size on random sets") {
     val rnd = new scala.util.Random(11)
     val cases = Seq.tabulate(50) { _ =>
