@@ -201,6 +201,24 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // Stream-STATIC join: the arriving fact stream enriched against a
+    // static dimension — the third join regime next to batch joins and
+    // the stream-stream join above. Stateless (no watermark, no join
+    // state): each micro-batch hash-joins against the static side,
+    // which Spark re-plans per batch and broadcasts when small. The
+    // production shape for enriching a firehose with reference data.
+    "stream_static_join" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      runStream(s, s"$d/lineitem.parquet", identity,
+        df => df.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("o_orderpriority")),
+        OutputMode.Append())
+    }),
+
     // Exact content-dedup as a STREAMING job — the LLM-pipeline dedup
     // family on the engine's streaming face: fingerprint each arriving
     // document and emit each fingerprint once, with the dedup set in
@@ -276,6 +294,10 @@ object StreamingGateQueries {
              event_type, COUNT(*) AS cnt
       FROM events CROSS JOIN (VALUES (0), (1)) t(o)
       GROUP BY 1, 2""",
+    "stream_static_join" -> """
+      SELECT l_orderkey, l_linenumber, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'""",
     "stream_join" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              c.ts AS click_ts, p.ts AS purchase_ts

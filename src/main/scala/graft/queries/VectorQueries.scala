@@ -76,6 +76,19 @@ object VectorQueries {
     (x % 2001).toInt - 1000
   }
 
+  /** Random-projection target dimensionality. */
+  private val NProj = 8
+
+  /** ±1 projection sign for (proj j, dim i): bit 16 of the LCG mix of
+    * the flat index — NOT the low bit, whose parity alternates under an
+    * odd-multiplier LCG. The same formula is inlined in the oracle SQL,
+    * so both engines derive identical sign matrices.
+    */
+  private def rpSign(j: Int, i: Int): Int = {
+    val h = ((j.toLong * Dim + i + 1) * 1103515245L + 12345L) % 2147483648L
+    if ((h / 65536L) % 2L == 0L) 1 else -1
+  }
+
   /** All 16-bit XOR masks with popcount ≤ ProbeRadius (137 for r=2). */
   private val probeMasks: Seq[Int] =
     (0 until (1 << BandBits)).filter(m => Integer.bitCount(m) <= ProbeRadius)
@@ -308,6 +321,27 @@ object VectorQueries {
               .cast("long")).otherwise(lit(0L)).as("qv"),
           col("scale"))),
 
+    // Random-projection dimensionality reduction (64 → 8 dims): project
+    // the int8-quantized vector onto NProj deterministic ±1 sign
+    // vectors (Achlioptas-style database-friendly projection) — all
+    // integer arithmetic, so both engines produce identical
+    // coordinates. Relational formulation: quantized components
+    // broadcast-join the 8×64 sign table on pos, then one partial-
+    // aggregating sum per (vec_id, proj) — no wide expression tree to
+    // blow codegen, and the plan is a narrow scan + broadcast + one
+    // exchange at any corpus size.
+    "vec_rp_project" -> ((s, d) => {
+      import s.implicits._
+      val signs = (for (j <- 0 until NProj; i <- 0 until Dim)
+        yield (j.toLong, i.toLong, rpSign(j, i).toLong))
+        .toDF("proj_id", "pos", "sgn")
+      queries("vec_quantize")(s, d)
+        .select(col("vec_id"), col("pos"), col("qv"))
+        .join(broadcast(signs), "pos")
+        .groupBy(col("vec_id"), col("proj_id"))
+        .agg(sum(col("qv") * col("sgn")).as("p"))
+    }),
+
     // Connected components over the near-dup pair graph — the canonical-
     // assignment step a dedup pipeline runs AFTER pair generation: docs
     // linked (transitively) by dedup_embedding pairs share a cluster,
@@ -487,6 +521,23 @@ object VectorQueries {
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
             FROM embeddings),
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t""",
+    "vec_rp_project" -> s"""
+      WITH q AS (
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+               CASE WHEN scale > 0
+                    THEN CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
+                    ELSE 0 END AS qv
+        FROM (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings),
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+      pj AS (SELECT unnest(range(0, $NProj)) AS proj_id)
+      SELECT vec_id, CAST(proj_id AS BIGINT) AS proj_id,
+        CAST(SUM(qv * (CASE WHEN (((proj_id * $Dim + pos + 1) * 1103515245 + 12345)
+                                  % 2147483648 // 65536) % 2 = 0
+                            THEN 1 ELSE -1 END)) AS BIGINT) AS p
+      FROM q CROSS JOIN pj
+      GROUP BY vec_id, proj_id""",
     "vec_label_centroid" -> s"""
       SELECT label, CAST(i - 1 AS BIGINT) AS pos,
              CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS DOUBLE)

@@ -111,6 +111,34 @@ class VectorSpec extends GraftSpec {
     assert(ivfHit >= 19, s"IVF found only $ivfHit/20 planted near-dups")
   }
 
+  test("vec_rp_project: 8 bounded integer coords per vector, distance-correlated") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.VectorQueries.queries("vec_rp_project")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(rows.length === nVecs * 8, "8 projections per vector")
+    assert(rows.forall { case (_, j, p) => j >= 0 && j < 8 && math.abs(p) <= 127L * 64 })
+    assert(rows.exists(_._3 != 0L), "projections must carry signal")
+    // JL sanity on a fixed slice: identical inputs project identically,
+    // and the projected L2 of a vector correlates with its quantized L2
+    // (> 0 rank correlation over 50 vectors is a weak but sufficient
+    // smoke bound for an 8-dim projection).
+    val projNorm = rows.groupBy(_._1).view
+      .mapValues(_.map(x => x._3.toDouble * x._3).sum).toMap
+    val qNorm = graft.queries.VectorQueries.queries("vec_quantize")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(x => x._2.toDouble * x._2).sum).toMap
+    val sample = projNorm.keys.toSeq.sorted.take(50)
+    val byProj = sample.sortBy(projNorm)
+    val byQ = sample.sortBy(qNorm)
+    // Spearman-ish: average absolute rank displacement must beat random
+    val rankQ = byQ.zipWithIndex.toMap
+    val disp = byProj.zipWithIndex.map { case (id, r) =>
+      math.abs(r - rankQ(id)) }.sum.toDouble / sample.length
+    assert(disp < sample.length / 3.0,
+      s"projected norms uncorrelated with input norms (mean displacement $disp)")
+  }
+
   test("identical vectors share the full signature (near-dup contract)") {
     val w = Array.tabulate(16, 8)((j, i) => ((j * 31 + i * 7) % 11) - 5)
     val v = Seq.tabulate(8)(i => (i * 0.37f) - 1.1f)
