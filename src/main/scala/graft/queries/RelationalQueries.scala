@@ -415,6 +415,94 @@ object RelationalQueries {
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q6 shape — the pure scan-side query: every predicate is a
+    // range over a scanned column, so the whole WHERE clause must reach
+    // the parquet reader as PushedFilters and the plan is one narrow
+    // scan + one partial-aggregating scalar sum. At 100 TB this query
+    // IS its scan: no shuffle beyond the single-row final combine. The
+    // decimal(18,4) product keeps price×discount exact so both engines
+    // sum identically.
+    "q6_forecast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").cast("decimal(18,2)").between(
+            lit(0.05).cast("decimal(18,2)"), lit(0.07).cast("decimal(18,2)")) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q10 shape — "who returned merchandise last quarter": orders
+    // in a 3-month window ⋈ their RETURNED lineitems ⋈ customer, top 20
+    // by lost revenue. Scale shape: both time/flag filters reach their
+    // scans; orders⋈lineitem shuffles on o_orderkey with the revenue
+    // partially pre-aggregated; customer joins AFTER the aggregation,
+    // so only ≤#customers aggregated rows (not raw lineitems) meet the
+    // customer table; top-20 is TakeOrderedAndProject. c_custkey in the
+    // sort key makes the limit boundary deterministic.
+    "q10_returned" -> ((s, d) => {
+      val lo = lit("1996-10-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val perCust = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+      perCust
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("revenue"))
+    }),
+
+    // Correlated scalar subquery — "orders above their customer's own
+    // average": the decorrelation showcase. Declared as a correlated
+    // subquery in both engines; Catalyst rewrites it to a per-customer
+    // aggregate + join (one shuffle keyed by customer, partial agg
+    // map-side), which is exactly the hand-written plan — the point is
+    // that the declarative form COSTS nothing vs the manual rewrite.
+    // The threshold is a FLOOR-divided average in exact integer cents
+    // (decimal×100 has a .00 fraction, so the BIGINT cast is exact in
+    // both engines; `div` avoids the avg-rescale rounding that differs
+    // across engines).
+    "q_correlated_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS total
+        FROM g_orders o
+        WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
+          (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT) div COUNT(*)
+           FROM g_orders i WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
+    // Fixed-width histogram — the profiling scan every ingest pipeline
+    // runs: bucket = cents div 50000 ($500 buckets), one narrow scan +
+    // one partial-aggregating hash aggregate whose shuffle carries only
+    // #buckets × #partitions rows. Bucketing in exact integer cents:
+    // decimal(18,2)×100 has a .00 fraction, so the BIGINT cast is exact
+    // in both engines (DuckDB's BIGINT cast rounds, Spark's truncates —
+    // a real divergence for any fractional value), and floor division
+    // means the same thing on both sides.
+    "q_histogram" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(expr(
+          "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 50000")
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     "q_sort_limit" -> ((s, d) =>
       Tables.part(s, d)
         .orderBy(col("p_retailprice"), col("p_partkey"))
@@ -693,6 +781,40 @@ object RelationalQueries {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY n_name""",
+    "q6_forecast" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND CAST(l_discount AS DECIMAL(18,2))
+              BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        AND l_quantity < 24""",
+    "q10_returned" -> """
+      SELECT c_custkey, c_name, c_mktsegment, revenue FROM (
+        SELECT o_custkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY o_custkey) r
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_correlated_scalar" -> """
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_totalprice AS DOUBLE) AS total
+      FROM orders o
+      WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
+        (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100)
+                     AS BIGINT) // COUNT(*)
+         FROM orders i WHERE i.o_custkey = o.o_custkey)""",
+    "q_histogram" -> """
+      SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM part GROUP BY 1""",
     "q_sort_limit" -> """
       SELECT p_partkey, p_name, p_retailprice FROM part
       ORDER BY p_retailprice, p_partkey LIMIT 50""",

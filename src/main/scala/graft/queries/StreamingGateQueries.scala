@@ -208,7 +208,6 @@ object StreamingGateQueries {
     // which Spark re-plans per batch and broadcasts when small. The
     // production shape for enriching a firehose with reference data.
     "stream_static_join" -> ((s, d) => {
-      Tables.load(s, d, "region")
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderpriority"))

@@ -94,6 +94,12 @@ object TextQueries {
     */
   private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[queries] val PhoneRe = "\\+?[0-9][0-9()-]{6,}[0-9]"
+
+  /** GPT-2-ish pre-tokenizer split, in the Java-regex ∩ RE2 common
+    * subset (alternation of classes only — no lookarounds, no \p
+    * properties) so Spark and the oracle tokenize identically.
+    */
+  private[queries] val BpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   // (A, B) coefficients for the 8 MinHash functions h_j(v) = (A*v+B) mod P
   private val minhashCoef = Seq(
     (2971L, 433L), (6361L, 877L), (9013L, 1259L), (12289L, 1657L),
@@ -328,6 +334,55 @@ object TextQueries {
         md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").cast("binary")).as("scrubbed_fp"))),
 
+    // Repetition-based quality filter (the Gopher-rules shape): flag
+    // documents whose content is dominated by repeated words or by one
+    // repeated bigram. Ratios in exact ppm integers (floor division)
+    // so the flag threshold is bit-identical across engines. The
+    // bigram top-count is relational — explode → two partial-
+    // aggregating hash aggregates keyed by doc_id — so per-document
+    // state never materializes a frequency map in one row, and the
+    // shuffle is linear in corpus size at any scale.
+    "docs_repetition" -> ((s, d) => {
+      val bg = docWords(s, d)
+        .select(col("doc_id"), explode(bigrams(col("w"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+      docWords(s, d)
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+        .join(bg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          when(col("n_words") > 0,
+            expr("(n_words - n_distinct) * 1000000 div n_words"))
+            .otherwise(0L).as("dup_word_ppm"),
+          coalesce(expr("top_bg * 1000000 div n_bg"), lit(0L))
+            .as("top_bigram_ppm"))
+        .withColumn("repetitive",
+          (col("dup_word_ppm") > 300000 ||
+            (col("top_bigram_ppm") > 180000 && col("n_words") >= 20))
+            .cast("long"))
+    }),
+
+    // BPE-style pre-tokenization: the GPT-2-ish split (letter runs,
+    // single digits, single non-alphanumeric marks) restricted to the
+    // Java-regex ∩ RE2 common subset so both engines tokenize
+    // identically. The real-tokenizer-adjacent token count a data
+    // pipeline budgets with — vs text_tokens' whitespace count. Pure
+    // narrow scan, no shuffle at any scale.
+    "text_bpe_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(BpeRe), lit(0)).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_bpe"),
+          size(array_distinct(col("tk"))).cast("long").as("n_bpe_distinct"),
+          size(filter(col("tk"), t => t.rlike("^[A-Za-z]"))).cast("long")
+            .as("n_alpha"),
+          size(filter(col("tk"), t => t.rlike("^[0-9]"))).cast("long")
+            .as("n_digit"))),
+
     // Exact dedup keyed by the 16-byte md5 fingerprint, not the text:
     // the aggregation hash table and the shuffle key are fixed-width,
     // and map-side partial aggregation collapses duplicates before the
@@ -532,6 +587,38 @@ object TextQueries {
           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         FROM scored)
       WHERE rank <= 3""",
+    "docs_repetition" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      bg AS (SELECT doc_id, w[i] || '_' || w[i+1] AS bg
+             FROM dw, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+      bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      bgs AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+              FROM bgc GROUP BY doc_id),
+      ws AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+             FROM dw)
+      SELECT ws.doc_id, n_words,
+        CASE WHEN n_words > 0
+             THEN (n_words - n_distinct) * 1000000 // n_words
+             ELSE 0 END AS dup_word_ppm,
+        CAST(COALESCE(top_bg * 1000000 // n_bg, 0) AS BIGINT) AS top_bigram_ppm,
+        CAST(CASE WHEN (CASE WHEN n_words > 0
+                        THEN (n_words - n_distinct) * 1000000 // n_words
+                        ELSE 0 END) > 300000
+                 OR (COALESCE(top_bg * 1000000 // n_bg, 0) > 180000
+                     AND n_words >= 20)
+             THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+      FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
+    "text_bpe_count" -> s"""
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_bpe,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_bpe_distinct,
+        CAST(len(list_filter(tk, x -> regexp_matches(x, '^[A-Za-z]')))
+          AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(tk, x -> regexp_matches(x, '^[0-9]')))
+          AS BIGINT) AS n_digit
+      FROM (SELECT doc_id, regexp_extract_all(text, '$BpeRe') AS tk
+            FROM documents)""",
     "docs_pii_scrub" -> s"""
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,

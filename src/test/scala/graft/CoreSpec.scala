@@ -117,6 +117,47 @@ class CoreSpec extends GraftSpec {
     assert(rows(3L) === ((0L, 0L, md5hex("no personal data in this sentence at all"))))
   }
 
+  test("docs_repetition flags word- and bigram-dominated docs, passes varied text") {
+    import spark.implicits._
+    val dir = tmpDir("rep")
+    Seq(
+      // 8/8 words identical: dup_word_ppm = (8-1)*1e6 div 8 = 875000
+      (1L, "spam spam spam spam spam spam spam spam", "en", "web", 39L),
+      // varied words, one repeated bigram "the end" 3 of 5 bigrams
+      (2L, "the end the end the end", "en", "web", 23L),
+      // all-distinct words: dup 0, every bigram unique
+      (3L, "one two three four five six", "en", "web", 27L),
+      (4L, "", "en", "web", 0L) // empty doc: all zeros, not flagged
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.queries("docs_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) === ((8L, 875000L, 1000000L, 1L)))
+    // doc 2: 6 words {the,end}x3 -> dup (6-2)/6; bigrams: the_end x3,
+    // end_the x2 of 5 -> top 600000
+    assert(rows(2L) === ((6L, 666666L, 600000L, 1L)))
+    assert(rows(3L) === ((6L, 0L, 200000L, 0L)))
+    assert(rows(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("text_bpe_count splits letter runs, single digits, and single marks") {
+    import spark.implicits._
+    val dir = tmpDir("bpe")
+    Seq(
+      // tokens: [Hello][,][world][!][v][42] -> 42 is two digit tokens
+      (1L, "Hello, world! v42", "en", "web", 17L),
+      (2L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.queries("text_bpe_count")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // [Hello][,][world][!][v][4][2]: 7 tokens, all distinct, 3 alpha, 2 digit
+    assert(rows(1L) === ((7L, 7L, 3L, 2L)))
+    assert(rows(2L) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("tfidf_top_terms ranks by tf/df with deterministic term tiebreak") {
     // Independent recomputation of the scores for one corpus, then the
     // contract: <=3 rows per doc, ranks 1..k, and each doc's rank-1 term

@@ -105,6 +105,50 @@ class PartitioningSpec extends GraftSpec {
       "per-nation revenue must partially aggregate before the exchange")
   }
 
+  test("Q6 is scan-shaped: every predicate pushed, no shuffle beyond the scalar combine") {
+    val d = "/root/testdata/sf0.001"
+    val q = RQ.queries("q6_forecast")(spark, d)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "the ship-date range must reach the parquet scan")
+    assert(formatted.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      "the quantity bound must reach the parquet scan")
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      "a scalar aggregate over one scan needs no shuffle (single-partition combine)")
+  }
+
+  test("Q10 joins customer AFTER the revenue aggregation and top-20 is a bounded sort") {
+    val d = "/root/testdata/sf0.001"
+    val q = RQ.queries("q10_returned")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be per-partition heaps, not a global sort")
+    // the optimized plan must aggregate below the customer join: the
+    // Aggregate's child subtree must not contain the customer scan
+    val opt = q.queryExecution.optimizedPlan
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty)
+    assert(!aggs.exists(_.child.toString.contains("c_name")),
+      "customer must join the aggregated per-customer rows, not raw lineitems")
+  }
+
+  test("correlated scalar subquery decorrelates to one aggregate + join (no per-row subplan)") {
+    val d = "/root/testdata/sf0.001"
+    val q = RQ.queries("q_correlated_scalar")(spark, d)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      "Catalyst must rewrite the correlated subquery into a join")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the per-customer average must partially aggregate map-side")
+  }
+
   test("sketch aggregates stay within tolerance of exact answers") {
     val d = "/root/testdata/sf0.001"
     val approx = RQ.queries("q_sketch_approx")(spark, d).collect()
