@@ -127,7 +127,10 @@ object RainStorm {
     * partition, so zipWithIndex needs no extra sizing job for them
     * (multi-split files still pay one — required for correct global
     * line numbers). An empty directory yields an empty frame, like the
-    * plain textFile scan it replaced.
+    * plain textFile scan it replaced. `src` may also be a glob
+    * (star patterns, e.g. dir/star.csv) — resolved via globStatus,
+    * matching what the textFile scan accepted; a glob matching nothing
+    * is empty, a non-glob path that doesn't exist still throws.
     * The streaming source keys by content hash instead (a stream cannot
     * assign stable line ordinals) — divergence pinned in RainStormSpec.
     */
@@ -135,16 +138,24 @@ object RainStorm {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(src)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (qualified read path, key path)
-    val files: Seq[(String, String)] =
-      if (hfs.getFileStatus(p).isDirectory)
-        hfs.listStatus(p).iterator
+    // globStatus: null = no-glob path that doesn't exist (keep the
+    // FileNotFound contract); empty = a glob that matched nothing.
+    val matched = Option(hfs.globStatus(p)).getOrElse(
+      throw new java.io.FileNotFoundException(src))
+    // (qualified read path, key path) — the key path is ALWAYS the
+    // status's scheme-less absolute path, whichever branch produced
+    // it, so a record's identity doesn't depend on how the source was
+    // addressed (file:/ vs bare path, file vs parent directory).
+    val files: Seq[(String, String)] = matched.toSeq.flatMap { st =>
+      if (st.isDirectory)
+        hfs.listStatus(st.getPath).iterator
           .filter(_.isFile)
           .filterNot(f => f.getPath.getName.startsWith("_") ||
             f.getPath.getName.startsWith("."))
           .map(f => (f.getPath.toString, f.getPath.toUri.getPath))
-          .toSeq.sortBy(_._2)
-      else Seq((src, src))
+          .toSeq
+      else Seq((st.getPath.toString, st.getPath.toUri.getPath))
+    }.sortBy(_._2)
     val parts = files.map { case (readPath, keyPath) =>
       spark.sparkContext.textFile(readPath, minPartitions = 1).zipWithIndex()
         .map { case (line, i) => (s"$keyPath:${i + 1}", line) }

@@ -32,17 +32,14 @@ import graft.Tables
   */
 object CurationQueries {
 
-  /** Pure-integer LCG bucket in [0, 100): both engines evaluate this
-    * bit-identically on BIGINT (all intermediates positive and below
-    * 2^62, so `%` and floor-div agree). The high-bit slice (div 2^16)
-    * avoids the LCG's weak low bits.
+  /** Pure-integer LCG bucket in [0, 100) — Portable.lcg's high-bit
+    * slice (div 2^16; the low bits of an odd-multiplier LCG are weak).
     */
   private def bucket100(id: Column): Column =
-    (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-      .divide(65536L).cast("long") % 100L
+    Portable.lcg(id).divide(65536L).cast("long") % 100L
 
   private val bucketSql =
-    "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100"
+    s"(${Portable.lcgSql("doc_id")} // 65536) % 100"
 
   /** Tokenized docs: (doc_id, w array) — TextQueries' tokenizer,
     * shared so decontamination/packing token counts can never drift
@@ -168,7 +165,7 @@ object CurationQueries {
     // where even one stratum's ids don't fit a sort, the bounded-state
     // form is Aggregators.MinKDistinctAggregator (the KMV buffer).
     "docs_stratified_sample" -> ((s, d) => {
-      val h = ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      val h = Portable.lcg(col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), h.as("h"))
         .withColumn("rn", row_number().over(
@@ -262,7 +259,7 @@ object CurationQueries {
       SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
         SELECT doc_id, lang,
           ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+            ORDER BY ${Portable.lcgSql("doc_id")},
                      doc_id) AS rn
         FROM documents)
       WHERE rn <= $StratumK""",

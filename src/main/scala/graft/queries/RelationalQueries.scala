@@ -112,8 +112,7 @@ object RelationalQueries {
       // identical to sketching the raw stream.
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_partkey")).distinct()
-        .withColumn("h",
-          expr("((l_partkey % 2147483648) * 1103515245 + 12345) % 2147483648"))
+        .withColumn("h", Portable.lcg(col("l_partkey")))
         .groupBy(col("l_returnflag"))
         .agg(
           graft.functions.Aggregators.minKDistinct(k)(col("h")).as("mins"),
@@ -201,6 +200,23 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // The same join under Skew.saltedJoin: the large side's key is
+    // spread over 8 salt buckets and orders is replicated 8× — the
+    // manual skew-mitigation pattern for when one hot orderkey would
+    // stall a reducer and the dim is too big to broadcast. The result
+    // is identical to q_join_shuffle's shape (salt never reaches the
+    // output); PartitioningSpec pins the exchange carrying _salt.
+    "q_join_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, "o_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum("l_quantity").as("sum_qty"))
     }),
 
     "q_join_semi" -> ((s, d) => {
@@ -633,6 +649,12 @@ object RelationalQueries {
       SELECT c_custkey, COUNT(o_orderkey) AS n_orders
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey""",
+    // Salting is invisible to the result: the oracle is the plain join.
+    "q_join_salted" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
     "q_join_semi" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
@@ -718,7 +740,7 @@ object RelationalQueries {
     "q_kmv_distinct" -> s"""
       WITH hashes AS (
         SELECT DISTINCT l_returnflag,
-          ((l_partkey % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+          ${Portable.lcgSql("l_partkey")} AS h
         FROM lineitem),
       ranked AS (
         SELECT l_returnflag, h,

@@ -81,6 +81,13 @@ object TextQueries {
 
   private val P = 1000000007L
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
+    * length and window size. Guarantee: any match of length >=
+    * k + w - 1 = 8 chars shares at least one selected fingerprint.
+    */
+  private val WinnowK = 5
+  private val WinnowW = 4
+
   /** Integer TF-IDF score scale: score = tf·10^8 div df. Monotone in
     * tf/df (the corpus-size factor N is constant, so it cancels from
     * the ranking), and 10^8 keeps distinct tf/df ratios distinct for
@@ -97,9 +104,13 @@ object TextQueries {
 
   /** GPT-2-ish pre-tokenizer split, in the Java-regex ∩ RE2 common
     * subset (alternation of classes only — no lookarounds, no \p
-    * properties) so Spark and the oracle tokenize identically.
+    * properties) so Spark and the oracle tokenize identically. The
+    * whitespace class is spelled out rather than `\s` because the two
+    * engines' `\s` differ on vertical tab (Java includes \x0B, RE2
+    * does not) — an explicit class is identical by construction.
     */
-  private[queries] val BpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private[queries] val BpeRe =
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]"
   // (A, B) coefficients for the 8 MinHash functions h_j(v) = (A*v+B) mod P
   private val minhashCoef = Seq(
     (2971L, 433L), (6361L, 877L), (9013L, 1259L), (12289L, 1657L),
@@ -295,6 +306,46 @@ object TextQueries {
         .select(col("doc_id"),
           aggregate(col("codes"), lit(0L),
             (a, x) => (a * 31 + x) % lit(P)).as("rhash"))),
+
+    // Winnowing fingerprints (the MOSS algorithm, Schleimer/Wilkerson/
+    // Aiken SIGMOD'03): hash every k-char gram, slide a w-window over
+    // the gram hashes, keep each window's minimum, dedup — a sparse
+    // fingerprint set with a coverage guarantee (any shared substring
+    // of length >= k+w-1 shares a fingerprint), the classic partial-
+    // overlap detector next to the whole-doc fingerprints above.
+    //
+    // Deliberately RELATIONAL, not array-HOF: gram positions explode
+    // to rows (the gram hash then reads the carried `codes` attribute
+    // O(1) per access) and the w-window minimum is a per-doc ROWS
+    // frame — w rows of window state, one shuffle keyed by doc_id.
+    // A nested transform-over-transform formulation is a trap here:
+    // the optimizer's inferred size()-filter on the Generate input
+    // inlines the whole alias chain into one interpreted predicate
+    // that re-evaluates split() per element access — O(len^3) per doc.
+    "text_winnow" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(split(col("text"), ""), c => ascii(c).cast("long"))
+            .as("codes"))
+        .select(col("doc_id"), col("codes"),
+          explode(
+            when(size(col("codes")) >= WinnowK,
+              sequence(lit(1), size(col("codes")) - (WinnowK - 1)))
+              .otherwise(typedlit(Seq.empty[Int]))).as("i"))
+        .select(col("doc_id"), col("i"),
+          (size(col("codes")) - (WinnowK - 1)).as("m"),
+          (1 until WinnowK).foldLeft(element_at(col("codes"), col("i"))) {
+            (a, o) => (a * 31 + element_at(col("codes"), col("i") + lit(o))) %
+              lit(P)
+          }.as("gh"))
+      grams
+        .withColumn("fp", min(col("gh")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))
+            .rowsBetween(Window.currentRow, WinnowW - 1)))
+        .filter(col("i") <= col("m") - (WinnowW - 1))
+        .select(col("doc_id"), col("fp"))
+        .distinct()
+    }),
 
     // TF-IDF top terms per document, scored in pure integers so both
     // engines rank identically: N is constant across a corpus, so
@@ -671,6 +722,31 @@ object TextQueries {
                            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
           (a, x) -> (a * 31 + x) % $P) AS BIGINT) AS rhash
       FROM documents""",
+    // Same fold order as the Spark plan: gram hash is the k-step
+    // left fold (a*31 + c) % P starting from the gram's first code.
+    "text_winnow" -> s"""
+      WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS cs
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          CASE WHEN len(cs) >= $WinnowK THEN
+            list_transform(range(1, len(cs) - ${WinnowK - 2}),
+              i -> ${(1 until WinnowK).foldLeft("cs[i]")((a, o) =>
+                s"(($a * 31 + cs[i + $o]) % $P)")})
+          ELSE [] END AS g
+        FROM codes),
+      mins AS (
+        SELECT doc_id,
+          CASE WHEN len(g) >= $WinnowW THEN
+            list_distinct(list_transform(range(1, len(g) - ${WinnowW - 2}),
+              j -> least(${(0 until WinnowW).map(o => s"g[j + $o]")
+                .mkString(", ")})))
+          ELSE [] END AS fps
+        FROM grams)
+      SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM mins""",
     // Same fingerprint grouping as the Spark plan (md5 of the raw text).
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(text) AS text

@@ -57,6 +57,7 @@ object VectorQueries {
   // asymptotic story the sublinearity spec pins.
   private val NQueries = 100
   private val NProbe = 3             // IVF cells probed per query (of 10)
+  private val KnnK = 5               // neighbors kept per node in the kNN graph
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -72,8 +73,7 @@ object VectorQueries {
     * time (deterministic, engine-independent).
     */
   private val W: Array[Array[Int]] = Array.tabulate(Planes, Dim) { (j, i) =>
-    val x = (1103515245L * (j * Dim + i + 1) + 12345L) % 2147483648L
-    (x % 2001).toInt - 1000
+    (Portable.lcg(j.toLong * Dim + i + 1) % 2001).toInt - 1000
   }
 
   /** Random-projection target dimensionality. */
@@ -85,7 +85,7 @@ object VectorQueries {
     * so both engines derive identical sign matrices.
     */
   private def rpSign(j: Int, i: Int): Int = {
-    val h = ((j.toLong * Dim + i + 1) * 1103515245L + 12345L) % 2147483648L
+    val h = Portable.lcg(j.toLong * Dim + i + 1)
     if ((h / 65536L) % 2L == 0L) 1 else -1
   }
 
@@ -296,6 +296,43 @@ object VectorQueries {
         .join(e.select(col("vec_id").as("db"), col("embedding").as("eb")), "db")
         .withColumn("cos", dot(col("ea"), col("eb")))
         .filter(col("cos") >= DedupCos)
+        .select(col("da"), col("db"), round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    // Mutual approximate k-NN graph — the SemDeDup / cluster-pruning
+    // building block: LSH-banded candidate pairs scored exactly, each
+    // node keeps its top-K neighbors by cosine, and an edge survives
+    // only if BOTH endpoints keep it (the standard mutual-kNN
+    // sparsifier). Scale shape: candidates come from ONE bounded-
+    // bucket LSH self-join (same as dedup_embedding), the symmetrized
+    // edge list ranks under a per-node window (K rows of state per
+    // key), and mutuality is a semi-join of the ranked list against
+    // its own reversal — every shuffle keyed, volume linear in the
+    // candidate count. At 100 TB `ranked` would be persisted once and
+    // read twice; here Spark just recomputes the cheap subtree.
+    "vec_knn_graph" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val t = lshTable(s, d)
+      val cand = t.select(col("vec_id").as("da"), col("bnd"), col("bval"))
+        .join(t.select(col("vec_id").as("db"), col("bnd"), col("bval")),
+          Seq("bnd", "bval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("da"), col("embedding").as("ea")), "da")
+        .join(e.select(col("vec_id").as("db"), col("embedding").as("eb")), "db")
+        .withColumn("cos", dot(col("ea"), col("eb")))
+        .select(col("da"), col("db"), col("cos"))
+      val ranked = scored
+        .unionAll(scored.select(col("db").as("da"), col("da").as("db"),
+          col("cos")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("da")).orderBy(col("cos").desc, col("db"))))
+        .filter(col("rnk") <= KnnK)
+        .select(col("da"), col("db"), col("cos"))
+      ranked.filter(col("da") < col("db"))
+        .join(ranked.select(col("db").as("da"), col("da").as("db")),
+          Seq("da", "db"), "left_semi")
         .select(col("da"), col("db"), round(col("cos"), 6).as("cos_sim"))
     }),
 
@@ -511,6 +548,20 @@ object VectorQueries {
         SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
       FROM reach GROUP BY a""",
+    // Same candidate CTEs as dedup_embedding; mutuality as a self-join
+    // of the top-K list with its reversal.
+    "vec_knn_graph" -> s"""
+      WITH $dedupScoredCtes,
+      edges AS (SELECT da, db, cos FROM scored
+                UNION ALL SELECT db AS da, da AS db, cos FROM scored),
+      ranked AS (
+        SELECT da, db, cos,
+               ROW_NUMBER() OVER (PARTITION BY da ORDER BY cos DESC, db) AS rnk
+        FROM edges),
+      topk AS (SELECT da, db, cos FROM ranked WHERE rnk <= $KnnK)
+      SELECT f.da, f.db, ROUND(f.cos, 6) AS cos_sim
+      FROM topk f JOIN topk b ON b.da = f.db AND b.db = f.da
+      WHERE f.da < f.db""",
     "vec_quantize" -> """
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
              CASE WHEN scale > 0
@@ -533,8 +584,8 @@ object VectorQueries {
              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
       pj AS (SELECT unnest(range(0, $NProj)) AS proj_id)
       SELECT vec_id, CAST(proj_id AS BIGINT) AS proj_id,
-        CAST(SUM(qv * (CASE WHEN (((proj_id * $Dim + pos + 1) * 1103515245 + 12345)
-                                  % 2147483648 // 65536) % 2 = 0
+        CAST(SUM(qv * (CASE WHEN (${Portable.lcgSql(s"(proj_id * $Dim + pos + 1)")}
+                                  // 65536) % 2 = 0
                             THEN 1 ELSE -1 END)) AS BIGINT) AS p
       FROM q CROSS JOIN pj
       GROUP BY vec_id, proj_id""",

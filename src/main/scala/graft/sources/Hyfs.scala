@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -58,25 +59,37 @@ object Hyfs {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Next LOGICAL block sequence for a file: max existing block seq + 1.
+  /** Next LOGICAL block sequence for a file: max observed block seq + 1.
     * Clock-free — ordering is derived from the file's own state, so a
     * writer with a skewed (or regressed) clock still orders strictly
     * after every block it can observe, which is the multi-writer
-    * determinism wall-clock names cannot give. Two appenders racing the
-    * same listing may pick the same seq; both blocks land (unique uuid
-    * suffix) and their relative order resolves by uuid — concurrent
-    * appends have no defined order anyway, the contract is that ALL
-    * readers agree on ONE order after the fact.
+    * determinism wall-clock names cannot give. Two appenders racing
+    * for the same seq both land (unique uuid suffix) and their
+    * relative order resolves by uuid — concurrent appends have no
+    * defined order anyway; the contract is that ALL readers agree on
+    * ONE order after the fact.
+    *
+    * The directory is LISTED only on this process's first touch of the
+    * file; after that a cached atomic counter issues sequences — n
+    * appends cost one listing, not n (a full per-append listing is
+    * O(n²) total and a paged remote call per append on an object
+    * store). Cross-process: sequential writers still order correctly
+    * (the next process's first touch sees every earlier block);
+    * concurrent foreign appends resolve by the uuid rule above.
     */
-  private def nextSeq(f: FileSystem, dir: Path): Long = {
-    val names =
-      if (f.exists(dir))
-        f.listStatus(dir).iterator.map(_.getPath.getName)
-          .filter(_.startsWith("block-")).toSeq
-      else Seq.empty
-    val maxSeq = names.flatMap(n => n.split("-").lift(1).map(_.toLong))
-    (if (maxSeq.isEmpty) 0L else maxSeq.max) + 1L
-  }
+  private val seqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private def nextSeq(f: FileSystem, dir: Path): Long =
+    seqCache.computeIfAbsent(f.makeQualified(dir).toString, _ => {
+      val names =
+        if (f.exists(dir))
+          f.listStatus(dir).iterator.map(_.getPath.getName)
+            .filter(_.startsWith("block-")).toSeq
+        else Seq.empty
+      val maxSeq = names.flatMap(n => n.split("-").lift(1).map(_.toLong))
+      new AtomicLong(if (maxSeq.isEmpty) 0L else maxSeq.max)
+    }).incrementAndGet()
 
   /** Unique block name: zero-padded logical sequence + uuid tiebreak. */
   private def blockName(seqNo: Long): String =

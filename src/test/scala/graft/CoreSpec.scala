@@ -158,6 +158,33 @@ class CoreSpec extends GraftSpec {
     assert(rows(2L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("text_winnow: coverage guarantee, identity, and short-doc emptiness") {
+    import spark.implicits._
+    val dir = tmpDir("winnow")
+    val shared = "quick brown fox jumps"
+    Seq(
+      (1L, s"the $shared over the lazy dog", "en", "web", 40L),
+      (2L, s"lorem ipsum $shared dolor sit", "en", "web", 38L),
+      (3L, s"the $shared over the lazy dog", "en", "web", 40L), // == doc 1
+      (4L, "short", "en", "web", 5L), // < k+w-1 chars: no full window
+      (5L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = graft.queries.TextQueries.queries("text_winnow")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // identical docs -> identical fingerprint sets
+    assert(fps(1L) === fps(3L))
+    // winnowing guarantee: a shared substring of length >= k+w-1 (here
+    // 21 chars >> 8) must share at least one selected fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing a 21-char substring must share a fingerprint")
+    // no spurious total overlap either: the differing regions dominate
+    assert(fps(1L) !== fps(2L))
+    assert(!fps.contains(4L) && !fps.contains(5L),
+      "docs shorter than one full window select nothing")
+  }
+
   test("tfidf_top_terms ranks by tf/df with deterministic term tiebreak") {
     // Independent recomputation of the scores for one corpus, then the
     // contract: <=3 rows per doc, ranks 1..k, and each doc's rank-1 term

@@ -149,6 +149,32 @@ class PartitioningSpec extends GraftSpec {
       "the per-customer average must partially aggregate map-side")
   }
 
+  test("salted join: result identical to the plain join, join key carries the salt") {
+    val d = "/root/testdata/sf0.001"
+    val q = RQ.queries("q_join_salted")(spark, d)
+    // the salt must be part of the join key (that IS the mechanism) —
+    // visible in the plan whichever physical join gets picked
+    val joins = q.queryExecution.executedPlan.toString
+    assert(joins.contains("_salt"),
+      "the physical join must key on (o_orderkey, _salt)")
+    // and it must be invisible in the result: exact match with the
+    // unsalted join
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        // decimal sum, like the query: order-independent, so the two
+        // plans' different summation orders still compare exactly
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val salted = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(salted === plain)
+  }
+
   test("sketch aggregates stay within tolerance of exact answers") {
     val d = "/root/testdata/sf0.001"
     val approx = RQ.queries("q_sketch_approx")(spark, d).collect()

@@ -118,6 +118,32 @@ class RainStormSpec extends GraftSpec {
     assert(keys === Set(s"$dir/a.csv:1", s"$dir/a.csv:2", s"$dir/b.csv:1"))
   }
 
+  test("glob source reads matching files; record identity is address-independent") {
+    // The textFile scan this source replaced accepted globs; and a
+    // record's key must not depend on HOW the file was addressed —
+    // glob, exact path, file:/ URI, or parent directory all key the
+    // same line identically (scheme-less absolute path).
+    val dir = tmpDir("rainstorm-glob")
+    Files.write(Paths.get(dir, "a.csv"), "l1\nl2".getBytes, StandardOpenOption.CREATE)
+    Files.write(Paths.get(dir, "b.csv"), "l1".getBytes, StandardOpenOption.CREATE)
+    Files.write(Paths.get(dir, "c.txt"), "nope".getBytes, StandardOpenOption.CREATE)
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    def keysOf(src: String) = RainStorm
+      .run(spark, src, idOp, idOp, dest = None, numTasks = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(keysOf(s"$dir/*.csv") ===
+      Set(s"$dir/a.csv:1", s"$dir/a.csv:2", s"$dir/b.csv:1"))
+    assert(keysOf(s"$dir/*.nomatch") === Set.empty[String])
+    // exact path, file: URI, and the parent dir agree on a.csv's keys
+    val direct = keysOf(s"$dir/a.csv")
+    assert(direct === Set(s"$dir/a.csv:1", s"$dir/a.csv:2"))
+    assert(keysOf(s"file:$dir/a.csv") === direct)
+    // a missing non-glob source still throws, like the scan it replaced
+    intercept[java.io.FileNotFoundException] {
+      keysOf(s"$dir/missing.csv")
+    }
+  }
+
   test("directory source: empty dir (or only hidden files) yields empty output") {
     // A plain textFile scan returns no rows for an empty directory;
     // the per-file source must match, not crash on an empty file list.

@@ -111,6 +111,42 @@ class VectorSpec extends GraftSpec {
     assert(ivfHit >= 19, s"IVF found only $ivfHit/20 planted near-dups")
   }
 
+  test("vec_knn_graph: planted near-dup pairs are mutual edges; output is a clean edge set") {
+    // Same planted construction as the recall test but tighter copies
+    // (cosine ~0.998): the kNN graph's candidates come from EXACT band
+    // equality (the corpus-corpus trade — no multi-probe blow-up), and
+    // a 16-bit band matches a theta~8-degree pair with only p~0.48 per
+    // band / ~0.93 over 4 bands. At theta~4 degrees the any-band hit
+    // rate is ~0.99, which is the contract this operator makes: graph
+    // edges for NEAR-DUPLICATES, not for merely-similar pairs (those
+    // are the query-side multi-probe ANN's job). Background max
+    // pairwise cosine is ~0.46, so each planted pair is its endpoints'
+    // mutual top-1.
+    val d = "/root/testdata/sf0.01"
+    val out = tmpDir("knn-emb")
+    val orig = graft.Tables.embeddings(spark, d)
+    val rnd = new scala.util.Random(7)
+    val planted = orig.filter(col("vec_id") < 20).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val noisy = v.map(x => x + 0.03f * (rnd.nextFloat() - 0.5f))
+      val norm = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+      (100000L + r.getLong(r.fieldIndex("vec_id")),
+        noisy.map(_ / norm).toSeq,
+        r.getInt(r.fieldIndex("label")))
+    }.toSeq
+    orig.unionByName(planted.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val edges = graft.queries.VectorQueries.queries("vec_knn_graph")(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (a, b) => a < b }, "edges are canonical a < b")
+    assert(edges.distinct.length === edges.length, "no duplicate edges")
+    val expected = (0L until 20L).map(q => (q, 100000L + q)).toSet
+    val hit = edges.toSet.intersect(expected).size
+    info(s"planted mutual-edge recall: $hit/20")
+    assert(hit >= 19, s"mutual kNN graph kept only $hit/20 planted pairs")
+  }
+
   test("vec_rp_project: 8 bounded integer coords per vector, distance-correlated") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.VectorQueries.queries("vec_rp_project")(spark, d)
