@@ -81,6 +81,42 @@ object StreamingGateQueries {
     (normalize(s.readStream.schema(schema).parquet(srcDir.toString)), ckpt)
   }
 
+  /** Stage a table as N parquet files processed as N ordered
+    * micro-batches (maxFilesPerTrigger=1; the file-stream source orders
+    * files by modification time, set 60s apart as a belt under the
+    * deterministic content split) — the shape that exercises REAL
+    * cross-batch watermark semantics. The split predicates decide batch
+    * membership, so the oracle can recompute every batch's watermark
+    * exactly. coalesce(1) is gate-scoped staging (tens of k rows), not
+    * a query plan — the query under test never coalesces.
+    */
+  private def stageBatchedStream(s: SparkSession, path: String, name: String,
+                                 normalize: DataFrame => DataFrame,
+                                 batches: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, String) = {
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val srcDir = Files.createTempDirectory(s"graft-src-$name")
+    val full = s.read.parquet(path)
+    def stageOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-stage-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged in $tmp"))
+      val dst = srcDir.resolve(fileName)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    batches.zipWithIndex.foreach { case (pred, i) =>
+      stageOne(full.filter(pred), f"batch$i%02d.parquet", t0 + i * 60000L)
+    }
+    val src = s.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    (normalize(src), ckpt)
+  }
+
   /** Run a streaming aggregation through the PRODUCTION sink path: a
     * parquet file sink in Append mode (the only mode file sinks
     * support), then read the result back through the sink's
@@ -93,10 +129,13 @@ object StreamingGateQueries {
     */
   private def runFileSinkStream(s: SparkSession, path: String,
                                 normalize: DataFrame => DataFrame,
-                                agg: DataFrame => DataFrame): DataFrame =
+                                agg: DataFrame => DataFrame,
+                                stager: (SparkSession, String, String,
+                                  DataFrame => DataFrame) => (DataFrame, String)
+                                  = stageStream): DataFrame =
     withGateParts(s) {
       val name = s"gate_fsink_${runId.incrementAndGet()}"
-      val (src, ckpt) = stageStream(s, path, name, normalize)
+      val (src, ckpt) = stager(s, path, name, normalize)
       val outDir = Files.createTempDirectory(s"graft-out-$name").toString
       val out = agg(src)
       val q = out.writeStream
@@ -254,6 +293,35 @@ object StreamingGateQueries {
           .agg(count(lit(1)).as("cnt"))
           .select(col("window.start").cast("timestamp_ntz").as("wstart"),
             col("event_type"), col("cnt")))
+    }),
+
+    // LATE-DATA DROP, driver-gated: the events table arrives as THREE
+    // micro-batches split by event_id mod 3. Spark's measured contract
+    // (pinned on synthetic data in StreamingSpec): a late row is
+    // dropped iff its window was ALREADY EMITTED — i.e. the window end
+    // had passed the watermark of a COMPLETED batch (the watermark is
+    // one-sided: late-but-not-yet-finalized rows still count). With
+    // three batches: batch 0 establishes the watermark, batch 1's end
+    // finalizes every window it has passed, batch 2's stragglers into
+    // those finalized windows are dropped and each window still emits
+    // exactly once — the semantics that bound streaming state at
+    // 100 TB (without finalization, every straggler reopens
+    // arbitrarily old windows forever). The oracle recomputes the
+    // batch-0 watermark and the final watermark from the same mod-3
+    // split and states the drop and the Append-emission cutoff
+    // explicitly.
+    "stream_late_data" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => df.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("event_type"), col("cnt")),
+        stageBatchedStream(_, _, _, _,
+          Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
+            col("event_id") % 3 === 2)))
     })
   )
 
@@ -313,6 +381,29 @@ object StreamingGateQueries {
       SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS cnt
       FROM events GROUP BY 1, 2
       HAVING wstart + INTERVAL 1 HOUR <=
-             date_trunc('milliseconds', (SELECT MAX(ts) FROM events)) - INTERVAL 1 HOUR"""
+             date_trunc('milliseconds', (SELECT MAX(ts) FROM events)) - INTERVAL 1 HOUR""",
+    // Three-batch watermark replay. wm1 (from batch 0, event_id%3=0)
+    // is the watermark during batch 1, whose END finalizes every
+    // window with end <= wm1 — so batch 2's rows into those windows
+    // are dropped; everything else counts. wmf (from all batches)
+    // governs the Append emission cutoff (same rule as
+    // stream_tumbling_window). Batch 1 rows are never dropped: the
+    // only watermark that preceded them was batch 0's initial zero.
+    "stream_late_data" -> """
+      WITH wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+        FROM events WHERE event_id % 3 = 0),
+      wmf AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+        FROM events),
+      kept AS (
+        SELECT ts, event_type FROM events WHERE event_id % 3 IN (0, 1)
+        UNION ALL
+        SELECT ts, event_type FROM events
+        WHERE event_id % 3 = 2
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1))
+      SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS cnt
+      FROM kept GROUP BY 1, 2
+      HAVING wstart + INTERVAL 1 HOUR <= (SELECT w FROM wmf)"""
   )
 }

@@ -230,6 +230,50 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("watermark finalization: non-strict drop boundary, exactly-once emission") {
+    // The boundary contract StreamingGateQueries.stream_late_data's
+    // oracle encodes, pinned on synthetic data (measured — the late
+    // FILTER uses the PREVIOUS batch's watermark, eviction/emission
+    // the current one; the gate itself pins the one-batch lag, since
+    // its oracle keeps ALL batch-1 rows):
+    //  1. drop boundary is NON-STRICT: with the watermark at 11:00, a
+    //     row into [10:00,11:00) (window end == watermark) is dropped;
+    //  2. a row into a window the watermark has not passed is counted
+    //     no matter when it arrives (11:30 after the 12:00 row);
+    //  3. an emitted window is closed exactly once: a straggler into
+    //     it is dropped, never re-counted or re-emitted (11:45 after
+    //     [11:00,12:00) emitted).
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = ms.toDF().toDF("k", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k")).count()
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_contract").start()
+    try {
+      ms.addData(("a", ts("12:00")))
+      q.processAllAvailable()                    // watermark -> 11:00
+      ms.addData(("a", ts("11:30")), ("a", ts("10:30")))
+      q.processAllAvailable()   // 10:30 dropped AT the boundary; 11:30 kept
+      ms.addData(("a", ts("15:00")))
+      q.processAllAvailable()   // watermark 14:00 emits [11:00) and [12:00)
+      ms.addData(("a", ts("11:45")), ("a", ts("18:00")))
+      q.processAllAvailable()   // straggler into emitted [11:00) dropped
+      val rows = spark.table("wm_contract").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getLong(2)))
+      assert(rows.length === rows.map(_._1).distinct.length,
+        "a window must be emitted exactly once")
+      val counts = rows.toMap
+      assert(!counts.contains(ts("10:00")),
+        "window ending exactly AT the watermark is already closed (non-strict)")
+      assert(counts(ts("11:00")) === 1L,
+        "late-arriving row into a still-open window counts; straggler after emission doesn't")
+      assert(counts(ts("12:00")) === 1L && counts(ts("15:00")) === 1L)
+      assert(rows.map(_._2).sum === 3L)
+    } finally q.stop()
+  }
+
   test("tumbling window streaming equals batch aggregation") {
     val evDir = tmpDir("events-pq")
     Tables.events(spark, "/root/testdata/sf0.001")
