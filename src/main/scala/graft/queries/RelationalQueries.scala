@@ -547,6 +547,27 @@ object RelationalQueries {
           .select(col("o_custkey").as("custkey")))
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL keeps min multiplicity,
+    // EXCEPT ALL subtracts multiplicities — both plan as one hash
+    // aggregate per side (count per key) + a join on the key, so the
+    // shuffle carries distinct keys + counts, never the raw bags.
+    "q_set_intersect_all" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      cn.intersectAll(sn)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+    }),
+
+    "q_set_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey").as("custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("multiplicity"))
+    }),
+
     // ---- scalar functions ------------------------------------------------
     "q_scalar_string" -> ((s, d) =>
       Tables.part(s, d).select(
@@ -608,7 +629,163 @@ object RelationalQueries {
         WHERE EXISTS (SELECT 1 FROM lineitem_ex l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
       """)
-    })
+    }),
+
+    // TPC-H Q4 shape — priority counting gated by a CORRELATED exists
+    // with an inequality across tables (l_shipdate > o_orderdate):
+    // Catalyst decorrelates into a left-semi join on the equi-part with
+    // the inequality as the join residual, then a 5-group aggregate.
+    // At 100 TB the quarter filter reaches the orders scan and the semi
+    // join never widens lineitem — rows only ever shrink. (The
+    // testdata has no l_commitdate/l_receiptdate, so the correlated
+    // inequality is shipped-after-order — same plan shape.)
+    "q4_priority_count" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_q4")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4 o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+      """)
+    }),
+
+    // TPC-H Q12 shape — join + two-way CONDITIONAL counting: for each
+    // lineitem class (returnflag stands in for the testdata's missing
+    // l_shipmode), how many of its 1996 shipments belong to urgent vs
+    // non-urgent orders. Scale shape: the year filter reaches the
+    // lineitem scan, the join shuffles on the natural orderkey, and the
+    // CASE-sums partially aggregate map-side — the exchange after the
+    // join carries ≤ #flags × #partitions rows.
+    "q12_priority" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+    }),
+
+    // TPC-H Q14 shape — promo revenue share: one month of lineitem ⋈
+    // part, a conditional numerator over an unconditional denominator.
+    // Both sums are exact decimals cast to double; the final divide is
+    // one IEEE double op (identical in any engine). Scale shape: the
+    // month filter reaches the lineitem scan FIRST (≈1/84th of the
+    // fact table survives), and part joins the survivors on its key —
+    // AQE picks broadcast vs shuffle from the measured filtered size.
+    "q14_promo" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(col("rev")).cast("double")).as("promo_share"))
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: GROUP-BY-HAVING as a
+    // semi-filter, then the dimension joins AFTER the aggregate. Scale
+    // shape: the only full-fact shuffle is the per-order quantity
+    // aggregate (partial map-side combine, key = orderkey); the HAVING
+    // survivor set (~0.7% of orders) is what meets orders and customer,
+    // and the top-100 is TakeOrderedAndProject. o_orderkey in the sort
+    // key pins the limit boundary across engines.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+    }),
+
+    // TPC-H Q19 shape — the disjunctive-predicate join: three
+    // brand/size/quantity conjunctions OR-ed across both join sides.
+    // The planner test: the partkey equi-join must still be extracted
+    // from under the OR (a naive engine degrades to an NLJ), the
+    // part-only disjuncts (brand, size≤15) push to the part scan, and
+    // the residual evaluates post-join. One scalar exact-decimal sum.
+    "q19_disjunctive" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(
+        col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val clause = (
+        col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) || (
+        col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) || (
+        col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // ---- unpivot (wide → long), the inverse of q_pivot ---------------------
+    // Dataset.unpivot is a zero-shuffle narrow op: each input row emits
+    // one row per value column inside the scan stage. At 100 TB this is
+    // the melt step of every feature-extraction pipeline — no exchange,
+    // no sort, output is input × #attrs.
+    "q_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "attr", "val")),
+
+    // ---- map-typed scalar functions ----------------------------------------
+    // MapType construction and lookup (map_from_arrays / element_at /
+    // map_keys / map_values) — the schema-flexible K→V column every
+    // metadata pipeline carries. Final schema is plain columns so the
+    // oracle needs no map wire type; all ops are codegen'd row-local.
+    "q_scalar_map" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("uid")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "uid").as("m_uid"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          array_join(sort_array(map_values(col("m"))), ",").as("vals_sorted")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -900,6 +1077,84 @@ object RelationalQueries {
     "q_exists_subq" -> """
       SELECT o_orderkey, o_totalprice FROM orders o
       WHERE EXISTS (SELECT 1 FROM lineitem l
-                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"""
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+    "q_set_intersect_all" -> """
+      SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity FROM (
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+      GROUP BY nationkey""",
+    "q_set_except_all" -> """
+      SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity FROM (
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      GROUP BY custkey""",
+    "q4_priority_count" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority""",
+    "q12_priority" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag""",
+    "q14_promo" -> """
+      SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'""",
+    "q18_large_orders" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      FROM (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0) big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q19_disjunctive" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+    "q_unpivot" -> """
+      SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val
+      FROM part""",
+    "q_scalar_map" -> """
+      SELECT event_id,
+             event_type AS m_type,
+             CAST(user_id AS VARCHAR) AS m_uid,
+             CAST(2 AS BIGINT) AS n_keys,
+             CASE WHEN event_type <= CAST(user_id AS VARCHAR)
+                  THEN event_type || ',' || CAST(user_id AS VARCHAR)
+                  ELSE CAST(user_id AS VARCHAR) || ',' || event_type
+             END AS vals_sorted
+      FROM events"""
   )
 }

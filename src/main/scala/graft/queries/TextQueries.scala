@@ -561,6 +561,48 @@ object TextQueries {
         .select(col("doc_id"), col("n").as("n_tokens"), col("quality_ppm"))
     }),
 
+    // Per-source ADAPTIVE quality gate — "keep everything above the
+    // source's own 25th percentile" (per-domain thresholds are standard
+    // curation practice: a fixed global cutoff over-prunes clean
+    // sources and under-prunes noisy ones). Scale shape: the naive form
+    // windows the whole corpus partitioned by source — one giant crawl
+    // becomes one giant partition. Instead the threshold comes from a
+    // (source, quality) HISTOGRAM: the only full-corpus exchange
+    // partially aggregates map-side to one row per distinct (source,
+    // score); the cumulative window runs over that bounded histogram;
+    // and the one-row-per-source thresholds broadcast back over the
+    // scored scan. Exact discrete percentile (smallest score whose
+    // cumulative count covers a quarter of the source: 4·cum ≥ total)
+    // in pure integers — no double ever crosses an engine boundary.
+    "docs_quality_quantile" -> ((s, d) => {
+      val w = col("w")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), words(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          size(w).cast("long").as("n"),
+          size(filter(w, x => x.isin(StopWords: _*)))
+            .cast("long").as("stop"),
+          aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("source"),
+          expr(QualityExpr).as("quality_ppm"))
+      val hist = scored.groupBy(col("source"), col("quality_ppm"))
+        .agg(count(lit(1)).as("cnt"))
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality_ppm"))
+      val bySource = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val thr = hist
+        .withColumn("cum", sum(col("cnt")).over(byScore))
+        .withColumn("tot", sum(col("cnt")).over(bySource))
+        .filter(col("cum") * 4L >= col("tot"))
+        .groupBy(col("source"))
+        .agg(min(col("quality_ppm")).as("thr"))
+      scored.join(broadcast(thr), "source")
+        .filter(col("quality_ppm") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("quality_ppm"))
+    }),
+
     // SimHash: 16-bit signature from per-bit ±1 majority over shingle
     // hashes; docs sharing a signature are near-dup clusters. One
     // explode + one aggregation + one groupBy — fully linear.
@@ -785,6 +827,31 @@ object TextQueries {
       canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
       SELECT k.doc_id, k.n_tokens, k.quality_ppm
       FROM kept k JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id""",
+    "docs_quality_quantile" -> s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST($QualitySql AS BIGINT) AS quality_ppm
+        FROM (
+          SELECT doc_id, source,
+            len(w) AS n,
+            len(list_filter(w, x -> x IN ${inListSql(StopWords)})) AS stop,
+            CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen
+          FROM (SELECT doc_id, source, $wordsSql AS w FROM documents))
+        WHERE n > 0),
+      hist AS (
+        SELECT source, quality_ppm, COUNT(*) AS cnt
+        FROM scored GROUP BY source, quality_ppm),
+      thr AS (
+        SELECT source, MIN(quality_ppm) AS thr FROM (
+          SELECT source, quality_ppm,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY quality_ppm) AS cum,
+            SUM(cnt) OVER (PARTITION BY source) AS tot
+          FROM hist)
+        WHERE cum * 4 >= tot
+        GROUP BY source)
+      SELECT s.doc_id, s.source, s.quality_ppm
+      FROM scored s JOIN thr t USING (source)
+      WHERE s.quality_ppm >= t.thr""",
     // Same absolute DfCapK cap as the Spark plan — feature space and
     // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
