@@ -301,6 +301,26 @@ object RelationalQueries {
           cume_dist().over(w).as("cd"))
     }),
 
+    // Value-navigation window functions — dense_rank (no rank gaps),
+    // first/last/nth over an explicit running frame. The frame is
+    // UNBOUNDED PRECEDING..CURRENT ROW on a total order, so last_value
+    // is well-defined (the default frame's last_value is the current
+    // row — a classic cross-engine trap avoided by pinning the frame).
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(
+            Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast("long").as("drank"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          last(col("o_orderkey")).over(w).as("self_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    }),
+
     // FULL OUTER join: customers and a filtered order subset, both
     // null-extended sides observable in the aggregate.
     "q_join_full" -> ((s, d) => {
@@ -579,6 +599,21 @@ object RelationalQueries {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_name"), " ", "_").as("snake_name"),
         lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"))),
+
+    // Regex scalar family — extract / extract-all / match-filter, in
+    // the Java-regex ∩ RE2 common subset (char classes + anchors, no
+    // lookaround) so both engines compile the same automaton. All
+    // row-local and codegen'd; the rlike filter is not pushable (regex
+    // predicates don't reach parquet) — expected to evaluate post-scan.
+    "q_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^(small|blue) "))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1).as("adj"),
+          array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), "-")
+            .as("vowel_runs"))),
 
     "q_scalar_date" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -1078,6 +1113,24 @@ object RelationalQueries {
       SELECT o_orderkey, o_totalprice FROM orders o
       WHERE EXISTS (SELECT 1 FROM lineitem l
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+    "q_regex" -> """
+      SELECT p_partkey,
+        regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+        regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adj,
+        array_to_string(regexp_extract_all(p_name, '[aeiou]+', 0), '-') AS vowel_runs
+      FROM part
+      WHERE regexp_matches(p_name, '^(small|blue) ')""",
+    "q_window_firstlast" -> """
+      SELECT o_orderpriority, o_orderkey,
+        CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS drank,
+        FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+        LAST_VALUE(o_orderkey) OVER w AS self_key,
+        NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q_set_intersect_all" -> """
       SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity FROM (
         SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
