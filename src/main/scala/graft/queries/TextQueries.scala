@@ -561,6 +561,35 @@ object TextQueries {
         .select(col("doc_id"), col("n").as("n_tokens"), col("quality_ppm"))
     }),
 
+    // Bigram language-model scoring (the CCNet-style statistical
+    // quality signal): build the corpus bigram model DISTRIBUTIVELY —
+    // cnt(a,b) and its left-marginal cnt(a) are two partial-agg hash
+    // aggregates — then score each document by its mean per-bigram
+    // log-free probability proxy p(b|a) ≈ cnt(a,b)/cnt(a), kept in
+    // exact integer ppm (floor division) so both engines agree
+    // bit-for-bit. Scale shape: the model is NOT broadcast (the bigram
+    // vocabulary grows with the corpus) — instances join the model on
+    // its own natural keys (g, then a), all shuffles partially
+    // aggregated or key-only; per-doc state is one running (sum, n).
+    "text_lm_score" -> ((s, d) => {
+      val inst = docWords(s, d)
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(element_at(col("w"), i).as("a"),
+              concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1)).as("g")))).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.g").as("g"))
+      val gCnt = inst.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+      val aCnt = inst.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      inst.join(gCnt, "g").join(aCnt, "a")
+        .select(col("doc_id"),
+          expr("(cg * 1000000) div ca").as("ppm"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(ppm) div count(*)").as("lm_ppm"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
     // Per-source ADAPTIVE quality gate — "keep everything above the
     // source's own 25th percentile" (per-domain thresholds are standard
     // curation practice: a fixed global cutoff over-prunes clean
@@ -827,6 +856,21 @@ object TextQueries {
       canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
       SELECT k.doc_id, k.n_tokens, k.quality_ppm
       FROM kept k JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id""",
+    "text_lm_score" -> s"""
+      WITH inst AS (
+        SELECT doc_id,
+          w[i] AS a,
+          w[i] || ' ' || w[i + 1] AS g
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents),
+          LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE len(w) >= 2),
+      gcnt AS (SELECT g, COUNT(*) AS cg FROM inst GROUP BY g),
+      acnt AS (SELECT a, COUNT(*) AS ca FROM inst GROUP BY a)
+      SELECT doc_id,
+        CAST(SUM((cg * 1000000) // ca) // COUNT(*) AS BIGINT) AS lm_ppm,
+        COUNT(*) AS n_bigrams
+      FROM inst JOIN gcnt USING (g) JOIN acnt USING (a)
+      GROUP BY doc_id""",
     "docs_quality_quantile" -> s"""
       WITH scored AS (
         SELECT doc_id, source,

@@ -52,6 +52,20 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("text_lm_score: scores are valid probabilities in ppm and re-run-identical") {
+    val out = TextQueries.queries("text_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, ppm, n) =>
+      // each per-bigram term is cnt(a,b)/cnt(a) <= 1, so the mean is too
+      assert(ppm > 0L && ppm <= 1000000L, s"doc $id score $ppm out of range")
+      assert(n >= 1L)
+    }
+    val again = TextQueries.queries("text_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("docs_quality_quantile: every source keeps at least three quarters, none keeps what it gated") {
     val kept = TextQueries.queries("docs_quality_quantile")(spark, sf)
     val perSource = kept.groupBy(col("source"))
