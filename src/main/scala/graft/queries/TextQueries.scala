@@ -580,14 +580,22 @@ object TextQueries {
               concat_ws(" ", element_at(col("w"), i),
                 element_at(col("w"), i + 1)).as("g")))).as("bg"))
         .select(col("doc_id"), col("bg.a").as("a"), col("bg.g").as("g"))
-      val gCnt = inst.groupBy(col("g")).agg(count(lit(1)).as("cg"))
-      val aCnt = inst.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-      inst.join(gCnt, "g").join(aCnt, "a")
-        .select(col("doc_id"),
-          expr("(cg * 1000000) div ca").as("ppm"))
+      // Pre-aggregate to per-doc distinct bigrams (multiplicity k)
+      // BEFORE the model joins: the joins then shuffle one row per
+      // (doc, bigram), not one per occurrence — on repetitive text
+      // (exactly what an LM-score gate exists to catch) that's the
+      // difference between shuffling the corpus and shuffling its
+      // vocabulary projection.
+      val perDoc = inst.groupBy(col("doc_id"), col("a"), col("g"))
+        .agg(count(lit(1)).as("k"))
+      val gCnt = perDoc.groupBy(col("g")).agg(sum(col("k")).as("cg"))
+      val aCnt = perDoc.groupBy(col("a")).agg(sum(col("k")).as("ca"))
+      perDoc.join(gCnt, "g").join(aCnt, "a")
+        .select(col("doc_id"), col("k"),
+          expr("k * ((cg * 1000000) div ca)").as("ppm_k"))
         .groupBy(col("doc_id"))
-        .agg(expr("sum(ppm) div count(*)").as("lm_ppm"),
-          count(lit(1)).as("n_bigrams"))
+        .agg(expr("sum(ppm_k) div sum(k)").as("lm_ppm"),
+          sum(col("k")).as("n_bigrams"))
     }),
 
     // Per-source ADAPTIVE quality gate — "keep everything above the
