@@ -239,30 +239,44 @@ object VectorQueries {
         (0 until Dim).map(i =>
           sum(floor(element_at(col("embedding"), i + 1).cast("double")
             * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
+      // cached: the 10-row centroid table — the corpus aggregate behind
+      // it runs ONCE even though two consumers broadcast it. (The old
+      // shape cached corpus×10 scored rows instead; a 10-row cache is
+      // free at any scale, a corpus-sized one is not.)
       val carr = sums.select(col("label").as("clabel"),
         array((0 until Dim).map(i =>
           col(s"c$i").cast("double")
             / (col("n") * lit(CentScale)).cast("double")): _*).as("carr"))
+        .cache()
       // index-ordered centroid-dot: fold of carr[i] * (double)v[i]
       def cdot(c: Column, v: Column): Column =
         aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
           lit(0.0), (a, x) => a + x)
-      // cached: both the corpus assignment and the query probing read
-      // this — uncached, the centroid build + n×10 scoring runs twice
-      // (at 100 TB the assignment is a persisted table keyed by cell).
-      val scoredCells = e.crossJoin(broadcast(carr))
+      // narrow (scan × broadcast, no exchange) — cheap to recompute for
+      // its two consumers, so it is deliberately NOT cached
+      def scoredCells = e.crossJoin(broadcast(carr))
         .withColumn("adot", cdot(col("carr"), col("embedding")))
+      // corpus assignment: nearest cell via a bounded-state max_by
+      // aggregate — partial aggregation collapses the ×NCells rows
+      // map-side and nothing is ever sorted (the old row_number window
+      // shuffled AND sorted corpus×NCells rows; max_by's state is one
+      // struct per vector regardless of corpus size). The (adot,
+      // -clabel) ordering struct reproduces the window's
+      // adot DESC, clabel ASC tie-break exactly.
+      val assigned = scoredCells
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("clabel"), col("embedding")),
+          struct(col("adot"), -col("clabel"))).as("m"))
+        .select(col("vec_id").as("nn_id"),
+          col("m.clabel").as("cell"), col("m.embedding").as("embedding"))
+      // queries probe their NProbe nearest cells: the rank window runs
+      // AFTER the query filter, over NQueries×NCells rows only
+      val probed = scoredCells
+        .filter(col("vec_id") < NQueries)
         .withColumn("crn", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("adot").desc, col("clabel"))))
-        .cache()
-      // corpus assignment: nearest cell only
-      val assigned = scoredCells.filter(col("crn") === 1)
-        .select(col("vec_id").as("nn_id"), col("clabel").as("cell"),
-          col("embedding"))
-      // queries probe their NProbe nearest cells
-      val probed = scoredCells
-        .filter(col("vec_id") < NQueries && col("crn") <= NProbe)
+        .filter(col("crn") <= NProbe)
         .select(col("vec_id").as("qid"), col("clabel").as("cell"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
