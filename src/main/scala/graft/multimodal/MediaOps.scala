@@ -76,9 +76,9 @@ object MediaOps {
     }
 
     /** REAL PPM P6 parse: ASCII header (width height maxval) then raw
-      * RGB triplets. Returns (width, height) or None.
+      * RGB triplets. Returns (width, height, dataOffset) or None.
       */
-    private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int)] = {
+    private[graft] def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
       var i = 2
       val fields = new scala.collection.mutable.ArrayBuffer[Int](3)
@@ -103,7 +103,39 @@ object MediaOps {
       // samples) is out of scope for this parser.
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
           b.length.toLong < i.toLong + 1L + w.toLong * h.toLong * 3L) None
-      else Some((w, h))
+      else Some((w, h, i + 1))
+    }
+
+    private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int)] =
+      parsePpmHeader(b).map { case (w, h, _) => (w, h) }
+
+    /** REAL nearest-neighbor PPM resize: source pixel for output (x, y)
+      * is (x·w div outW, y·h div outH) — the standard floor index map,
+      * pure integer arithmetic, deterministic on any engine. Returns
+      * the re-encoded P6 payload, or None when the input is not a
+      * well-formed P6 image (the caller decides pass-through vs drop).
+      */
+    private[graft] def resizePpm(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      if (outW <= 0 || outH <= 0) return None
+      parsePpmHeader(b).map { case (w, h, off) =>
+        val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + outW * outH * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var y = 0
+        var o = header.length
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            val si = off + (sy * w + sx) * 3
+            out(o) = b(si); out(o + 1) = b(si + 1); out(o + 2) = b(si + 2)
+            o += 3; x += 1
+          }
+          y += 1
+        }
+        out
+      }
     }
 
     def decode(m: Media): MediaFeatures = {
@@ -156,6 +188,26 @@ object MediaOps {
       records.grouped(batchSize).flatMap { batch =>
         // per-batch decoder setup would happen here (native handles etc.)
         batch.iterator.map(Codec.decode)
+      }
+    }
+  }
+
+  /** Batched image resize (same mapPartitions shape as decodeFeatures):
+    * PPM P6 payloads are nearest-neighbor resampled to (outW, outH) and
+    * re-encoded; every other payload passes through byte-identical (a
+    * resize stage must not corrupt the audio/video rows sharing the
+    * column). Per-record work is O(outW·outH); no shuffle at any scale.
+    */
+  def resizeImages(ds: Dataset[Media], outW: Int, outH: Int,
+      batchSize: Int = 64): Dataset[Media] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { records =>
+      records.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          Codec.resizePpm(m.payload, outW, outH)
+            .map(p => m.copy(payload = p)).getOrElse(m)
+        }
       }
     }
   }

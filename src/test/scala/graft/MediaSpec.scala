@@ -86,6 +86,36 @@ class MediaSpec extends GraftSpec {
     assert(Codec.decode(bad).width === None)
   }
 
+  test("REAL PPM nearest-neighbor resize picks the exact floor-mapped pixels") {
+    // 4x4 image whose pixel (x, y) carries value 16*y + x in all three
+    // channels — every source pixel is identifiable in the output
+    val header = "P6\n4 4\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate(4 * 4 * 3)(i => (16 * (i / 3 / 4) + (i / 3 % 4)).toByte)
+    val media = Seq(
+      Media(10L, "image", header ++ pixels),
+      Media(11L, "audio", wavBytes(8000, Array.tabulate(8)(_.toShort))),
+      Media(12L, "video", "not an image".getBytes("UTF-8")))
+    val out = MediaOps.resizeImages(media.toDS(), 2, 2, batchSize = 2)
+      .collect().map(m => m.media_id -> m.payload).toMap
+    // floor map: out (x, y) <- src (2x, 2y) => values 0, 2, 32, 34
+    val resized = out(10L)
+    val (w, h, off) = Codec.parsePpmHeader(resized).get
+    assert((w, h) === ((2, 2)))
+    val vals = (0 until 4).map(p => resized(off + p * 3) & 0xff)
+    assert(vals === Seq(0, 2, 32, 34))
+    // all three channels copied, not just one
+    assert(resized(off + 1) === resized(off) && resized(off + 2) === resized(off))
+    // non-image payloads pass through byte-identical
+    assert(out(11L).sameElements(media(1).payload))
+    assert(out(12L).sameElements(media(2).payload))
+    // upscale is the same floor map: 4x4 -> 8x8 repeats each pixel 2x2
+    val up = Codec.resizePpm(header ++ pixels, 8, 8).get
+    val (uw, uh, uoff) = Codec.parsePpmHeader(up).get
+    assert((uw, uh) === ((8, 8)))
+    assert((up(uoff) & 0xff) === 0 && (up(uoff + 3) & 0xff) === 0 &&
+      (up(uoff + 6) & 0xff) === 1)
+  }
+
   test("malformed media is rejected, not crashed on") {
     // PCM with bits_per_sample = 4: bits/8 would divide by zero
     val wav4 = wavBytes(8000, Array.tabulate(8)(_.toShort))
