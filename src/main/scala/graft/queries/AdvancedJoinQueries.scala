@@ -93,6 +93,46 @@ object AdvancedJoinQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders_v
         GROUP BY year(o_orderdate), o_orderpriority""")
+    }),
+
+    // LATERAL correlated subquery — top-2-per-group as a join shape:
+    // for each nation, its two richest customers. Catalyst decorrelates
+    // the LIMIT-bearing lateral into a per-nation rank window — the
+    // same plan the hand-written rn<=2 form produces, declared in the
+    // SQL form every analyst writes.
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lt")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey,
+               CAST(c.c_acctbal AS DOUBLE) AS bal
+        FROM nation_lt n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer_lt
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+    }),
+
+    // NOT IN + NULL, the ANSI three-valued-logic trap: one NULL in the
+    // subquery list makes `x NOT IN (...)` UNKNOWN for every x, so the
+    // whole filter yields zero "missing" rows UNLESS nulls are excluded
+    // in the subquery — which this query does, and the companion count
+    // demonstrates the trap by including them. Catalyst plans NOT IN as
+    // a null-aware anti join (the build side tracks whether any null
+    // was seen) — semantics a plain hash anti join gets wrong.
+    "q_not_in_nulls" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ni")
+      Tables.customer(s, d).createOrReplaceTempView("customer_ni")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM customer_ni
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders_ni WHERE o_orderstatus = 'F'))
+            AS n_never_f,
+          (SELECT COUNT(*) FROM customer_ni
+           WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE o_custkey END FROM orders_ni))
+            AS n_with_null_list""")
     })
   )
 
@@ -129,6 +169,23 @@ object AdvancedJoinQueries {
              COUNT(*) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+    "q_lateral_topn" -> """
+      SELECT n.n_name, c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS bal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""",
+    "q_not_in_nulls" -> """
+      SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+          AS n_never_f,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_custkey END FROM orders))
+          AS n_with_null_list"""
   )
 }
