@@ -274,6 +274,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: state survives restart under the scale backend") {
+    // The default (HDFS-backed) state store holds every key in executor
+    // heap — at 100 TB of keyed state the ONLY shippable configuration
+    // is the RocksDB provider (state spills to local SSD, snapshot +
+    // changelog to the checkpoint). Same exactly-once contract, proven
+    // here: count, "crash", append data, restart, counts resume — under
+    // spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider.
+    val srcDir = tmpDir("rocks-src")
+    val ckpt = tmpDir("rocks-ckpt")
+    writeLines(srcDir, "f1.txt", Seq("click u1", "view u2", "click u1"))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(sinkName: String): Unit = {
+        val counts = spark.readStream.text(srcDir)
+          .filter(col("value").startsWith("click"))
+          .select(substring_index(col("value"), " ", -1).as("key"))
+          .groupBy("key").count()
+        val q = counts.writeStream.outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(sinkName).start()
+        q.awaitTermination()
+      }
+      runOnce("rocks_run1")
+      assert(spark.table("rocks_run1").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap === Map("u1" -> 2L))
+      writeLines(srcDir, "f2.txt", Seq("click u1", "click u3"))
+      runOnce("rocks_run2")
+      assert(spark.table("rocks_run2").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap ===
+        Map("u1" -> 3L, "u3" -> 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("tumbling window streaming equals batch aggregation") {
     val evDir = tmpDir("events-pq")
     Tables.events(spark, "/root/testdata/sf0.001")
