@@ -647,6 +647,34 @@ object RelationalQueries {
           .when(col("o_totalprice") >= 100000, "mid")
           .otherwise("low").as("price_band"))),
 
+    // String aggregation (listagg) — the reporting concatenate. Made
+    // deterministic the only way it can be: DISTINCT + WITHIN GROUP
+    // ordering. State is bounded by the VALUE domain (≤3 statuses),
+    // not the row count — the contract that makes listagg safe in a
+    // 100 TB group-by (never listagg an unbounded payload column).
+    "q_string_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sa")
+      s.sql("""
+        SELECT l_returnflag,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+               COUNT(*) AS cnt
+        FROM lineitem_sa GROUP BY l_returnflag""")
+    }),
+
+    // Error-safe arithmetic under ANSI mode: try_divide/try_cast turn
+    // would-be runtime errors (div-by-zero, bad casts) into NULLs —
+    // row-local, codegen'd, and the difference between a 100 TB job
+    // that finishes with a null column and one that dies at hour nine
+    // on the first malformed row.
+    "q_try_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"),
+          col("l_quantity") - lit(1.0)).as("unit_price_m1"),
+        try_element_at(split(col("l_returnflag"), "X"), lit(2)).as("no_elem"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"))),
+
     // ---- pivot -------------------------------------------------------------
     "q_pivot" -> ((s, d) =>
       Tables.events(s, d)
@@ -1113,6 +1141,18 @@ object RelationalQueries {
       SELECT o_orderkey, o_totalprice FROM orders o
       WHERE EXISTS (SELECT 1 FROM lineitem l
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+    "q_string_agg" -> """
+      SELECT l_returnflag,
+             string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag""",
+    "q_try_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity - 1.0 = 0 THEN NULL
+             ELSE l_extendedprice / (l_quantity - 1.0) END AS unit_price_m1,
+        list_extract(str_split(l_returnflag, 'X'), 2) AS no_elem,
+        TRY_CAST(l_returnflag AS INT) AS flag_as_int
+      FROM lineitem""",
     "q_regex" -> """
       SELECT p_partkey,
         regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
