@@ -76,9 +76,9 @@ object MediaOps {
     }
 
     /** REAL PPM P6 parse: ASCII header (width height maxval) then raw
-      * RGB triplets. Returns (width, height, dataOffset) or None.
+      * RGB triplets. Returns (width, height, maxval, dataOffset) or None.
       */
-    private[graft] def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    private[graft] def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
       var i = 2
       val fields = new scala.collection.mutable.ArrayBuffer[Int](3)
@@ -103,22 +103,28 @@ object MediaOps {
       // samples) is out of scope for this parser.
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
           b.length.toLong < i.toLong + 1L + w.toLong * h.toLong * 3L) None
-      else Some((w, h, i + 1))
+      else Some((w, h, maxval, i + 1))
     }
 
     private[graft] def parsePpm(b: Array[Byte]): Option[(Int, Int)] =
-      parsePpmHeader(b).map { case (w, h, _) => (w, h) }
+      parsePpmHeader(b).map { case (w, h, _, _) => (w, h) }
 
     /** REAL nearest-neighbor PPM resize: source pixel for output (x, y)
       * is (x·w div outW, y·h div outH) — the standard floor index map,
-      * pure integer arithmetic, deterministic on any engine. Returns
-      * the re-encoded P6 payload, or None when the input is not a
-      * well-formed P6 image (the caller decides pass-through vs drop).
+      * pure integer arithmetic, deterministic on any engine. The source
+      * maxval is carried into the output header unchanged (samples are
+      * copied, not rescaled — re-declaring 255 would silently darken a
+      * maxval<255 image). Returns the re-encoded P6 payload, or None
+      * when the input is not a well-formed P6 image OR the target size
+      * is not representable (the caller decides pass-through vs drop).
       */
     private[graft] def resizePpm(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
-      if (outW <= 0 || outH <= 0) return None
-      parsePpmHeader(b).map { case (w, h, off) =>
-        val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+      // Long guard: outW*outH*3 must not overflow Int (the adjacent
+      // parsers guard the same class of overflow on the input side)
+      if (outW <= 0 || outH <= 0 ||
+          outW.toLong * outH.toLong * 3L > Int.MaxValue - 64L) return None
+      parsePpmHeader(b).map { case (w, h, maxval, off) =>
+        val header = s"P6\n$outW $outH\n$maxval\n".getBytes("US-ASCII")
         val out = new Array[Byte](header.length + outW * outH * 3)
         System.arraycopy(header, 0, out, 0, header.length)
         var y = 0
@@ -192,23 +198,20 @@ object MediaOps {
     }
   }
 
-  /** Batched image resize (same mapPartitions shape as decodeFeatures):
-    * PPM P6 payloads are nearest-neighbor resampled to (outW, outH) and
-    * re-encoded; every other payload passes through byte-identical (a
-    * resize stage must not corrupt the audio/video rows sharing the
-    * column). Per-record work is O(outW·outH); no shuffle at any scale.
+  /** Partition-streaming image resize: PPM P6 payloads are
+    * nearest-neighbor resampled to (outW, outH) and re-encoded; every
+    * other payload passes through byte-identical (a resize stage must
+    * not corrupt the audio/video rows sharing the column). resizePpm is
+    * a pure per-record function, so unlike decodeFeatures there is no
+    * per-batch decoder state to amortize and no batching layer. Per-
+    * record work is O(outW·outH); no shuffle at any scale.
     */
-  def resizeImages(ds: Dataset[Media], outW: Int, outH: Int,
-      batchSize: Int = 64): Dataset[Media] = {
+  def resizeImages(ds: Dataset[Media], outW: Int, outH: Int): Dataset[Media] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { records =>
-      records.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { m =>
-          Codec.resizePpm(m.payload, outW, outH)
-            .map(p => m.copy(payload = p)).getOrElse(m)
-        }
-      }
-    }
+    ds.mapPartitions(_.map { m =>
+      Codec.resizePpm(m.payload, outW, outH)
+        .map(p => m.copy(payload = p)).getOrElse(m)
+    })
   }
 }

@@ -95,12 +95,12 @@ class MediaSpec extends GraftSpec {
       Media(10L, "image", header ++ pixels),
       Media(11L, "audio", wavBytes(8000, Array.tabulate(8)(_.toShort))),
       Media(12L, "video", "not an image".getBytes("UTF-8")))
-    val out = MediaOps.resizeImages(media.toDS(), 2, 2, batchSize = 2)
+    val out = MediaOps.resizeImages(media.toDS(), 2, 2)
       .collect().map(m => m.media_id -> m.payload).toMap
     // floor map: out (x, y) <- src (2x, 2y) => values 0, 2, 32, 34
     val resized = out(10L)
-    val (w, h, off) = Codec.parsePpmHeader(resized).get
-    assert((w, h) === ((2, 2)))
+    val (w, h, maxval, off) = Codec.parsePpmHeader(resized).get
+    assert((w, h, maxval) === ((2, 2, 255)))
     val vals = (0 until 4).map(p => resized(off + p * 3) & 0xff)
     assert(vals === Seq(0, 2, 32, 34))
     // all three channels copied, not just one
@@ -110,10 +110,18 @@ class MediaSpec extends GraftSpec {
     assert(out(12L).sameElements(media(2).payload))
     // upscale is the same floor map: 4x4 -> 8x8 repeats each pixel 2x2
     val up = Codec.resizePpm(header ++ pixels, 8, 8).get
-    val (uw, uh, uoff) = Codec.parsePpmHeader(up).get
+    val (uw, uh, _, uoff) = Codec.parsePpmHeader(up).get
     assert((uw, uh) === ((8, 8)))
     assert((up(uoff) & 0xff) === 0 && (up(uoff + 3) & 0xff) === 0 &&
       (up(uoff + 6) & 0xff) === 1)
+    // source maxval < 255 is carried through, NOT re-declared as 255 —
+    // copied samples keep their intensity semantics
+    val dim = "P6\n4 4\n100\n".getBytes("US-ASCII") ++ pixels
+    val dimOut = Codec.resizePpm(dim, 2, 2).get
+    assert(Codec.parsePpmHeader(dimOut).get._3 === 100)
+    // unrepresentable target (outW*outH*3 overflows Int) is rejected
+    // with None, never a NegativeArraySizeException in a Spark task
+    assert(Codec.resizePpm(header ++ pixels, 46341, 46341) === None)
   }
 
   test("malformed media is rejected, not crashed on") {
