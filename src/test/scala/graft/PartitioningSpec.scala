@@ -34,6 +34,24 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("global orderBy plans a range exchange (sampled bounds), never a single partition") {
+    withoutAqe {
+      val df = (1 to 10000).map(i => ((i * 2654435761L) % 997, i)).toDF("k", "v")
+        .repartition(8)
+        .orderBy(col("k"), col("v"))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }
+      // the sort's exchange must be RANGE partitioning — each of the N
+      // output partitions sorts its own slice in parallel; a global
+      // sort that funnels into one partition cannot run at 100 TB
+      assert(exchanges.exists(_.toString.contains("rangepartitioning")),
+        s"expected a range exchange, got: $exchanges")
+      val ks = df.select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), "range-partitioned sort must be totally ordered")
+    }
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     withoutAqe {
       val df = (1 to 1000).map(i => (i % 5, i)).toDF("k", "v")
