@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.ValueState
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Core
@@ -65,6 +66,38 @@ object StreamOps {
           state.update(n)
           out.iterator
       }
+  }
+
+  /** The same A1 per-increment contract on Spark 4's arbitrary-state
+    * API (`transformWithState` / `StatefulProcessor`) — the successor
+    * to flatMapGroupsWithState: typed named state cells (here one
+    * ValueState[Long] per key), optional per-cell TTL, timers, and it
+    * runs only on the RocksDB state store provider — i.e. the 100 TB
+    * state backend is a requirement of the API, not an option. Kept as
+    * a twin of runningCountPerRecord so the spec can assert the two
+    * APIs produce the identical emission sequence.
+    */
+  class RunningCountProcessor
+      extends StatefulProcessor[String, Core.Record, (String, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Core.Record],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = rows.map { _ => n += 1; (key, n) }.toList
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  def runningCountPerRecordTws(ds: Dataset[Core.Record]): Dataset[(String, Long)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** F5 streaming exactly-once dedup on the record ID ALONE — the

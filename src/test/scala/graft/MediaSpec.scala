@@ -124,6 +124,27 @@ class MediaSpec extends GraftSpec {
     assert(Codec.resizePpm(header ++ pixels, 46341, 46341) === None)
   }
 
+  test("resize grid property: every geometry parses back and every pixel is floor-mapped") {
+    // exhaustive small-geometry sweep — the off-by-one surface of the
+    // index map (first/last row/column, non-divisible ratios) is where
+    // resamplers break, and a grid covers it deterministically
+    for (w <- 1 to 5; h <- 1 to 5; ow <- 1 to 5; oh <- 1 to 5) {
+      val src = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(w * h * 3)(i => (37 * (i / 3) % 251).toByte)
+      val out = Codec.resizePpm(src, ow, oh)
+        .getOrElse(fail(s"resize $w x $h -> $ow x $oh returned None"))
+      val (pw, ph, _, off) = Codec.parsePpmHeader(out).get
+      assert((pw, ph) === ((ow, oh)))
+      val (_, _, _, soff) = Codec.parsePpmHeader(src).get
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3) {
+        val (sx, sy) = (x * w / ow, y * h / oh)
+        assert(out(off + (y * ow + x) * 3 + c) ===
+          src(soff + (sy * w + sx) * 3 + c),
+          s"pixel ($x,$y) ch $c of $w x $h -> $ow x $oh")
+      }
+    }
+  }
+
   test("malformed media is rejected, not crashed on") {
     // PCM with bits_per_sample = 4: bits/8 would divide by zero
     val wav4 = wavBytes(8000, Array.tabulate(8)(_.toShort))

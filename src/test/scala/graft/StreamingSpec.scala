@@ -72,6 +72,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("A1 on transformWithState: the arbitrary-state successor API emits the same sequence") {
+    implicit val sql = spark.sqlContext
+    // transformWithState REQUIRES the RocksDB provider (the 100 TB
+    // state backend is a precondition of the API, not a choice)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Core.Record]
+      val out = StreamOps.runningCountPerRecordTws(ms.toDS())
+      val q = out.toDF("key", "n").writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("percord_tws").start()
+      try {
+        ms.addData(Core.Record("1", "a", ""), Core.Record("2", "a", ""),
+          Core.Record("3", "b", ""))
+        q.processAllAvailable()
+        ms.addData(Core.Record("4", "a", ""))
+        q.processAllAvailable()
+        val got = spark.table("percord_tws").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        // identical emission sequence to the flatMapGroupsWithState twin
+        assert(got === Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("checkpoint restart recovers state and offsets exactly once") {
     val srcDir = tmpDir("stream-src")
     val ckpt = tmpDir("stream-ckpt")
