@@ -182,6 +182,35 @@ object StreamingGateQueries {
         OutputMode.Update())
     }),
 
+    // The SAME A1 emission contract on Spark 4's arbitrary-state
+    // successor API (transformWithState/StatefulProcessor) — gated
+    // against the identical oracle, so both state APIs are driver-
+    // verified, not just spec-compared. The RocksDB provider is a
+    // requirement of the API; it is pinned for this gate and restored
+    // (the other gates keep the session default).
+    "stream_running_count_tws" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => {
+          import s.implicits._
+          val recs = df.select(
+            col("event_id").cast("string").as("id"),
+            col("event_type").as("key"),
+            lit("").as("value")).as[graft.operators.Core.Record]
+          graft.streaming.StreamOps.runningCountPerRecordTws(recs)
+            .toDF("key", "n")
+        },
+        OutputMode.Update())
+      finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+    }),
+
     // Gap-based session windows as a genuine streaming job — the state
     // store merges/extends open sessions across micro-batches. Complete
     // mode (like the other windowed gates) so no window is withheld by
@@ -335,6 +364,10 @@ object StreamingGateQueries {
         AS fingerprint
       FROM documents""",
     "stream_running_count" -> """
+      SELECT event_type AS key, CAST(i AS BIGINT) AS n
+      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+           LATERAL (SELECT unnest(range(1, c + 1)) AS i) t""",
+    "stream_running_count_tws" -> """
       SELECT event_type AS key, CAST(i AS BIGINT) AS n
       FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
            LATERAL (SELECT unnest(range(1, c + 1)) AS i) t""",
