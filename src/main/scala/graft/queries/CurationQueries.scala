@@ -93,6 +93,32 @@ object CurationQueries {
     */
   private val PackShards = 32L
 
+  /** Oracle SQL for split/decontaminate, shared by their own entries
+    * and the end-to-end composite (one definition, zero drift).
+    */
+  private val splitSql = s"""
+      SELECT doc_id,
+        CASE WHEN $bucketSql < 80 THEN 'train'
+             WHEN $bucketSql < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents"""
+
+  private val deconSql = s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      bench_grams AS (
+        SELECT DISTINCT unnest($gramsSql) AS g
+        FROM dw WHERE doc_id % $BenchMod = 0),
+      train_grams AS (
+        SELECT doc_id, unnest($gramsSql) AS g
+        FROM dw WHERE doc_id % $BenchMod != 0),
+      contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM train_grams t JOIN bench_grams b ON t.g = b.g)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      FROM dw
+      WHERE doc_id % $BenchMod != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Reproducible 10% sample: pure function of doc_id, so the same
@@ -135,6 +161,24 @@ object CurationQueries {
       dw.filter(!isBench)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    }),
+
+    // The end-to-end assembly composite: curated docs (language +
+    // quality + canonical-copy, from TextQueries.docs_curation) that
+    // also survive benchmark decontamination, split 80/10/10, reduced
+    // to per-split doc and token budgets — the numbers a training run
+    // is provisioned from, and the proof that the pipeline stages
+    // COMPOSE: each stage below is literally the same public operator
+    // the driver gates individually, joined on doc_id. At 100 TB the
+    // joins carry (doc_id, n_tokens) pairs only — never text.
+    "docs_e2e_pipeline" -> ((s, d) => {
+      val cur = TextQueries.queries("docs_curation")(s, d)
+        .select(col("doc_id"), col("n_tokens"))
+      val dec = queries("docs_decontaminate")(s, d).select(col("doc_id"))
+      val spl = queries("docs_split")(s, d)
+      cur.join(dec, "doc_id").join(spl, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
     // Data mixing: rebalance the corpus to target per-language weights
@@ -220,27 +264,19 @@ object CurationQueries {
     "docs_sample" -> s"""
       SELECT doc_id, CAST($bucketSql AS BIGINT) AS bucket
       FROM documents WHERE $bucketSql < 10""",
-    "docs_split" -> s"""
-      SELECT doc_id,
-        CASE WHEN $bucketSql < 80 THEN 'train'
-             WHEN $bucketSql < 90 THEN 'val'
-             ELSE 'test' END AS split
-      FROM documents""",
-    "docs_decontaminate" -> s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      bench_grams AS (
-        SELECT DISTINCT unnest($gramsSql) AS g
-        FROM dw WHERE doc_id % $BenchMod = 0),
-      train_grams AS (
-        SELECT doc_id, unnest($gramsSql) AS g
-        FROM dw WHERE doc_id % $BenchMod != 0),
-      contaminated AS (
-        SELECT DISTINCT t.doc_id
-        FROM train_grams t JOIN bench_grams b ON t.g = b.g)
-      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
-      FROM dw
-      WHERE doc_id % $BenchMod != 0
-        AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "docs_split" -> splitSql,
+    "docs_decontaminate" -> deconSql,
+    "docs_e2e_pipeline" -> s"""
+      WITH cur AS (${TextQueries.oracle("docs_curation")}),
+      dec AS ($deconSql),
+      spl AS ($splitSql)
+      SELECT spl.split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(cur.n_tokens) AS BIGINT) AS n_tokens
+      FROM cur
+      JOIN dec ON dec.doc_id = cur.doc_id
+      JOIN spl ON spl.doc_id = cur.doc_id
+      GROUP BY spl.split""",
     "docs_mixture" -> s"""
       WITH weighted AS (
         SELECT doc_id, lang,
