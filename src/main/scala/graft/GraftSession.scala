@@ -28,6 +28,15 @@ object GraftSession {
       // reader cannot represent; read as long (ns since epoch) and convert
       // explicitly in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // MIN/MAX/COUNT over unfiltered parquet can answer from footer
+      // statistics instead of scanning row groups (PushedAggregation)
+      // — but only on the v2 parquet source. The engine keeps Spark's
+      // v1 default (bucketed saveAsTable and the nanos handling above
+      // are v1 behaviors); the conf below is inert until a deployment
+      // also clears spark.sql.sources.useV1SourceList, the documented
+      // opt-in for footer-answered profiling scans (PartitioningSpec
+      // pins that combination working).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).master(s"local[$cpus]").getOrCreate()

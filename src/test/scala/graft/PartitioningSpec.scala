@@ -34,6 +34,32 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("footer-answerable aggregates push down on the v2 parquet scan") {
+    // aggregate pushdown is a v2-source feature; v1 (Spark's and the
+    // engine's default) ignores the conf. Pin the documented opt-in
+    // combination here: v2 source + aggregatePushdown → the scan
+    // answers MIN/MAX/COUNT from footer statistics (PushedAggregation)
+    // without reading a single row group.
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(min(col("l_quantity")), max(col("l_quantity")), count(lit(1)))
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedAggregation"),
+        s"expected PushedAggregation in:\n$scan")
+      val row = df.collect().head
+      assert(row.getDouble(0) === 1.0 && row.getDouble(1) === 50.0 &&
+        row.getLong(2) === 6000L)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("global orderBy plans a range exchange (sampled bounds), never a single partition") {
     withoutAqe {
       val df = (1 to 10000).map(i => ((i * 2654435761L) % 997, i)).toDF("k", "v")
