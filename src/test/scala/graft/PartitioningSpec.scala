@@ -60,6 +60,57 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // static pruning (FormatsSpec) handles literal predicates; DPP is
+    // the 100 TB case — the selective filter lives on the DIMENSION,
+    // and the fact side's partition list is only knowable at runtime.
+    // The plan must carry a dynamicpruning subquery on the fact scan.
+    val dir = tmpDir("dpp-fact")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    // the rule wants a selective filter over a SCAN — a LocalRelation
+    // dim does not qualify (probed; the subquery never appears)
+    val dimDir = tmpDir("dpp-dim")
+    Seq(("1-URGENT", "hot"), ("5-LOW", "cold"), ("2-HIGH", "warm"))
+      .toDF("prio", "tag").write.mode("overwrite").parquet(dimDir)
+    val q = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "hot"),
+        col("o_orderpriority") === col("prio"))
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning predicate in:\n$planStr")
+    val expected = spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(q.count() === expected)
+  }
+
+  test("runtime bloom filter: a selective dim filter injects row-level pruning on the fact side") {
+    // below the broadcast threshold DPP/broadcast handles it; above,
+    // the optimizer can inject a bloom filter built from the filtered
+    // dim and apply it on the fact scan side BEFORE the shuffle — the
+    // row-level runtime filter that cuts shuffled bytes at 100 TB.
+    // Thresholds are floored to force injection at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val planStr = q.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("bloom_filter"),
+        s"expected an injected bloom filter in:\n$planStr")
+      assert(q.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("global orderBy plans a range exchange (sampled bounds), never a single partition") {
     withoutAqe {
       val df = (1 to 10000).map(i => ((i * 2654435761L) % 997, i)).toDF("k", "v")
