@@ -585,9 +585,13 @@ object TextQueries {
       // (doc, bigram), not one per occurrence — on repetitive text
       // (exactly what an LM-score gate exists to catch) that's the
       // difference between shuffling the corpus and shuffling its
-      // vocabulary projection.
+      // vocabulary projection. Cached: three consumers (both model
+      // marginals + the join side) would otherwise re-tokenize the
+      // corpus three times (on a cluster this is the stage you persist;
+      // Verify/Bench clear the cache after each query).
       val perDoc = inst.groupBy(col("doc_id"), col("a"), col("g"))
         .agg(count(lit(1)).as("k"))
+        .cache()
       val gCnt = perDoc.groupBy(col("g")).agg(sum(col("k")).as("cg"))
       val aCnt = perDoc.groupBy(col("a")).agg(sum(col("k")).as("ca"))
       perDoc.join(gCnt, "g").join(aCnt, "a")
