@@ -163,6 +163,34 @@ object CurationQueries {
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     }),
 
+    // Deterministic training-order interleaving: position p of a doc is
+    // (rank-within-source − 1) · #sources + source-index — round-robin
+    // across sources, so a training run never sees a long single-source
+    // block (ordering bias) and the order is reproducible. Scale shape:
+    // NO global sort — rank is per-source (the same partitioned window
+    // as docs_stratified_sample), the 20-row source index table
+    // broadcasts, and position is pure arithmetic; a consumer sorts by
+    // pos only if it materializes the order (range exchange, parallel).
+    "docs_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // global windows — but over the DISTINCT source table (dimension-
+      // sized at any SF), the same post-aggregation pattern as the
+      // quantile thresholds; no driver action, no corpus-wide window
+      val src = docs.select(col("source")).distinct()
+        .withColumn("sidx", row_number().over(
+          Window.orderBy(col("source"))).cast("long") - 1L)
+        .withColumn("nsrc", count(lit(1)).over(
+          Window.partitionBy()).cast("long"))
+      val ranked = docs.select(col("doc_id"), col("source"),
+        Portable.lcg(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+      ranked.join(broadcast(src), "source")
+        .select(col("doc_id"), col("source"),
+          ((col("rn") - 1L) * col("nsrc") + col("sidx")).as("pos"))
+    }),
+
     // The end-to-end assembly composite: curated docs (language +
     // quality + canonical-copy, from TextQueries.docs_curation) that
     // also survive benchmark decontamination, split 80/10/10, reduced
@@ -266,6 +294,20 @@ object CurationQueries {
       FROM documents WHERE $bucketSql < 10""",
     "docs_split" -> splitSql,
     "docs_decontaminate" -> deconSql,
+    "docs_interleave" -> s"""
+      WITH src AS (
+        SELECT source,
+          ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+          COUNT(*) OVER () AS nsrc
+        FROM (SELECT DISTINCT source FROM documents)),
+      ranked AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ${Portable.lcgSql("doc_id")}, doc_id) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.source,
+        CAST((r.rn - 1) * s.nsrc + s.sidx AS BIGINT) AS pos
+      FROM ranked r JOIN src s ON s.source = r.source""",
     "docs_e2e_pipeline" -> s"""
       WITH cur AS (${TextQueries.oracle("docs_curation")}),
       dec AS ($deconSql),

@@ -150,6 +150,28 @@ class CurationSpec extends GraftSpec {
     assert(chunks.map(_._1).distinct.length === lens.count(_._2 > 0))
   }
 
+  test("docs_interleave: positions are unique and each round-robin cycle mixes sources") {
+    val rows = run("docs_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length === n, "interleave must keep every doc")
+    val positions = rows.map(_._3)
+    assert(positions.distinct.length === rows.length, "positions must be unique")
+    assert(positions.min === 0L)
+    // within each full cycle of nsrc consecutive positions, no source
+    // repeats — the anti-ordering-bias property the operator exists for
+    val nsrc = rows.map(_._2).distinct.length
+    rows.sortBy(_._3).grouped(nsrc).foreach { cycle =>
+      val srcs = cycle.map(_._2)
+      assert(srcs.distinct.length === srcs.length,
+        s"cycle repeats a source: $srcs")
+    }
+    // reproducible: a second run yields the identical order
+    val again = run("docs_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("docs_pack: bin ids equal the sequential greedy fill per shard") {
     val rows = run("docs_pack").collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
