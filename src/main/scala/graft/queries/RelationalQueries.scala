@@ -615,6 +615,20 @@ object RelationalQueries {
           array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), "-")
             .as("vowel_runs"))),
 
+    // Bitwise scalar family — popcount/shifts/and/or/xor/hex, the ops
+    // every hash/bucket/bitmap layer is written in terms of. All
+    // row-local integer arithmetic, identical on any engine.
+    "q_scalar_bits" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        bit_count(col("l_orderkey")).cast("long").as("popcnt"),
+        shiftleft(col("l_orderkey"), 3).as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+        hex(col("l_orderkey")).as("hexkey"))),
+
     "q_scalar_date" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
@@ -1148,6 +1162,16 @@ object RelationalQueries {
       SELECT o_orderkey, o_totalprice FROM orders o
       WHERE EXISTS (SELECT 1 FROM lineitem l
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+    "q_scalar_bits" -> """
+      SELECT l_orderkey, l_partkey,
+        CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt,
+        l_orderkey << 3 AS shl,
+        l_orderkey >> 2 AS shr,
+        l_orderkey & l_partkey AS band,
+        l_orderkey | l_partkey AS bor,
+        xor(l_orderkey, l_partkey) AS bxor,
+        to_hex(l_orderkey) AS hexkey
+      FROM lineitem""",
     "q_string_agg" -> """
       SELECT l_returnflag,
              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
