@@ -32,6 +32,23 @@ class ExtensionsSpec extends GraftSpec {
     } finally ()
   }
 
+  test("Dataset.observe surfaces job metrics without a second pass") {
+    // the ops-monitoring surface (the reference's per-machine logs,
+    // SURVEY §5): named aggregates ride along with the job — metrics
+    // cost zero extra scans and arrive with the action's completion
+    val obs = new org.apache.spark.sql.Observation("lineitem_stats")
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .filter(col("l_quantity") > 0)
+    val n = df.count()
+    val row = obs.get
+    assert(row("n_rows") === 6000L)
+    assert(row("sum_qty").asInstanceOf[Double] > 0.0)
+    assert(n <= 6000L)
+  }
+
   test("LongStatsAggregator merges partial buffers correctly") {
     val df = Seq(("a", 5L), ("a", 1L), ("b", 7L), ("a", 3L))
       .toDF("k", "q").repartition(3)
