@@ -617,12 +617,17 @@ object RelationalQueries {
 
     // Bitwise scalar family — popcount/shifts/and/or/xor/hex, the ops
     // every hash/bucket/bitmap layer is written in terms of. All
-    // row-local integer arithmetic, identical on any engine.
+    // row-local integer arithmetic, identical on any engine. The
+    // left-shift input is masked to 60 bits FIRST: on overflow Spark's
+    // shiftleft wraps (Java) while DuckDB's << raises — masking makes
+    // the op total with the same value on both engines for every
+    // representable key (a no-op below 2^60, far above any real key).
     "q_scalar_bits" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_partkey"),
         bit_count(col("l_orderkey")).cast("long").as("popcnt"),
-        shiftleft(col("l_orderkey"), 3).as("shl"),
+        shiftleft(col("l_orderkey")
+          .bitwiseAND(lit(0x0FFFFFFFFFFFFFFFL)), 3).as("shl"),
         shiftright(col("l_orderkey"), 2).as("shr"),
         col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
         col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
@@ -1165,7 +1170,7 @@ object RelationalQueries {
     "q_scalar_bits" -> """
       SELECT l_orderkey, l_partkey,
         CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt,
-        l_orderkey << 3 AS shl,
+        (l_orderkey & 1152921504606846975) << 3 AS shl,
         l_orderkey >> 2 AS shr,
         l_orderkey & l_partkey AS band,
         l_orderkey | l_partkey AS bor,

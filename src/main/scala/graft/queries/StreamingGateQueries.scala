@@ -127,6 +127,33 @@ object StreamingGateQueries {
     * the watermark never closes are withheld — the oracle states the
     * same cutoff explicitly.
     */
+  /** Shared body of the two running-count gates — one record
+    * projection (events → Core.Record) for both state APIs, so the
+    * twins can never drift apart (same reason splitSql/deconSql are
+    * shared in CurationQueries).
+    */
+  private def runRunningCount(s: SparkSession, d: String,
+      counter: org.apache.spark.sql.Dataset[graft.operators.Core.Record] =>
+        org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    Tables.load(s, d, "region")
+    runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+      df => {
+        import s.implicits._
+        val recs = df.select(
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("key"),
+          lit("").as("value")).as[graft.operators.Core.Record]
+        counter(recs).toDF("key", "n")
+      },
+      OutputMode.Update())
+  }
+
+  /** One oracle for both running-count gates (same multiset contract). */
+  private val runningCountOracleSql = """
+      SELECT event_type AS key, CAST(i AS BIGINT) AS n
+      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+           LATERAL (SELECT unnest(range(1, c + 1)) AS i) t"""
+
   private def runFileSinkStream(s: SparkSession, path: String,
                                 normalize: DataFrame => DataFrame,
                                 agg: DataFrame => DataFrame,
@@ -167,44 +194,21 @@ object StreamingGateQueries {
     // record receives which running count depends on shuffle arrival
     // order, but the emitted MULTISET per key is exactly {1..count} —
     // deterministic, so it oracles as a LATERAL range expansion.
-    "stream_running_count" -> ((s, d) => {
-      Tables.load(s, d, "region")
-      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
-        df => {
-          import s.implicits._
-          val recs = df.select(
-            col("event_id").cast("string").as("id"),
-            col("event_type").as("key"),
-            lit("").as("value")).as[graft.operators.Core.Record]
-          graft.streaming.StreamOps.runningCountPerRecord(recs)
-            .toDF("key", "n")
-        },
-        OutputMode.Update())
-    }),
+    "stream_running_count" -> ((s, d) =>
+      runRunningCount(s, d, graft.streaming.StreamOps.runningCountPerRecord)),
 
     // The SAME A1 emission contract on Spark 4's arbitrary-state
-    // successor API (transformWithState/StatefulProcessor) — gated
-    // against the identical oracle, so both state APIs are driver-
-    // verified, not just spec-compared. The RocksDB provider is a
-    // requirement of the API; it is pinned for this gate and restored
-    // (the other gates keep the session default).
+    // successor API (transformWithState/StatefulProcessor) — the same
+    // projection and the same oracle by construction (shared helpers),
+    // so both state APIs are driver-verified, not just spec-compared.
+    // The RocksDB provider is a requirement of the API; it is pinned
+    // for this gate and restored (the other gates keep the default).
     "stream_running_count_tws" -> ((s, d) => {
-      Tables.load(s, d, "region")
       val confKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(confKey)
       s.conf.set(confKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
-        df => {
-          import s.implicits._
-          val recs = df.select(
-            col("event_id").cast("string").as("id"),
-            col("event_type").as("key"),
-            lit("").as("value")).as[graft.operators.Core.Record]
-          graft.streaming.StreamOps.runningCountPerRecordTws(recs)
-            .toDF("key", "n")
-        },
-        OutputMode.Update())
+      try runRunningCount(s, d, graft.streaming.StreamOps.runningCountPerRecordTws)
       finally prev match {
         case Some(v) => s.conf.set(confKey, v)
         case None    => s.conf.unset(confKey)
@@ -363,14 +367,8 @@ object StreamingGateQueries {
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         AS fingerprint
       FROM documents""",
-    "stream_running_count" -> """
-      SELECT event_type AS key, CAST(i AS BIGINT) AS n
-      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
-           LATERAL (SELECT unnest(range(1, c + 1)) AS i) t""",
-    "stream_running_count_tws" -> """
-      SELECT event_type AS key, CAST(i AS BIGINT) AS n
-      FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
-           LATERAL (SELECT unnest(range(1, c + 1)) AS i) t""",
+    "stream_running_count" -> runningCountOracleSql,
+    "stream_running_count_tws" -> runningCountOracleSql,
     // Same gaps-and-islands construction as the batch q_session_window
     // oracle (>= gap starts a new session, half-open, per the playbook).
     "stream_session_window" -> """

@@ -158,13 +158,16 @@ class CurationSpec extends GraftSpec {
     val positions = rows.map(_._3)
     assert(positions.distinct.length === rows.length, "positions must be unique")
     assert(positions.min === 0L)
-    // within each full cycle of nsrc consecutive positions, no source
-    // repeats — the anti-ordering-bias property the operator exists for
+    // within each POSITIONAL cycle [c*nsrc, (c+1)*nsrc) no source
+    // repeats — the anti-ordering-bias property the operator exists
+    // for. Group by pos div nsrc, not by consecutive rows: under
+    // unbalanced sources exhausted sources leave positional gaps and
+    // row-chunking would misalign the cycles.
     val nsrc = rows.map(_._2).distinct.length
-    rows.sortBy(_._3).grouped(nsrc).foreach { cycle =>
+    rows.groupBy(_._3 / nsrc).foreach { case (c, cycle) =>
       val srcs = cycle.map(_._2)
       assert(srcs.distinct.length === srcs.length,
-        s"cycle repeats a source: $srcs")
+        s"cycle $c repeats a source: ${srcs.toSeq}")
     }
     // reproducible: a second run yields the identical order
     val again = run("docs_interleave").collect()
