@@ -88,10 +88,22 @@ object CurationQueries {
 
   /** Packing budget (tokens per training sequence bin). */
   private val PackBudget = 512L
-  /** Shard count — each shard packs independently, so parallelism is
-    * explicit and no window ever sees more than 1/Shards of the corpus.
+  /** Packing shard sizing: shard count = max(floor, total_tokens div
+    * target) — DERIVED from corpus scale, so per-shard window volume is
+    * bounded by ~PackShardTokens at any corpus size (a constant shard
+    * count would grow per-window state linearly with the corpus); the
+    * floor keeps a parallelism minimum at small SFs.
     */
-  private val PackShards = 32L
+  private val PackShardFloor = 32L
+  private val PackShardTokens = 65536L
+
+  /** Two-pass distributed-rank sizing: per-source rank buckets =
+    * max(floor, corpus_rows div target-rows-per-bucket) — the bucket
+    * count grows with the corpus so no rank sort ever exceeds
+    * ~RankBucketRows rows per task.
+    */
+  private val RankBucketFloor = 16L
+  private val RankBucketRows = 65536L
 
   /** Oracle SQL for split/decontaminate, shared by their own entries
     * and the end-to-end composite (one definition, zero drift).
@@ -167,10 +179,17 @@ object CurationQueries {
     // (rank-within-source − 1) · #sources + source-index — round-robin
     // across sources, so a training run never sees a long single-source
     // block (ordering bias) and the order is reproducible. Scale shape:
-    // NO global sort — rank is per-source (the same partitioned window
-    // as docs_stratified_sample), the 20-row source index table
-    // broadcasts, and position is pure arithmetic; a consumer sorts by
-    // pos only if it materializes the order (range exchange, parallel).
+    // NO global sort and NO per-source corpus-sized window — per-source
+    // rank is the TWO-PASS DISTRIBUTED RANK: the rank key h is a
+    // uniform hash, so equal-width buckets on h are balanced WITHOUT a
+    // sampling pass (b is a pure function of the row — unlike
+    // repartitionByRange, whose sampled boundaries can differ between
+    // the two plan branches that consume them); pass 1 aggregates
+    // per-(source, bucket) counts (≤ nsrc·B rows), a cumulative window
+    // over that bounded table yields each bucket's prefix offset, and
+    // pass 2 ranks locally within (source, bucket) — each sort task
+    // sees ~corpus/(nsrc·B) rows, with B derived from corpus size so
+    // that stays ~RankBucketRows at any scale.
     "docs_interleave" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // global windows — but over the DISTINCT source table (dimension-
@@ -181,11 +200,25 @@ object CurationQueries {
           Window.orderBy(col("source"))).cast("long") - 1L)
         .withColumn("nsrc", count(lit(1)).over(
           Window.partitionBy()).cast("long"))
-      val ranked = docs.select(col("doc_id"), col("source"),
+      val sized = docs.select(col("doc_id"), col("source"),
         Portable.lcg(col("doc_id")).as("h"))
+      // bucket count from corpus size (lazy one-row aggregate — no
+      // driver action); b = h·B div 2^31 is monotone in h, so
+      // bucket-prefix-offset + local rank ≡ global per-source rank
+      val nb = sized.agg(greatest(lit(RankBucketFloor),
+        expr(s"count(1) div $RankBucketRows")).as("nb"))
+      val bucketed = sized.crossJoin(broadcast(nb))
+        .withColumn("b", expr(s"(h * nb) div ${Portable.LcgM}"))
+      val offs = bucketed.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("b"), col("off"))
+      val ranked = bucketed.join(broadcast(offs), Seq("source", "b"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
-          .cast("long"))
+          Window.partitionBy(col("source"), col("b"))
+            .orderBy(col("h"), col("doc_id"))).cast("long") + col("off"))
       ranked.join(broadcast(src), "source")
         .select(col("doc_id"), col("source"),
           ((col("rn") - 1L) * col("nsrc") + col("sidx")).as("pos"))
@@ -231,20 +264,27 @@ object CurationQueries {
     }),
 
     // Stratified sampling: a fixed-size, deterministic sample PER
-    // LANGUAGE (the balanced-eval-set builder) — rank docs within each
-    // language by the same portable hash and keep the k lowest. The
-    // per-stratum window shuffles only (doc_id, lang, h); for corpora
-    // where even one stratum's ids don't fit a sort, the bounded-state
-    // form is Aggregators.MinKDistinctAggregator (the KMV buffer).
+    // LANGUAGE (the balanced-eval-set builder) — the k docs with the
+    // lowest portable hash in each language, via the BOUNDED-STATE
+    // k-min aggregate (Aggregators.MinKDistinctAggregator, the KMV
+    // buffer): the aggregation buffer never holds more than k values
+    // per (partition, lang) and partials merge exactly, so no stratum
+    // ever sorts its full id set in one task (the window row_number
+    // form does — with ~3 strata that's the whole corpus in 3 tasks).
+    // The rank key packs (h, doc_id) into one long — h < 2^31 and the
+    // doc_id row ordinal < 2^31, so h·2^31 + doc_id orders exactly like
+    // (h, doc_id); for id spaces past 2^31 widen the pack to a struct
+    // min-k.
     "docs_stratified_sample" -> ((s, d) => {
-      val h = Portable.lcg(col("doc_id"))
+      val ck = Portable.lcg(col("doc_id")) * Portable.LcgM + col("doc_id")
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), h.as("h"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
-          .cast("long"))
-        .filter(col("rn") <= StratumK)
-        .select(col("doc_id"), col("lang"), col("rn"))
+        .select(col("lang"), ck.as("ck"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.Aggregators.minKDistinct(StratumK.toInt)(col("ck"))
+          .as("mins"))
+        .select(col("lang"), posexplode(col("mins")).as(Seq("p", "ckv")))
+        .select((col("ckv") % Portable.LcgM).as("doc_id"), col("lang"),
+          (col("p") + 1).cast("long").as("rn"))
     }),
 
     // Overlapping-window chunking: each document explodes into
@@ -275,11 +315,18 @@ object CurationQueries {
     // budget — the distributed form of "append until the bin is full,
     // then start the next" (an oversized doc overflows its own bin and
     // the next doc starts fresh, exactly like the sequential greedy).
+    // Shard count is DERIVED from the corpus token total (lazy one-row
+    // aggregate, no driver action), so each shard's running-sum window
+    // holds ~PackShardTokens tokens at any corpus size — a constant
+    // shard count would serialize 1/32 of a 100 TB corpus per task.
     "docs_pack" -> ((s, d) => {
-      val tok = docWords(s, d).select(
-        col("doc_id"),
-        (col("doc_id") % PackShards).as("shard"),
-        size(col("w")).cast("long").as("n_tokens"))
+      val tokRaw = docWords(s, d).select(
+        col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      val ns = tokRaw.agg(greatest(lit(PackShardFloor),
+        expr(s"sum(n_tokens) div $PackShardTokens")).as("ns"))
+      val tok = tokRaw.crossJoin(broadcast(ns))
+        .select(col("doc_id"), (col("doc_id") % col("ns")).as("shard"),
+          col("n_tokens"))
       tok.select(
         col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"(sum(n_tokens) over " +
@@ -357,13 +404,21 @@ object CurationQueries {
                THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
                ELSE 0 END + 1)) AS k) t""",
     "docs_pack" -> s"""
+      WITH tok AS (
+        SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+        FROM documents),
+      shards AS (
+        SELECT CAST(GREATEST($PackShardFloor,
+                 SUM(n_tokens) // $PackShardTokens) AS BIGINT) AS ns
+        FROM tok),
+      sharded AS (
+        SELECT doc_id, CAST(doc_id % (SELECT ns FROM shards) AS BIGINT) AS shard,
+               n_tokens
+        FROM tok)
       SELECT doc_id, shard, n_tokens,
         CAST((SUM(n_tokens) OVER
                 (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - n_tokens) // $PackBudget AS BIGINT) AS bin
-      FROM (
-        SELECT doc_id, doc_id % $PackShards AS shard,
-          CAST(len($wordsSql) AS BIGINT) AS n_tokens
-        FROM documents)""")
+      FROM sharded""")
 }

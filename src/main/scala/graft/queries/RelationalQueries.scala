@@ -357,23 +357,34 @@ object RelationalQueries {
     // rank ceil(p·n) in sorted order — rank-based, so the result is
     // exact and engine-independent (interpolated percentiles do float
     // arithmetic whose last bit differs across engines; the value AT a
-    // rank is unique no matter how ties are permuted). One window sort
-    // per group — the same shuffle a percentile UDAF would need; for
-    // approximate needs at 100 TB use q_sketch_approx instead.
+    // rank is unique no matter how ties are permuted). Scale shape (the
+    // docs_quality_quantile pattern): NO window over raw orders — the
+    // only corpus-wide exchange is a partially-aggregated (priority,
+    // price) HISTOGRAM, bounded by the VALUE DOMAIN (TPC-H totalprice
+    // is a 2-decimal value in a fixed range — tens of millions of
+    // distinct cents at most, regardless of corpus row count), not by
+    // the corpus; the cumulative window then runs over that histogram
+    // and "value at rank r" = smallest value whose cumulative count
+    // reaches r — identical to the row_number formulation for every
+    // tie permutation, without ever sorting a corpus-sized slice in
+    // one task.
     "q_percentile_disc" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))).as("n"))
+      val hist = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val byVal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      val byGrp = Window.partitionBy(col("o_orderpriority"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(byVal))
+        .withColumn("n", sum(col("cnt")).over(byGrp))
         .groupBy(col("o_orderpriority"))
         .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
+          min(when(col("cum") >= ceil(col("n") * 0.5), col("o_totalprice")))
             .as("p50"),
-          max(when(col("rn") === ceil(col("n") * 0.9), col("o_totalprice")))
+          min(when(col("cum") >= ceil(col("n") * 0.9), col("o_totalprice")))
             .as("p90"),
-          max(when(col("rn") === ceil(col("n") * 0.99), col("o_totalprice")))
+          min(when(col("cum") >= ceil(col("n") * 0.99), col("o_totalprice")))
             .as("p99"))
     }),
 

@@ -78,9 +78,14 @@ class CurationSpec extends GraftSpec {
       // mean the 100 TB scan acquired a shuffle it never needs
       assert(exchanges("docs_sample").isEmpty)
       assert(exchanges("docs_split").isEmpty)
-      // packing needs exactly the one hash exchange on the shard key
+      // packing needs exactly one hash exchange on the shard key; the
+      // corpus-scaled shard count adds a one-row-per-partition
+      // SinglePartition exchange for the token-total scalar (bounded by
+      // partition count, never by data) and nothing else
       val packEx = exchanges("docs_pack")
-      assert(packEx.length === 1 && packEx.head.contains("shard"))
+      assert(packEx.count(_.contains("shard")) === 1)
+      assert(packEx.filterNot(_.contains("shard"))
+        .forall(_.contains("SinglePartition")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
