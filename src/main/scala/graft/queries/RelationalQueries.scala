@@ -33,6 +33,12 @@ object RelationalQueries {
     * state per group.
     */
   private val KmvK = 64
+  /** q_sketch_approx sizing: KMV buffer (k longs per group) and the
+    * price-histogram bucket width (a power of two, so the bucketing
+    * division is exact in IEEE doubles on every engine).
+    */
+  private val SketchK = 256
+  private val SketchBucket = 256L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -81,27 +87,53 @@ object RelationalQueries {
             col("s1d").cast("double") * col("s1d").cast("double") / col("n"))
             / (col("n") - 1)).as("var_q"))),
 
-    // Sketch aggregates (HLL++ distinct, approximate quantiles): no SQL
-    // oracle by design — approximation is engine-specific, so the driver
-    // records the weaker rows-only check; the accuracy bound against the
-    // exact answer is asserted in ExtensionsSpec.
-    "q_sketch_approx" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // Sketch aggregates with the SKETCH shape (bounded per-group state,
+    // exactly-mergeable partials) in PORTABLE form, so the estimates
+    // themselves oracle-gate: approximate distinct is the KMV estimator
+    // ((k−1)·2^31 div kth-smallest distinct hash — k longs of state per
+    // group, pure integers) and approximate median is the smallest
+    // SketchBucket-wide price bucket whose cumulative count covers half
+    // the group (state bounded by the price domain / bucket width; the
+    // power-of-two width keeps the double division exact in IEEE, so
+    // both engines bucket identically). Spark's native sketches
+    // (approx_count_distinct's HLL++, percentile_approx's KLL) have the
+    // same plan shape but engine-private state, which would force a
+    // weaker rows-only gate; accuracy vs the exact answers is asserted
+    // in PartitioningSpec.
+    "q_sketch_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.Aggregators.minKDistinct(SketchK)(
+          Portable.lcg(col("l_partkey"))).as("mins"))
+        .select(col("l_returnflag"),
+          when(size(col("mins")) < SketchK, size(col("mins")).cast("long"))
+            .otherwise(expr(
+              s"(${SketchK - 1} * 2147483648) div element_at(mins, $SketchK)"))
+            .as("approx_parts"))
+      val hist = li.groupBy(col("l_returnflag"),
+          (floor(col("l_extendedprice") / SketchBucket) * SketchBucket)
+            .cast("long").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("pb"))))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .filter(col("cum") * 2L >= col("tot"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_price"))),
+        .agg(min(col("pb")).as("p50_price"))
+      est.join(med, "l_returnflag")
+    }),
 
     // K-minimum-values distinct sketch — approximation with a FULLY
     // oracle-gated estimate: the sketch state is the k smallest
     // distinct values of a pure-integer hash (bounded buffer per
     // group, exactly mergeable — Aggregators.MinKDistinctAggregator),
     // and est = (k-1)·2^31 div kth-min is integer arithmetic, so both
-    // engines produce the IDENTICAL estimate — unlike HLL
-    // (q_sketch_approx), whose engine-specific sketch forces a
-    // rows-only gate. exact countDistinct rides along to show the
-    // sketch's error live.
+    // engines produce the IDENTICAL estimate (q_sketch_approx applies
+    // the same device per-aggregate; here the exact countDistinct rides
+    // along to show the sketch's error live).
     "q_kmv_distinct" -> ((s, d) => {
       val k = KmvK
       // Collapse to distinct (flag, partkey) BEFORE the sketch: the
@@ -1014,6 +1046,35 @@ object RelationalQueries {
              CAST(s1d AS DOUBLE) AS sum_q,
              (CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / n) / (n - 1) AS var_q
       FROM m""",
+    "q_sketch_approx" -> s"""
+      WITH hashes AS (
+        SELECT DISTINCT l_returnflag,
+          ${Portable.lcgSql("l_partkey")} AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hashes),
+      est AS (
+        SELECT l_returnflag,
+          CASE WHEN COUNT(*) < $SketchK THEN COUNT(*)
+               ELSE (${SketchK - 1} * 2147483648) // MAX(h) END AS approx_parts
+        FROM ranked WHERE rn <= $SketchK GROUP BY l_returnflag),
+      hist AS (
+        SELECT l_returnflag,
+          CAST(FLOOR(l_extendedprice / $SketchBucket) * $SketchBucket AS BIGINT) AS pb,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      med AS (
+        SELECT l_returnflag, MIN(pb) AS p50_price FROM (
+          SELECT l_returnflag, pb,
+            SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY pb) AS cum,
+            SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot
+          FROM hist)
+        WHERE cum * 2 >= tot GROUP BY l_returnflag)
+      SELECT e.l_returnflag, CAST(e.approx_parts AS BIGINT) AS approx_parts,
+             m.p50_price
+      FROM est e JOIN med m USING (l_returnflag)""",
     "q_kmv_distinct" -> s"""
       WITH hashes AS (
         SELECT DISTINCT l_returnflag,

@@ -272,16 +272,29 @@ class PartitioningSpec extends GraftSpec {
 
   test("sketch aggregates stay within tolerance of exact answers") {
     val d = "/root/testdata/sf0.001"
-    val approx = RQ.queries("q_sketch_approx")(spark, d).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = RQ.queries("q_sketch_approx")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val exact = Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for ((k, ex) <- exact) {
-      val ap = approx(k)
+      val ap = rows(k)._1
       assert(math.abs(ap - ex).toDouble / ex < 0.1,
         s"$k: approx $ap vs exact $ex")
+    }
+    // the histogram-sketch median's bucket must CONTAIN the exact
+    // discrete median (value at rank ceil(n/2)) — the sketch's error
+    // bound is exactly one bucket width
+    val prices = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    for ((k, vs) <- prices) {
+      val sorted = vs.map(_._2).sorted
+      val medianDisc = sorted((sorted.length + 1) / 2 - 1)
+      val p50 = rows(k)._2
+      assert(medianDisc >= p50 && medianDisc < p50 + 256L,
+        s"$k: exact median $medianDisc outside sketch bucket [$p50, ${p50 + 256})")
     }
   }
 }
