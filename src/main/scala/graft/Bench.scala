@@ -10,6 +10,22 @@ import org.apache.spark.sql.SparkSession
   * as very fast).
   */
 object Bench {
+  private val Reps = 3
+
+  /** Median of the successful reps: this host shows sustained external
+    * contention (unchanged queries measured 1s and 9s across runs), and
+    * min-of-2 demonstrably did not absorb a multi-rep spike — the
+    * median tolerates one contaminated rep out of three. The full
+    * per-rep times are persisted in bench_out.json under "reps" so a
+    * contended run is visible IN the artifact (reps that disagree by
+    * multiples = host noise, not a regression) instead of masquerading
+    * as one.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2) // odd-length reps; upper middle for even
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -18,13 +34,9 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    // Deterministic order + cache cleanup per query; each query is run
-    // TWICE and the min reported — this host shows transient external
-    // contention spikes (unchanged queries measured 0.5s and 19s in
-    // back-to-back runs), and min-of-2 absorbs a spike landing on
-    // either attempt.
+    // Deterministic order + cache cleanup per query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -33,22 +45,26 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
-      (name, if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val good = times.filter(_ >= 0)
+      (name, if (good.nonEmpty) median(good) else -1.0, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver captures one line; the persisted artifact additionally
+    // carries every rep so the evidence self-diagnoses host noise (and
+    // survives log-tail truncation of the per-query map).
+    val reps = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) + s""","reps":$reps}"""
     println(json)
-    // Also persist the line: the round driver captures only the log
-    // TAIL, which has truncated the per-query times of the
-    // alphabetically-first (heaviest) entries before — the file keeps
-    // the full evidence regardless of log truncation.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // benchmark output must never fail the run
     spark.stop()
   }
