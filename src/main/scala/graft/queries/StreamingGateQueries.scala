@@ -248,11 +248,15 @@ object StreamingGateQueries {
     // Stream-stream INNER JOIN (the canonical Spark shape: equality key
     // + event-time range, watermarks on BOTH sides so join state is
     // evictable): clicks matched to same-user purchases within 30
-    // minutes. Append mode — joins don't support Complete. A self-join
-    // of one streaming source is deliberate: one scan feeds both sides.
+    // minutes. Append mode — joins don't support Complete — so it runs
+    // through the PRODUCTION parquet file sink like the tumbling/late
+    // gates (result read back via the sink's commit log; no memory sink
+    // in the plan), covering the stateful-join→file-sink path. A
+    // self-join of one streaming source is deliberate: one scan feeds
+    // both sides.
     "stream_join" -> ((s, d) => {
       Tables.load(s, d, "region")
-      runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+      runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
         df => {
           val e = df.withColumn("ts", col("ts").cast("timestamp"))
           val c = e.filter(col("event_type") === "click")
@@ -269,8 +273,7 @@ object StreamingGateQueries {
             .select(col("user_id"), col("click_id"), col("purchase_id"),
               col("cts").cast("timestamp_ntz").as("click_ts"),
               col("pts").cast("timestamp_ntz").as("purchase_ts"))
-        },
-        OutputMode.Append())
+        })
     }),
 
     // Stream-STATIC join: the arriving fact stream enriched against a
