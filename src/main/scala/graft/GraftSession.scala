@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Task retries on a cluster: 4 attempts (the default, stated
+      // explicitly because the engine's failover story depends on it).
+      // NOTE: local mode IGNORES this conf — there retries come from
+      // the master URL, local[N, maxFailures], set in local() below.
+      .config("spark.task.maxFailures", "4")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader cannot represent; read as long (ns since epoch) and convert
       // explicitly in Tables.events.
@@ -39,7 +44,12 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
 
   def local(appName: String = "graft"): SparkSession = {
-    val s = builder(appName).master(s"local[$cpus]").getOrCreate()
+    // local[N, 4]: N threads, 4 task attempts — local mode defaults to
+    // ONE attempt (any task error fails the job), which is not the
+    // failover contract the engine claims; with 4, a killed attempt
+    // (RainStorm.Chaos, or a genuine fault) is rescheduled and lineage/
+    // shuffle replay reproduces its work, as on a cluster.
+    val s = builder(appName).master(s"local[$cpus, 4]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

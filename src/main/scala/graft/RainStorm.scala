@@ -24,6 +24,45 @@ import graft.operators.Core
   */
 object RainStorm {
 
+  /** Chaos-kill injection backing the reference's `RainStormWithFail`
+    * REPL verb (main.go:223-243: run the job, kill two live op workers
+    * 1.5 s in, and show output equivalence; rainstorm/server.go:543-572
+    * is the failover that absorbs it). Spark analogue: the next `n`
+    * record deliveries inside FlatMap tasks each throw once, killing
+    * their task attempt mid-run; the scheduler reschedules the attempt
+    * (spark.task.maxFailures=4, the cluster default, set in
+    * GraftSession) and lineage/shuffle replay reproduces the lost
+    * work — output equivalence is the scheduler's contract instead of a
+    * hand-rolled WAL's. The flag is JVM-local (@volatile + atomic),
+    * which reaches every executor thread under local[*] exactly like
+    * the reference's single-box demo; on a real cluster the injection
+    * would ride a broadcast variable or an executor plugin instead.
+    */
+  object Chaos {
+    @volatile private var armed = false
+    private val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Arm the next `n` deliveries to kill their task attempt. */
+    def arm(n: Int): Unit = { remaining.set(n); armed = n > 0 }
+
+    /** Total task-attempt kills injected since JVM start (spec probe). */
+    def firedCount: Int = fired.get()
+
+    /** Called per record delivery on the FlatMap path; free when
+      * disarmed (one volatile read).
+      */
+    private[graft] def tap(): Unit = if (armed) {
+      val r = remaining.getAndUpdate(x => if (x > 0) x - 1 else x)
+      if (r <= 1) armed = false
+      if (r > 0) {
+        fired.incrementAndGet()
+        throw new RuntimeException(
+          s"chaos: injected task-attempt kill ($r armed kills remaining)")
+      }
+    }
+  }
+
   /** An operator slot in the 3-stage pipeline. */
   sealed trait RsOp
   /** General flat-map contract: (key, value, pattern) → 0..k records. */
@@ -99,8 +138,11 @@ object RainStorm {
         // stages (rainstorm/server.go:384-390); numTasks ≈ partitions
         Core.flatMapRecords(
           df.repartition(numTasks, col("key")),
-          r => f(r.key, r.value, pattern).map { case (k, v) =>
-            Core.Record(java.util.UUID.randomUUID().toString, k, v)
+          r => {
+            Chaos.tap() // no-op unless RainStormWithFail armed kills
+            f(r.key, r.value, pattern).map { case (k, v) =>
+              Core.Record(java.util.UUID.randomUUID().toString, k, v)
+            }
           })
       case CountByKey =>
         // Re-synthesize a (key-derived) id so a FlatMap stage may legally

@@ -4,12 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 import graft.RainStorm.{Ops, RsOp}
 
-/** Runnable front door matching the reference's REPL command
-  * (`main.go:206-222`):
+/** Runnable front door matching the reference's REPL commands
+  * (`main.go:206-243`):
   *
   * {{{
-  * runMain graft.RainStormCli <op1> <op2> <src> <dest> <numTasks> [pattern...]
+  * runMain graft.RainStormCli [RainStorm|RainStormWithFail] \
+  *   <op1> <op2> <src> <dest> <numTasks> [pattern...]
   * }}}
+  *
+  * The leading verb is optional (bare args run the plain job, matching
+  * the previous argv surface). `RainStormWithFail` is the reference's
+  * chaos verb (main.go:223-243): run the same job but kill two live
+  * workers mid-run and still produce the identical output — here two
+  * task attempts are killed via `RainStorm.Chaos` and the scheduler's
+  * retry + lineage replay provides the equivalence (the reference
+  * sleeps 1.5 s then `KillRandom(2)`; arming before the run and firing
+  * on the first two in-task deliveries injects at the same point of the
+  * job's life: mid-execution, after work has started flowing).
   *
   * Operator names are the reference's demo executable names; remaining
   * args past numTasks join into the pattern (the reference does
@@ -34,10 +45,17 @@ object RainStormCli {
     * session lifecycle, specs pass the suite session).
     */
   def runCli(spark: SparkSession, args: Array[String]): Unit = {
-    require(args.length >= 5,
-      "usage: RainStormCli <op1> <op2> <src> <dest> <numTasks> [pattern...]")
-    val Array(op1, op2, src, dest, numTasks) = args.take(5)
-    val pattern = args.drop(5).mkString(" ")
+    val (withFail, rest) = args.headOption match {
+      case Some("RainStormWithFail") => (true, args.tail)
+      case Some("RainStorm")         => (false, args.tail)
+      case _                         => (false, args)
+    }
+    require(rest.length >= 5,
+      "usage: RainStormCli [RainStorm|RainStormWithFail] " +
+        "<op1> <op2> <src> <dest> <numTasks> [pattern...]")
+    val Array(op1, op2, src, dest, numTasks) = rest.take(5)
+    val pattern = rest.drop(5).mkString(" ")
+    if (withFail) RainStorm.Chaos.arm(2) // the reference's KillRandom(2)
     RainStorm.run(spark, src, resolve(op1), resolve(op2),
       Some(dest), numTasks.toInt, pattern)
   }

@@ -11,7 +11,10 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-test")
-      .master("local[4]")
+      // local[4, 4]: 4 threads, 4 task attempts — mirrors GraftSession;
+      // task-level failover is real in tests (RainStormSpec's chaos
+      // verb relies on rescheduled attempts)
+      .master("local[4, 4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -85,6 +85,37 @@ class RainStormSpec extends GraftSpec {
       RainStormCli.runCli(spark, Array("nope", "app1op2", src, dest1, "2"))
     }
     assert(err.getMessage.contains("app1op1"))
+    // The optional leading verb is accepted and inert for plain runs.
+    val dest3 = tmpDir("rainstorm-cli") + "/verb"
+    RainStormCli.runCli(spark,
+      Array("RainStorm", "app1op1", "app1op2", src, dest3, "2", "Stop"))
+    assert(spark.read.textFile(dest3).collect().toSet ===
+      Set("101,Stop", "105,Stop"))
+  }
+
+  test("RainStormWithFail verb: two mid-run task kills, output equals the unkilled run") {
+    // The reference's chaos REPL command (main.go:223-243) runs the job,
+    // kills two live op workers mid-flight, and demonstrates output
+    // equivalence via its WAL + replay (rainstorm/server.go:543-572).
+    // Spark analogue: RainStorm.Chaos kills two task attempts inside the
+    // running job; spark.task.maxFailures=4 (GraftSession) reschedules
+    // them and lineage replay reproduces the lost work in the SAME run —
+    // no restart needed, same equivalence.
+    val src = writeFixture()
+    val destFail = tmpDir("rainstorm-fail") + "/out"
+    val destOk = tmpDir("rainstorm-ok") + "/out"
+    val firedBefore = RainStorm.Chaos.firedCount
+    try RainStormCli.runCli(spark, Array("RainStormWithFail",
+      "app2op1", "app2op2", src, destFail, "2", "Punched", "Telespar"))
+    finally RainStorm.Chaos.arm(0) // never leak armed kills into other tests
+    assert(RainStorm.Chaos.firedCount === firedBefore + 2,
+      "both armed kills must fire inside running tasks")
+    RainStormCli.runCli(spark, Array("RainStorm",
+      "app2op1", "app2op2", src, destOk, "2", "Punched", "Telespar"))
+    val got = spark.read.textFile(destFail).collect().toSet
+    val want = spark.read.textFile(destOk).collect().toSet
+    assert(got === want)
+    assert(got === Set("Regulatory,2", "Warning,1"))
   }
 
   test("batch source keys are <srcFile>:<lineNo>, distinct for duplicate lines") {

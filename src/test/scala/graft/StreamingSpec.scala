@@ -148,11 +148,16 @@ class StreamingSpec extends GraftSpec {
     val srcDir = tmpDir("chaos-src")
     val ckpt = tmpDir("chaos-ckpt")
     writeLines(srcDir, "f1.txt", Seq("click u1", "view u2", "click u1"))
+    // Poison EVERY attempt while armed: with task retries enabled
+    // (spark.task.maxFailures=4, set in GraftSession), a one-shot throw
+    // is absorbed by the scheduler — that in-run failover is what the
+    // RainStormWithFail verb covers (RainStormSpec). This test needs
+    // the stronger failure: retries exhausted, the QUERY dies with the
+    // micro-batch uncommitted, and a new incarnation must replay it
+    // from the checkpoint exactly once.
     val killer = udf { (v: String) =>
-      if (ChaosKill.armed && v == "click u3") {
-        ChaosKill.armed = false // kill exactly one task attempt
+      if (ChaosKill.armed && v == "click u3")
         throw new RuntimeException("chaos: injected mid-batch task kill")
-      }
       v
     }
 
@@ -177,8 +182,8 @@ class StreamingSpec extends GraftSpec {
     writeLines(srcDir, "f2.txt", Seq("click u3", "click u1"))
     ChaosKill.armed = true
     val killed = pipeline(ckpt, "chaos_run2")
+    ChaosKill.armed = false // disarm: the restart below must succeed
     assert(killed.isLeft, "the armed poison record must crash the query")
-    assert(!ChaosKill.armed, "the kill fired inside a running task")
 
     // Restart from the same checkpoint: the uncommitted batch replays.
     assert(pipeline(ckpt, "chaos_run3").isRight)
