@@ -124,10 +124,56 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Observation names runPipeline publishes (one CollectMetrics node
+    * at each end of the pipeline).
+    */
+  val SourceMetrics = "graft_source"
+  val SinkMetrics = "graft_sink"
+
+  /** Live production-pipeline metrics — the Spark-native analogue of
+    * the reference leader's in-flight progress prints
+    * (rainstorm/server.go:306-310). The counters ride the job itself
+    * via `Dataset.observe` (named aggregates computed inline with each
+    * micro-batch — zero extra passes, proven in ExtensionsSpec) and
+    * arrive here on the listener bus with every batch's progress event;
+    * totals accumulate per query id, so one listener serves a whole
+    * session's pipelines. Progress events are posted asynchronously —
+    * after a query terminates, poll briefly before reading totals.
+    */
+  final class PipelineMetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val totals =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      def metric(name: String, field: String): Long =
+        Option(p.observedMetrics.get(name))
+          .map(_.getAs[Long](field)).getOrElse(0L)
+      val in = metric(SourceMetrics, "rows_in")
+      val out = metric(SinkMetrics, "rows_out")
+      if (in != 0L || out != 0L)
+        totals.merge(p.id, (in, out),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+    /** Total source rows observed across the query's batches so far. */
+    def rowsIn(id: java.util.UUID): Long =
+      Option(totals.get(id)).map(_._1).getOrElse(0L)
+    /** Total sink rows observed across the query's batches so far. */
+    def rowsOut(id: java.util.UUID): Long =
+      Option(totals.get(id)).map(_._2).getOrElse(0L)
+  }
+
   /** The RainStorm pipeline template, streaming edition: source → op1 →
     * op2 → sink with checkpointed exactly-once (rainstorm/server.go:88-153
     * minus the hand-rolled WAL). `AvailableNow` drains all available
     * input then stops — the deterministic batch-equivalent trigger.
+    * Both ends of the pipeline are observed (rows_in before op1,
+    * rows_out after op2), so a PipelineMetricsListener sees per-batch
+    * ingest and emit counts without the sink path running blind —
+    * and without a second pass over the data.
     */
   def runPipeline(source: DataFrame,
                   op1: DataFrame => DataFrame,
@@ -135,7 +181,9 @@ object StreamOps {
                   outputMode: OutputMode,
                   checkpoint: String,
                   sinkDir: Option[String] = None): StreamingQuery = {
-    val transformed = Core.pipeline(source, op1, op2)
+    val observed = source.observe(SourceMetrics, count(lit(1)).as("rows_in"))
+    val transformed = Core.pipeline(observed, op1, op2)
+      .observe(SinkMetrics, count(lit(1)).as("rows_out"))
     val writer = transformed.writeStream
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())

@@ -194,6 +194,37 @@ class StreamingSpec extends GraftSpec {
     assert(result("chaos_run3") === Map("u1" -> 3L, "u3" -> 1L))
   }
 
+  test("runPipeline surfaces per-batch rows_in/rows_out on the listener bus") {
+    // The production sink path must not run blind: runPipeline observes
+    // both pipeline ends (Dataset.observe — the named aggregates ride
+    // the job, zero extra passes per ExtensionsSpec) and a
+    // PipelineMetricsListener accumulates them per query from progress
+    // events — the reference leader's live progress surface
+    // (rainstorm/server.go:306-310) without a second scan.
+    val srcDir = tmpDir("obs-src")
+    val ckpt = tmpDir("obs-ckpt")
+    writeLines(srcDir, "f1.txt",
+      Seq("click u1", "view u2", "click u1", "click u3"))
+    val listener = new StreamOps.PipelineMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = StreamOps.runPipeline(
+        spark.readStream.text(srcDir),
+        df => df.filter(col("value").startsWith("click"))
+          .select(substring_index(col("value"), " ", -1).as("key")),
+        df => Core.countByKey(df),
+        OutputMode.Complete(), ckpt)
+      q.awaitTermination()
+      val id = q.id
+      // progress events are posted asynchronously; poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      while (listener.rowsOut(id) == 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.rowsIn(id) === 4L)  // every source line observed
+      assert(listener.rowsOut(id) === 2L) // u1, u3 count rows emitted
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dedup drops redelivered ids (F5)") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(String, java.sql.Timestamp, String)]
