@@ -201,16 +201,20 @@ object MediaOps {
   /** Partition-streaming image resize: PPM P6 payloads are
     * nearest-neighbor resampled to (outW, outH) and re-encoded; every
     * other payload passes through byte-identical (a resize stage must
-    * not corrupt the audio/video rows sharing the column). resizePpm is
-    * a pure per-record function, so unlike decodeFeatures there is no
-    * per-batch decoder state to amortize and no batching layer. Per-
-    * record work is O(outW·outH); no shuffle at any scale.
+    * not corrupt the audio/video rows sharing the column) — gated on
+    * the row's declared kind, not just payload sniffing, so an
+    * audio/video payload that coincidentally parses as a P6 header is
+    * never silently rewritten. resizePpm is a pure per-record function,
+    * so unlike decodeFeatures there is no per-batch decoder state to
+    * amortize and no batching layer. Per-record work is O(outW·outH);
+    * no shuffle at any scale.
     */
   def resizeImages(ds: Dataset[Media], outW: Int, outH: Int): Dataset[Media] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { m =>
-      Codec.resizePpm(m.payload, outW, outH)
+      if (m.kind != "image") m
+      else Codec.resizePpm(m.payload, outW, outH)
         .map(p => m.copy(payload = p)).getOrElse(m)
     })
   }

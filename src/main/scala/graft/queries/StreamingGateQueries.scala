@@ -202,17 +202,16 @@ object StreamingGateQueries {
     // projection and the same oracle by construction (shared helpers),
     // so both state APIs are driver-verified, not just spec-compared.
     // The RocksDB provider is a requirement of the API; it is pinned
-    // for this gate and restored (the other gates keep the default).
+    // on an ISOLATED session (s.newSession(): own SQLConf over the
+    // shared SparkContext), so the pin cannot leak into — or race
+    // with — any gate running on the shared session; builder-level
+    // confs (UTC, nanosAsLong) live in the SparkContext conf and carry
+    // over to the new session.
     "stream_running_count_tws" -> ((s, d) => {
-      val confKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(confKey)
-      s.conf.set(confKey,
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try runRunningCount(s, d, graft.streaming.StreamOps.runningCountPerRecordTws)
-      finally prev match {
-        case Some(v) => s.conf.set(confKey, v)
-        case None    => s.conf.unset(confKey)
-      }
+      runRunningCount(s2, d, graft.streaming.StreamOps.runningCountPerRecordTws)
     }),
 
     // Gap-based session windows as a genuine streaming job — the state

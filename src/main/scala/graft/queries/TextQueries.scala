@@ -585,13 +585,16 @@ object TextQueries {
       // (doc, bigram), not one per occurrence — on repetitive text
       // (exactly what an LM-score gate exists to catch) that's the
       // difference between shuffling the corpus and shuffling its
-      // vocabulary projection. Cached: three consumers (both model
-      // marginals + the join side) would otherwise re-tokenize the
-      // corpus three times (on a cluster this is the stage you persist;
-      // Verify/Bench clear the cache after each query).
+      // vocabulary projection. localCheckpoint (the dedup_clusters
+      // device), NOT cache(): three consumers (both model marginals +
+      // the join side) would otherwise re-tokenize the corpus three
+      // times, and a cache() here would pin a corpus-sized block in
+      // the session cache for every composing invocation until someone
+      // else cleans up — checkpoint blocks are freed by the
+      // ContextCleaner when the frame goes out of scope.
       val perDoc = inst.groupBy(col("doc_id"), col("a"), col("g"))
         .agg(count(lit(1)).as("k"))
-        .cache()
+        .localCheckpoint()
       val gCnt = perDoc.groupBy(col("g")).agg(sum(col("k")).as("cg"))
       val aCnt = perDoc.groupBy(col("a")).agg(sum(col("k")).as("ca"))
       perDoc.join(gCnt, "g").join(aCnt, "a")

@@ -108,6 +108,12 @@ class MediaSpec extends GraftSpec {
     // non-image payloads pass through byte-identical
     assert(out(11L).sameElements(media(1).payload))
     assert(out(12L).sameElements(media(2).payload))
+    // ...INCLUDING one that happens to parse as a valid P6 image: the
+    // resize is gated on the declared kind, not payload sniffing — an
+    // audio blob starting with a P6 header must never be rewritten
+    val disguised = Media(13L, "audio", header ++ pixels)
+    val out2 = MediaOps.resizeImages(Seq(disguised).toDS(), 2, 2).collect()
+    assert(out2.head.payload.sameElements(disguised.payload))
     // upscale is the same floor map: 4x4 -> 8x8 repeats each pixel 2x2
     val up = Codec.resizePpm(header ++ pixels, 8, 8).get
     val (uw, uh, _, uoff) = Codec.parsePpmHeader(up).get
