@@ -306,13 +306,17 @@ object RelationalQueries {
 
     // RANGE frame: value-based window (all rows within 5 quantity units
     // below), vs the row-count frames above. Exact longs keep the frame
-    // boundary and sum engine-identical.
+    // boundary and sum engine-identical. Partitioned by the natural
+    // entity key (order) like every window demo here: partitions stay
+    // order-sized at any corpus scale — a single-digit-cardinality key
+    // (returnflag) would serialize the corpus into a handful of sort
+    // tasks at 100×.
     "q_window_range_frame" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
+      val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("q"))
         .rangeBetween(-5L, Window.currentRow)
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("q"))
         .withColumn("range_cnt", count(lit(1)).over(w))
         .select(col("l_orderkey"), col("l_linenumber"), col("q"),
@@ -322,12 +326,13 @@ object RelationalQueries {
     // ntile / percent_rank / cume_dist analytic family with a total
     // order; percent_rank and cume_dist are exact small-int ratios —
     // compared unrounded, both engines derive them from identical
-    // (rank, count) integers.
+    // (rank, count) integers. Per-customer partitions: person-sized at
+    // any corpus scale (see q_window_range_frame's key note).
     "q_window_ntile" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
+      val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_orderkey"),
+        .select(col("o_custkey"), col("o_orderkey"),
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
@@ -338,14 +343,16 @@ object RelationalQueries {
     // UNBOUNDED PRECEDING..CURRENT ROW on a total order, so last_value
     // is well-defined (the default frame's last_value is the current
     // row — a classic cross-engine trap avoided by pinning the frame).
+    // Per-customer partitions: person-sized at any corpus scale (see
+    // q_window_range_frame's key note).
     "q_window_firstlast" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
+      val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_orderkey"),
+        .select(col("o_custkey"), col("o_orderkey"),
           dense_rank().over(
-            Window.partitionBy(col("o_orderpriority"))
+            Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_totalprice"), col("o_orderkey")))
             .cast("long").as("drank"),
           first(col("o_orderkey")).over(w).as("cheapest_key"),
@@ -992,17 +999,17 @@ object RelationalQueries {
       ) WHERE rn <= 3""",
     "q_window_range_frame" -> """
       SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q,
-             COUNT(*) OVER (PARTITION BY l_returnflag
+             COUNT(*) OVER (PARTITION BY l_orderkey
                             ORDER BY CAST(l_quantity AS BIGINT)
                             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_cnt
       FROM lineitem""",
     "q_window_ntile" -> """
-      SELECT o_orderpriority, o_orderkey,
+      SELECT o_custkey, o_orderkey,
              CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
              PERCENT_RANK() OVER w AS pr,
              CUME_DIST() OVER w AS cd
       FROM orders
-      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
     "q_join_full" -> """
       SELECT COALESCE(c_custkey, -1) AS cust, COUNT(o_orderkey) AS n_orders
       FROM customer c FULL OUTER JOIN
@@ -1270,14 +1277,14 @@ object RelationalQueries {
       FROM part
       WHERE regexp_matches(p_name, '^(small|blue) ')""",
     "q_window_firstlast" -> """
-      SELECT o_orderpriority, o_orderkey,
-        CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+      SELECT o_custkey, o_orderkey,
+        CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS drank,
         FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
         LAST_VALUE(o_orderkey) OVER w AS self_key,
         NTH_VALUE(o_orderkey, 2) OVER w AS second_key
       FROM orders
-      WINDOW w AS (PARTITION BY o_orderpriority
+      WINDOW w AS (PARTITION BY o_custkey
         ORDER BY o_totalprice, o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q_set_intersect_all" -> """
