@@ -83,6 +83,13 @@ object CurationQueries {
   private val ChunkWords = 32
   private val ChunkStride = 24
 
+  /** Occurrence packing for chunk-level dedup: occurrence id =
+    * doc_id · 2^20 + chunk_id. Valid while chunk_id < 2^20 (docs up to
+    * ~25 M words at stride 24) and doc_id < 2^43 — both far beyond any
+    * real document corpus; past them, widen to a struct min.
+    */
+  private val ChunkPack = 1048576L
+
   /** Per-language stratified sample size. */
   private val StratumK = 25L
 
@@ -310,6 +317,27 @@ object CurationQueries {
           md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
     }),
 
+    // Cross-document SUB-document dedup (the CCNet-style shared-passage
+    // removal): of all chunks with the same fingerprint, keep the
+    // single globally-first occurrence (min (doc_id, chunk_id)) and
+    // record how many copies it displaced. Whole-doc dedup
+    // (dedup_exact/minhash) misses boilerplate pasted into
+    // otherwise-distinct documents; chunk granularity catches it.
+    // Scale shape: chunks derive scan-side (docs_chunk's narrow
+    // Generate) and the ONLY exchange is the groupBy on the 16-byte
+    // fingerprint carrying one packed 8-byte occurrence id (map-side
+    // min/count combine) — chunk text never shuffles, and the
+    // survivors decode straight out of the aggregate.
+    "dedup_chunks" -> ((s, d) =>
+      queries("docs_chunk")(s, d)
+        .select(col("chunk_fp"),
+          (col("doc_id") * ChunkPack + col("chunk_id")).as("packed"))
+        .groupBy(col("chunk_fp"))
+        .agg(min(col("packed")).as("keep"), count(lit(1)).as("n_copies"))
+        .select(expr(s"keep div $ChunkPack").as("doc_id"),
+          (col("keep") % ChunkPack).as("chunk_id"),
+          col("chunk_fp"), col("n_copies"))),
+
     // Token-budget packing: greedy contiguous fill of PackBudget-token
     // bins, independently per shard. bin = tokens-before-this-doc div
     // budget — the distributed form of "append until the bin is full,
@@ -403,6 +431,26 @@ object CurationQueries {
           CASE WHEN len > $ChunkWords
                THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
                ELSE 0 END + 1)) AS k) t""",
+    "dedup_chunks" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      sized AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
+        FROM dw WHERE len(w) > 0),
+      chunks AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+          md5(array_to_string(list_slice(w, k * $ChunkStride + 1,
+                              k * $ChunkStride + $ChunkWords), ' ')) AS chunk_fp
+        FROM sized, LATERAL (
+          SELECT unnest(range(0,
+            CASE WHEN len > $ChunkWords
+                 THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
+                 ELSE 0 END + 1)) AS k) t)
+      SELECT CAST(keep // $ChunkPack AS BIGINT) AS doc_id,
+             CAST(keep % $ChunkPack AS BIGINT) AS chunk_id,
+             chunk_fp, CAST(n_copies AS BIGINT) AS n_copies
+      FROM (SELECT chunk_fp, MIN(doc_id * $ChunkPack + chunk_id) AS keep,
+                   COUNT(*) AS n_copies
+            FROM chunks GROUP BY chunk_fp)""",
     "docs_pack" -> s"""
       WITH tok AS (
         SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens

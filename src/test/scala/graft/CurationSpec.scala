@@ -89,6 +89,29 @@ class CurationSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dedup_chunks keeps the globally-first occurrence of a shared passage") {
+    import spark.implicits._
+    // two docs open with the SAME 32-word boilerplate (one aligned
+    // chunk), then diverge; a third is fully distinct — the shape
+    // whole-doc dedup cannot catch (all three doc fingerprints differ)
+    val shared = (1 to 32).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"$shared alpha beta gamma"),
+      (9L, s"$shared delta epsilon"),
+      (7L, (1 to 40).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("dedup-chunks")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.queries("dedup_chunks")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // every doc has 2 chunks; the shared opening survives ONCE, under
+    // the smaller (doc_id, chunk_id): (5, 0) with 2 displaced copies
+    assert(out.length === 5)
+    assert(out.filter(_._3 > 1L).toSeq === Seq((5L, 0L, 2L)))
+    assert(!out.exists(r => r._1 === 9L && r._2 === 0L),
+      "the later copy of the shared chunk must be dropped")
+  }
+
   test("docs_mixture: per-language weights hold exactly and copies are contiguous") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1))
