@@ -222,7 +222,12 @@ object CurationQueries {
           Window.partitionBy(col("source")).orderBy(col("b"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("source"), col("b"), col("off"))
-      val ranked = bucketed.join(broadcast(offs), Seq("source", "b"))
+      // no broadcast hint on offs: its size is nsrc·B (corpus-derived,
+      // ~GB at extreme scale), AQE broadcasts it while it measures
+      // small, and a broadcast would buy nothing anyway — the rank
+      // window needs a (source, b) exchange that a shuffled join
+      // already provides (Catalyst reuses the join's partitioning)
+      val ranked = bucketed.join(offs, Seq("source", "b"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("source"), col("b"))
             .orderBy(col("h"), col("doc_id"))).cast("long") + col("off"))
