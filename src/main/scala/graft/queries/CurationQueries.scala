@@ -90,6 +90,48 @@ object CurationQueries {
     */
   private val ChunkPack = 1048576L
 
+  /** (doc_id, chunk_id, n_words, chunk_fp) chunk rows from a
+    * (doc_id, text) frame. Pure projection + Generate (narrow), so the
+    * SAME definition runs over batch and streaming frames —
+    * docs_chunk, dedup_chunks, and the streaming chunk-dedup gate all
+    * chunk through here and can never drift apart.
+    */
+  private[queries] def chunkRows(docs: DataFrame): DataFrame = {
+    val (c, st) = (ChunkWords, ChunkStride)
+    docs.select(col("doc_id"), TextQueries.words(col("text")).as("w"))
+      .withColumn("len", size(col("w")).cast("long"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L),
+          expr(s"CASE WHEN len > $c THEN (len - $c + $st - 1) div $st ELSE 0 END")))
+          .as("chunk_id"))
+      .withColumn("chunk",
+        slice(col("w"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+  }
+
+  /** The chunks CTE as oracle SQL — the SQL twin of chunkRows, shared
+    * by every chunk-consuming oracle.
+    */
+  private[queries] val chunksSql = s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      sized AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
+        FROM dw WHERE len(w) > 0),
+      chunks AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+          CAST(len(list_slice(w, k * $ChunkStride + 1,
+               k * $ChunkStride + $ChunkWords)) AS BIGINT) AS n_words,
+          md5(array_to_string(list_slice(w, k * $ChunkStride + 1,
+                              k * $ChunkStride + $ChunkWords), ' ')) AS chunk_fp
+        FROM sized, LATERAL (
+          SELECT unnest(range(0,
+            CASE WHEN len > $ChunkWords
+                 THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
+                 ELSE 0 END + 1)) AS k) t)"""
+
   /** Per-language stratified sample size. */
   private val StratumK = 25L
 
@@ -306,21 +348,8 @@ object CurationQueries {
     // tokens: chunk count = 1 + ceil((len - C)/S), all in integer
     // arithmetic. A narrow scan + Generate — per-document work only,
     // no shuffle at any corpus size.
-    "docs_chunk" -> ((s, d) => {
-      val (c, st) = (ChunkWords, ChunkStride)
-      docWords(s, d)
-        .withColumn("len", size(col("w")).cast("long"))
-        .filter(col("len") > 0)
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(0L),
-            expr(s"CASE WHEN len > $c THEN (len - $c + $st - 1) div $st ELSE 0 END")))
-            .as("chunk_id"))
-        .withColumn("chunk",
-          slice(col("w"), (col("chunk_id") * st + 1).cast("int"), lit(c)))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("chunk")).cast("long").as("n_words"),
-          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
-    }),
+    "docs_chunk" -> ((s, d) =>
+      chunkRows(Tables.documents(s, d).select(col("doc_id"), col("text")))),
 
     // Cross-document SUB-document dedup (the CCNet-style shared-passage
     // removal): of all chunks with the same fingerprint, keep the
@@ -422,34 +451,10 @@ object CurationQueries {
         FROM documents)
       WHERE rn <= $StratumK""",
     "docs_chunk" -> s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      sized AS (
-        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
-        FROM dw WHERE len(w) > 0)
-      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-        CAST(len(list_slice(w, k * $ChunkStride + 1,
-                            k * $ChunkStride + $ChunkWords)) AS BIGINT) AS n_words,
-        md5(array_to_string(list_slice(w, k * $ChunkStride + 1,
-                            k * $ChunkStride + $ChunkWords), ' ')) AS chunk_fp
-      FROM sized, LATERAL (
-        SELECT unnest(range(0,
-          CASE WHEN len > $ChunkWords
-               THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
-               ELSE 0 END + 1)) AS k) t""",
+      $chunksSql
+      SELECT doc_id, chunk_id, n_words, chunk_fp FROM chunks""",
     "dedup_chunks" -> s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      sized AS (
-        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
-        FROM dw WHERE len(w) > 0),
-      chunks AS (
-        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-          md5(array_to_string(list_slice(w, k * $ChunkStride + 1,
-                              k * $ChunkStride + $ChunkWords), ' ')) AS chunk_fp
-        FROM sized, LATERAL (
-          SELECT unnest(range(0,
-            CASE WHEN len > $ChunkWords
-                 THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
-                 ELSE 0 END + 1)) AS k) t)
+      $chunksSql
       SELECT CAST(keep // $ChunkPack AS BIGINT) AS doc_id,
              CAST(keep % $ChunkPack AS BIGINT) AS chunk_id,
              chunk_fp, CAST(n_copies AS BIGINT) AS n_copies

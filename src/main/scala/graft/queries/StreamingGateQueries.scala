@@ -312,6 +312,24 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // Chunk-level dedup on the STREAMING face: arriving documents
+    // explode into sub-document chunks (CurationQueries.chunkRows — the
+    // identical narrow Generate the batch operators use) and each chunk
+    // fingerprint is emitted exactly once, with the seen-set in the
+    // state store. The streaming twin of dedup_chunks' survivor set —
+    // which copy survives is arrival-order-dependent, so the gate
+    // emits the deterministic fingerprint SET (same reasoning as
+    // stream_dedup_docs). Also the only gate combining a streaming
+    // Generate with stateful dedup.
+    "stream_dedup_chunks" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => CurationQueries.chunkRows(df.select(col("doc_id"), col("text")))
+          .select(col("chunk_fp"))
+          .dropDuplicates("chunk_fp"),
+        OutputMode.Append())
+    }),
+
     // Event-time tumbling window aggregation with a watermark, streamed
     // through the PRODUCTION parquet file sink (Append mode, result read
     // back via the sink's commit log — no memory sink in this plan).
@@ -371,6 +389,11 @@ object StreamingGateQueries {
       FROM documents""",
     "stream_running_count" -> runningCountOracleSql,
     "stream_running_count_tws" -> runningCountOracleSql,
+    // Streaming ≡ batch for the chunk-fingerprint set (chunksSql is the
+    // SQL twin of the chunkRows both faces share).
+    "stream_dedup_chunks" -> s"""
+      ${CurationQueries.chunksSql}
+      SELECT DISTINCT chunk_fp FROM chunks""",
     // Same gaps-and-islands construction as the batch q_session_window
     // oracle (>= gap starts a new session, half-open, per the playbook).
     "stream_session_window" -> """
