@@ -225,6 +225,33 @@ class StreamingSpec extends GraftSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("runPipeline file-sink branch writes exactly the transformed rows") {
+    // the production parquet branch (sinkDir = Some): stateless ops in
+    // Append mode, result read back from the sink directory, metrics
+    // observed on the same run
+    val srcDir = tmpDir("fsink-src")
+    val ckpt = tmpDir("fsink-ckpt")
+    val outDir = tmpDir("fsink-out")
+    writeLines(srcDir, "f1.txt", Seq("click u1", "view u2", "click u9"))
+    val listener = new StreamOps.PipelineMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = StreamOps.runPipeline(
+        spark.readStream.text(srcDir),
+        df => df.filter(col("value").startsWith("click")),
+        df => df.select(substring_index(col("value"), " ", -1).as("user")),
+        OutputMode.Append(), ckpt, sinkDir = Some(outDir))
+      q.awaitTermination()
+      val got = spark.read.parquet(outDir).collect().map(_.getString(0)).toSet
+      assert(got === Set("u1", "u9"))
+      val deadline = System.currentTimeMillis() + 15000
+      while (listener.rowsOut(q.id) == 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.rowsIn(q.id) === 3L)
+      assert(listener.rowsOut(q.id) === 2L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dedup drops redelivered ids (F5)") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(String, java.sql.Timestamp, String)]
