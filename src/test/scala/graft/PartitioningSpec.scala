@@ -296,5 +296,25 @@ class PartitioningSpec extends GraftSpec {
       assert(medianDisc >= p50 && medianDisc < p50 + 256L,
         s"$k: exact median $medianDisc outside sketch bucket [$p50, ${p50 + 256})")
     }
+    // Spark's NATIVE sketches (HLL++ distinct, KLL quantile) stay
+    // exercised too — engine-private state keeps them out of the
+    // oracle-gated query (q_sketch_approx uses the portable twins),
+    // but the API surface and its accuracy remain pinned here.
+    val native = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((k, ex) <- exact)
+      assert(math.abs(native(k)._1 - ex).toDouble / ex < 0.1,
+        s"$k: native HLL ${native(k)._1} vs exact $ex")
+    for ((k, vs) <- prices) {
+      val sorted = vs.map(_._2).sorted
+      val lo = sorted(((sorted.length + 1) / 2 - 1 - sorted.length / 100).max(0))
+      val hi = sorted(((sorted.length + 1) / 2 - 1 + sorted.length / 100)
+        .min(sorted.length - 1))
+      assert(native(k)._2 >= lo && native(k)._2 <= hi,
+        s"$k: native KLL median ${native(k)._2} outside ±1% rank band [$lo, $hi]")
+    }
   }
 }
