@@ -495,6 +495,17 @@ object TextQueries {
         sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
     }),
 
+    // Transitive clustering of the TEXT near-dup pairs — the MinHash
+    // twin of VectorQueries.dedup_clusters, through the SAME
+    // min-label-propagation loop (Graphs.connectedComponents): docs
+    // linked transitively by verified MinHash pairs share a cluster,
+    // labeled by its smallest doc_id. Pair generation stays bucketed
+    // (dedup_minhash_lsh); clustering adds O(diameter) join+agg rounds.
+    "dedup_minhash_clusters" -> ((s, d) =>
+      Graphs.connectedComponents(
+        queries("dedup_minhash_lsh")(s, d).select(col("da"), col("db")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
+
     // Array/map scalar-function family (§2.6 "scalar functions —
     // array/map") over the token arrays: sort/distinct/slice/contains/
     // filter plus map construction + lookup. Strings are pure ASCII so
@@ -710,6 +721,26 @@ object TextQueries {
     s"MIN(($a * $shingleValSql + $b) % $P) AS m${j + 1}"
   }.mkString(", ")
 
+  /** The verified MinHash pair query — its own oracle AND the pair
+    * source the clusters oracle closes over (one definition, no drift).
+    */
+  private val minhashPairsSql = jaccardSql(
+    s"""sv AS (SELECT doc_id, sh FROM shing),
+       sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),
+       cand AS (
+         SELECT DISTINCT da, db FROM (
+           SELECT a.doc_id da, b.doc_id db FROM sig a JOIN sig b
+             ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+             ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+             ON a.m5 = b.m5 AND a.m6 = b.m6 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+             ON a.m7 = b.m7 AND a.m8 = b.m8 AND a.doc_id < b.doc_id))""")
+
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms" -> s"""
       WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -923,22 +954,20 @@ object TextQueries {
           SELECT doc_id, sh FROM shing WHERE sh IN (
             SELECT sh FROM shing GROUP BY sh
             HAVING COUNT(*) <= $DfCapK)),"""),
-    "dedup_minhash_lsh" -> jaccardSql(
-      s"""sv AS (SELECT doc_id, sh FROM shing),
-         sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),
-         cand AS (
-           SELECT DISTINCT da, db FROM (
-             SELECT a.doc_id da, b.doc_id db FROM sig a JOIN sig b
-               ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.doc_id < b.doc_id
-             UNION
-             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-               ON a.m3 = b.m3 AND a.m4 = b.m4 AND a.doc_id < b.doc_id
-             UNION
-             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-               ON a.m5 = b.m5 AND a.m6 = b.m6 AND a.doc_id < b.doc_id
-             UNION
-             SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
-               ON a.m7 = b.m7 AND a.m8 = b.m8 AND a.doc_id < b.doc_id))"""),
+    "dedup_minhash_lsh" -> minhashPairsSql,
+    // Recursive-CTE transitive closure over the SAME verified MinHash
+    // pairs — the unique fixpoint Graphs.connectedComponents converges
+    // to (identical construction to dedup_clusters' oracle).
+    "dedup_minhash_clusters" -> s"""
+      WITH RECURSIVE pairs AS (
+        SELECT da, db FROM ($minhashPairsSql) jp),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a""",
     "dedup_simhash" -> s"""
       WITH $shinglesCte,
       hv AS (SELECT doc_id, (2971 * $shingleValSql + 433) % $P AS h FROM shing),

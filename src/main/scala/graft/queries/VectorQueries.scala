@@ -396,64 +396,13 @@ object VectorQueries {
     // Connected components over the near-dup pair graph — the canonical-
     // assignment step a dedup pipeline runs AFTER pair generation: docs
     // linked (transitively) by dedup_embedding pairs share a cluster,
-    // labeled by the cluster's smallest vec_id. Iterative neighbor-min
-    // label propagation (the Pregel/large-star pattern): each round is
-    // one hash join + aggregation, converging in O(component diameter)
-    // rounds — the loop is driver CONTROL FLOW only; all data stays
-    // distributed. Every round eagerly localCheckpoints its result:
-    // each iteration references the previous labels twice, so WITHOUT
-    // lineage truncation the logical plan doubles per round
-    // (exponential planning blow-up — the classic iterative-DataFrame
-    // trap; GraphX materializes per round for the same reason). At
-    // 100 TB swap localCheckpoint for reliable checkpoint().
-    // Min-propagation has a unique fixpoint, so the result is order-
-    // and partitioning-independent — matched by a recursive-CTE
-    // transitive closure in the oracle.
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = queries("dedup_embedding")(s, d).select(col("da"), col("db"))
-      val edges = pairs
-        .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
-        .localCheckpoint(true)
-      // Seed each vertex with min(id, direct neighbors) — identical to
-      // the state after one propagation round from comp=id, so the loop
-      // starts a full (join+agg+join+materialize) iteration ahead. One
-      // aggregation over the (symmetrized) edge list; every vertex
-      // appears as `da` there, so the vertex set is unchanged.
-      var comp = edges.groupBy(col("da"))
-        .agg(min(col("db")).as("nmin"))
-        .select(col("da").as("id"), least(col("da"), col("nmin")).as("comp"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = edges
-          .join(comp.select(col("id").as("db"), col("comp")), "db")
-          .groupBy(col("da").as("nid")).agg(min(col("comp")).as("ncomp"))
-        // Carry the previous label through the propagation join so
-        // convergence detection is a filter+count over the freshly
-        // checkpointed blocks, not an extra per-round join.
-        val next = comp
-          .join(nbrMin, comp("id") === nbrMin("nid"), "left")
-          .select(col("id"), col("comp").as("old"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-          .localCheckpoint(true)
-        changed = next.filter(col("comp") =!= col("old")).count()
-        comp.unpersist()
-        comp = next
-      }
-      // Materialize the answer into its own (small, result-sized)
-      // checkpoint, then release every working block: `edges` and the
-      // final label table would otherwise stay pinned in the block
-      // manager across Verify's sweep and Bench's repeated runs
-      // (clearCache() does not free localCheckpoint RDD blocks). Only
-      // the result itself remains resident — the minimum for a live
-      // DataFrame whose lineage has been truncated.
-      val result = comp
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .localCheckpoint(true)
-      comp.unpersist()
-      edges.unpersist()
-      result
-    }),
+    // labeled by the cluster's smallest vec_id. The propagation loop
+    // (and its scale rationale) lives in Graphs.connectedComponents,
+    // shared with the MinHash twin (TextQueries.dedup_minhash_clusters).
+    "dedup_clusters" -> ((s, d) =>
+      Graphs.connectedComponents(
+        queries("dedup_embedding")(s, d).select(col("da"), col("db")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
 
     // Per-label centroid in long form (label, pos, c, n): grouped double
     // addition is made order-independent by summing FIXED-POINT integers
