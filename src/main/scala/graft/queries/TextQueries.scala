@@ -506,6 +506,28 @@ object TextQueries {
         queries("dedup_minhash_lsh")(s, d).select(col("da"), col("db")))
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
 
+    // The dedup family composed end-to-end — exact canonicalization,
+    // then near-dup cluster canonicalization, then the per-source
+    // doc/token budget a training run is provisioned from (the dedup
+    // twin of docs_e2e_pipeline's composition proof). Each stage is
+    // the SAME public operator the driver gates individually; the
+    // joins carry doc_id (+ n_tokens) only — never text.
+    "dedup_e2e_pipeline" -> ((s, d) => {
+      val exactKeep = Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val nearDrop = queries("dedup_minhash_clusters")(s, d)
+        .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .join(exactKeep, "doc_id")
+        .join(nearDrop, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // Array/map scalar-function family (§2.6 "scalar functions —
     // array/map") over the token arrays: sort/distinct/slice/contains/
     // filter plus map construction + lookup. Strings are pure ASCII so
@@ -741,6 +763,20 @@ object TextQueries {
            SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
              ON a.m7 = b.m7 AND a.m8 = b.m8 AND a.doc_id < b.doc_id))""")
 
+  /** Transitive closure of the MinHash pairs — dedup_minhash_clusters'
+    * oracle, also embedded by the dedup_e2e_pipeline oracle.
+    */
+  private val minhashClustersSql = s"""
+      WITH RECURSIVE pairs AS (
+        SELECT da, db FROM ($minhashPairsSql) jp),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a"""
+
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms" -> s"""
       WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
@@ -958,16 +994,21 @@ object TextQueries {
     // Recursive-CTE transitive closure over the SAME verified MinHash
     // pairs — the unique fixpoint Graphs.connectedComponents converges
     // to (identical construction to dedup_clusters' oracle).
-    "dedup_minhash_clusters" -> s"""
-      WITH RECURSIVE pairs AS (
-        SELECT da, db FROM ($minhashPairsSql) jp),
-      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
-      reach(a, b) AS (
-        SELECT a, b FROM e
-        UNION
-        SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
-      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-      FROM reach GROUP BY a""",
+    "dedup_minhash_clusters" -> minhashClustersSql,
+    "dedup_e2e_pipeline" -> s"""
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      drops AS (
+        SELECT doc_id FROM ($minhashClustersSql) c
+        WHERE cluster_id != doc_id),
+      toks AS (
+        SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+      FROM toks t JOIN keepers k USING (doc_id)
+      WHERE t.doc_id NOT IN (SELECT doc_id FROM drops)
+      GROUP BY t.source""",
     "dedup_simhash" -> s"""
       WITH $shinglesCte,
       hv AS (SELECT doc_id, (2971 * $shingleValSql + 433) % $P AS h FROM shing),
