@@ -30,9 +30,15 @@ private[queries] object Graphs {
     * stays resident.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("da"), col("db"))
-      .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+    // Materialize the pair source ONCE before symmetrizing: the union
+    // references it from two branches, and without this checkpoint the
+    // whole upstream pair pipeline (LSH + verify for the MinHash
+    // caller) executes twice.
+    val p0 = pairs.select(col("da"), col("db")).localCheckpoint(true)
+    val edges = p0
+      .unionAll(p0.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
+    p0.unpersist()
     // Seed each vertex with min(id, direct neighbors) — identical to
     // the state after one propagation round from comp=id, so the loop
     // starts a full (join+agg+join+materialize) iteration ahead. One
