@@ -463,11 +463,15 @@ object TextQueries {
     // this synthetic near-uniform corpus K=300 is measured
     // result-PRESERVING (25/25 pairs at sf0.01, 256/256 at sf0.1).
     // The interned shingle set feeds three subplans (both join sides +
-    // sizes); caching materializes the scan+explode+distinct once. At
-    // 100 TB the equivalent is persisting the narrow (doc_id, sid)
-    // projection to fast storage before the pair phase.
+    // sizes); localCheckpoint (NOT cache() — the text_lm_score device)
+    // materializes the scan+explode+distinct once and lets the
+    // ContextCleaner free the blocks when the frame goes out of scope,
+    // so a composing operator in a long-lived session never pins a
+    // corpus-sized block in the session cache. At 100 TB the equivalent
+    // is persisting the narrow (doc_id, sid) projection to fast storage
+    // before the pair phase.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardDirect(cappedShingleIds(s, d).cache())),
+      jaccardDirect(cappedShingleIds(s, d).localCheckpoint())),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
@@ -480,10 +484,16 @@ object TextQueries {
     // attached nothing else; the size-prefilter joins changed the
     // trade.)
     "dedup_minhash_lsh" -> ((s, d) => {
-      // One cached shingle scan feeds BOTH the signature aggregation and
-      // the verify-side set attach (previously two scans).
-      val sh = docShingles(s, d).cache()
-      val sig = signatures(sh).cache()
+      // One materialized shingle scan feeds BOTH the signature
+      // aggregation and the verify-side set attach (previously two
+      // scans). localCheckpoint, NOT cache(): this operator is composed
+      // by dedup_minhash_clusters and dedup_e2e_pipeline, and a cache()
+      // here would pin a corpus-sized block in the session cache per
+      // composing invocation until someone else cleans up — checkpoint
+      // blocks are freed by the ContextCleaner once the frames are
+      // unreachable (PartitioningSpec pins the hygiene).
+      val sh = docShingles(s, d).localCheckpoint()
+      val sig = signatures(sh).localCheckpoint()
       val bands = Seq(("m1", "m2"), ("m3", "m4"), ("m5", "m6"), ("m7", "m8"))
       val cand = bands.map { case (x, y) =>
         val l = sig.select(col("doc_id").as("da"), col(x).as("bx"), col(y).as("by"))
@@ -513,15 +523,21 @@ object TextQueries {
     // the SAME public operator the driver gates individually; the
     // joins carry doc_id (+ n_tokens) only — never text.
     "dedup_e2e_pipeline" -> ((s, d) => {
-      val exactKeep = Tables.documents(s, d)
-        .groupBy(md5(col("text").cast("binary")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      // ONE localCheckpointed base projection feeds both the exact-keep
+      // aggregation and the final budget join (previously two full text
+      // scans: one for md5, one for tokenization). The checkpoint holds
+      // only (doc_id, source, fp, n_tokens) — text never materializes.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("fp"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val exactKeep = base
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val nearDrop = queries("dedup_minhash_clusters")(s, d)
         .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(words(col("text"))).cast("long").as("n_tokens"))
+      base.select(col("doc_id"), col("source"), col("n_tokens"))
         .join(exactKeep, "doc_id")
         .join(nearDrop, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))

@@ -239,15 +239,19 @@ object VectorQueries {
         (0 until Dim).map(i =>
           sum(floor(element_at(col("embedding"), i + 1).cast("double")
             * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
-      // cached: the 10-row centroid table — the corpus aggregate behind
-      // it runs ONCE even though two consumers broadcast it. (The old
-      // shape cached corpus×10 scored rows instead; a 10-row cache is
-      // free at any scale, a corpus-sized one is not.)
+      // materialized: the 10-row centroid table — the corpus aggregate
+      // behind it runs ONCE even though two consumers broadcast it. (The
+      // old shape cached corpus×10 scored rows instead; a 10-row
+      // materialization is free at any scale, a corpus-sized one is
+      // not.) localCheckpoint keeps the repo's cache-hygiene invariant —
+      // NO bare cache() in any query path — so long-lived sessions never
+      // accumulate CacheManager entries; the ContextCleaner frees the
+      // blocks once the frame is unreachable.
       val carr = sums.select(col("label").as("clabel"),
         array((0 until Dim).map(i =>
           col(s"c$i").cast("double")
             / (col("n") * lit(CentScale)).cast("double")): _*).as("carr"))
-        .cache()
+        .localCheckpoint()
       // index-ordered centroid-dot: fold of carr[i] * (double)v[i]
       def cdot(c: Column, v: Column): Column =
         aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),

@@ -317,4 +317,30 @@ class PartitioningSpec extends GraftSpec {
         s"$k: native KLL median ${native(k)._2} outside ±1% rank band [$lo, $hi]")
     }
   }
+
+  test("dedup composite pins no blocks after it returns (localCheckpoint-and-release)") {
+    // The hygiene contract for every materialization in a query path: a
+    // bare cache() registers in the session CacheManager, which holds a
+    // strong reference FOREVER (until someone else clears it) — so a
+    // long-lived session composing operators (dedup_minhash_clusters,
+    // dedup_e2e_pipeline call dedup_minhash_lsh internally) would pin
+    // corpus-sized blocks per invocation. localCheckpoint blocks are
+    // instead freed by the ContextCleaner as soon as the frames become
+    // unreachable. Run the DEEPEST composite to completion, drop every
+    // reference, and assert the block manager drains back to baseline —
+    // with a cache() anywhere underneath, the leaked set never empties.
+    val d = "/root/testdata/sf0.001"
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+    def run(): Unit =
+      assert(graft.queries.TextQueries.queries("dedup_e2e_pipeline")(spark, d)
+        .count() > 0)
+    run() // all frames (and their checkpoint RDDs) unreachable from here
+    def leaked = sc.getPersistentRDDs.keySet -- baseline
+    val deadline = System.currentTimeMillis() + 60000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
+    assert(leaked.isEmpty, s"blocks still pinned after the composite: $leaked")
+  }
 }
