@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -61,5 +62,46 @@ class GraphsSpec extends GraftSpec {
     val tris = Seq((1L, 2L), (2L, 5L), (5L, 1L), (10L, 11L), (11L, 12L))
     assert(cc(tris) ===
       Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("round count is O(diameter): a giant star converges in one round, a path in ~diameter") {
+    // Star on 10k vertices (diameter 2, center = min id): the seed pass
+    // (min over direct neighbors) already labels every vertex 0, so the
+    // loop's first convergence check finds no change — exactly 1 round
+    // regardless of vertex count. This is the giant-component shape of
+    // a dedup corpus (one boilerplate passage linking everything).
+    val star = (1L until 10000L).map(i => (0L, i))
+    val (starDf, starRounds) = Graphs.withRounds(star.toDF("da", "db"))
+    assert(starDf.filter(col("comp") =!= 0L).count() === 0L)
+    assert(starDf.count() === 10000L)
+    assert(starRounds === 1, s"star must converge in 1 round, took $starRounds")
+
+    // Path graph (the worst case for min-label propagation): the label
+    // moves one hop per round, so rounds ≈ diameter — NOT corpus size.
+    // Diameter 64 keeps the test fast while being 7x the property-test
+    // sizes; the seed pass and the final no-change check bound rounds
+    // in [diameter - 2, diameter + 1].
+    val n = 64L
+    val path = (0L until n).map(i => (i, i + 1))
+    val (pathDf, pathRounds) = Graphs.withRounds(path.toDF("da", "db"))
+    assert(pathDf.filter(col("comp") =!= 0L).count() === 0L)
+    assert(pathRounds >= n - 2 && pathRounds <= n + 1,
+      s"path of diameter $n must take ~$n rounds, took $pathRounds")
+  }
+
+  test("reliable checkpoint() strategy is injectable and agrees with localCheckpoint") {
+    // The 100 TB strategy: per-round reliable checkpoint survives
+    // executor loss (localCheckpoint blocks die with their executor and
+    // the truncated lineage cannot recompute them). Same fixpoint, same
+    // labels — only the materialization differs.
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(tmpDir("graft-cc-ckpt"))
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L), (9L, 7L))
+      val reliable = Graphs
+        .connectedComponents(edges.toDF("da", "db"), _.checkpoint(true))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === cc(edges))
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 }
