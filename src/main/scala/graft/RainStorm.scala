@@ -165,14 +165,26 @@ object RainStorm {
     * `/dir/f.csv` would re-resolve against the default FS on a cluster
     * whose defaultFS differs from the source's); the record key uses
     * the scheme-less path, the closest analogue of the reference's
-    * plain file name. minPartitions=1 keeps single-split files to one
-    * partition, so zipWithIndex needs no extra sizing job for them
-    * (multi-split files still pay one — required for correct global
-    * line numbers). An empty directory yields an empty frame, like the
-    * plain textFile scan it replaced. `src` may also be a glob
+    * plain file name. An empty directory yields an empty frame, like
+    * the plain textFile scan it replaced. `src` may also be a glob
     * (star patterns, e.g. dir/star.csv) — resolved via globStatus,
     * matching what the textFile scan accepted; a glob matching nothing
     * is empty, a non-glob path that doesn't exist still throws.
+    *
+    * Scale shape — ONE scan for ANY file count: every file feeds a
+    * single `spark.read.text` (the previous design built one driver-
+    * side RDD — plus a zipWithIndex sizing job per multi-split file —
+    * PER FILE and union'd them, which melts the driver on a large
+    * directory). Line numbers come from the repo's two-pass distributed
+    * rank device (docs_interleave's): `_metadata.file_block_start`
+    * identifies each input split; pass 1 aggregates per-(file, split)
+    * line counts into a BOUNDED table (one row per ~128 MB split) whose
+    * per-file cumulative window yields each split's starting line
+    * offset; pass 2 attaches the within-split ordinal narrowly in
+    * mapPartitions — a split's rows are one contiguous in-order run
+    * inside its file partition (FilePartitions pack whole
+    * PartitionedFiles, read sequentially), so a reset-on-boundary
+    * counter is exact and nothing shuffles before the offset join.
     * The streaming source keys by content hash instead (a stream cannot
     * assign stable line ordinals) — divergence pinned in RainStormSpec.
     */
@@ -184,28 +196,59 @@ object RainStorm {
     // FileNotFound contract); empty = a glob that matched nothing.
     val matched = Option(hfs.globStatus(p)).getOrElse(
       throw new java.io.FileNotFoundException(src))
-    // (qualified read path, key path) — the key path is ALWAYS the
-    // status's scheme-less absolute path, whichever branch produced
-    // it, so a record's identity doesn't depend on how the source was
-    // addressed (file:/ vs bare path, file vs parent directory).
-    val files: Seq[(String, String)] = matched.toSeq.flatMap { st =>
+    val files: Seq[String] = matched.toSeq.flatMap { st =>
       if (st.isDirectory)
         hfs.listStatus(st.getPath).iterator
           .filter(_.isFile)
           .filterNot(f => f.getPath.getName.startsWith("_") ||
             f.getPath.getName.startsWith("."))
-          .map(f => (f.getPath.toString, f.getPath.toUri.getPath))
+          .map(_.getPath.toString)
           .toSeq
-      else Seq((st.getPath.toString, st.getPath.toUri.getPath))
-    }.sortBy(_._2)
-    val parts = files.map { case (readPath, keyPath) =>
-      spark.sparkContext.textFile(readPath, minPartitions = 1).zipWithIndex()
-        .map { case (line, i) => (s"$keyPath:${i + 1}", line) }
+      else Seq(st.getPath.toString)
     }
-    val all =
-      if (parts.isEmpty) spark.sparkContext.emptyRDD[(String, String)]
-      else spark.sparkContext.union(parts)
-    all.toDF("key", "value").withColumn("id", expr("uuid()"))
+    if (files.isEmpty)
+      return spark.emptyDataset[(String, String)].toDF("key", "value")
+        .withColumn("id", expr("uuid()"))
+    val lines = spark.read.text(files: _*).select(
+      col("value"),
+      col("_metadata.file_path").as("fp"),
+      col("_metadata.file_block_start").as("bs"))
+    // pass 1: per-split line counts (map-side partial agg down to one
+    // row per split), then each split's starting line offset via a
+    // cumulative window over that bounded table — partitioned by file
+    // (entity key: rows per file = that file's split count), never by
+    // corpus
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("bs"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = lines.groupBy(col("fp"), col("bs"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .select(col("fp"), col("bs"), col("base"))
+    // pass 2: within-split 1-based ordinal, attached narrowly. The key
+    // path is the scheme-less decoded URI path — the same value the
+    // listing side's Path.toUri.getPath produced before, so record
+    // identity stays address-independent.
+    val withOrd = lines.as[(String, String, Long)].mapPartitions { it =>
+      var curFp: String = null
+      var curBs = -1L
+      var kp: String = null
+      var n = 0L
+      it.map { case (v, fp, bs) =>
+        if (fp != curFp || bs != curBs) {
+          if (fp != curFp) kp = new java.net.URI(fp).getPath
+          curFp = fp; curBs = bs; n = 0L
+        }
+        n += 1
+        (v, fp, bs, kp, n)
+      }
+    }.toDF("value", "fp", "bs", "kp", "ord")
+    // offset join: offs is split-count-sized — AQE broadcasts it while
+    // small; at extreme scale a (fp, bs)-keyed shuffle join is correct
+    withOrd.join(offs, Seq("fp", "bs"))
+      .select(concat(col("kp"), lit(":"), col("base") + col("ord")).as("key"),
+        col("value"))
+      .withColumn("id", expr("uuid()"))
   }
 
   /** Batch run: source → op1 → [exchange] → op2 → dest (one text-like

@@ -175,6 +175,66 @@ class RainStormSpec extends GraftSpec {
     }
   }
 
+  test("multi-split file: line numbers stay exact across split boundaries") {
+    // The two-pass rank source must produce the SAME 1-based numbering
+    // whether a file is one split or many — per-split prefix offsets +
+    // within-split ordinals have to agree with sequential reading.
+    val dir = tmpDir("rainstorm-split")
+    val n = 5000
+    val content = (1 to n).map(i => f"line$i%05d").mkString("\n")
+    Files.write(Paths.get(dir, "big.csv"), content.getBytes,
+      StandardOpenOption.CREATE)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096") // ~11 splits
+    try {
+      val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+      val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+        .collect()
+      assert(out.length === n)
+      val m = out.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(m.size === n, "every line number must be distinct")
+      for (i <- Seq(1, 2, 409, 410, 2048, 4999, n)) // incl. split-boundary area
+        assert(m(s"$dir/big.csv:$i") === f"line$i%05d",
+          s"line $i keyed wrong across split boundaries")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("many-file directory: job count is bounded, not one job per file") {
+    // The previous source built one driver-side RDD per file and a
+    // zipWithIndex sizing job per multi-split file — a large directory
+    // melted the driver. The one-scan two-pass form runs a BOUNDED
+    // number of jobs regardless of file count; pin that with a listener.
+    val dir = tmpDir("rainstorm-many")
+    val nFiles = 40
+    for (i <- 0 until nFiles) {
+      val body = (1 to 1000).map(j => f"f$i%02d-l$j%04d").mkString("\n")
+      Files.write(Paths.get(dir, f"f$i%02d.csv"), body.getBytes,
+        StandardOpenOption.CREATE)
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096") // every file multi-split
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+      val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+        .collect()
+      assert(out.length === nFiles * 1000)
+      Thread.sleep(1000) // listener bus is async; let job-start events drain
+      val seen = jobs.get()
+      assert(seen < nFiles,
+        s"$seen jobs for $nFiles files — the source must not scale jobs with file count")
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
   test("directory source: empty dir (or only hidden files) yields empty output") {
     // A plain textFile scan returns no rows for an empty directory;
     // the per-file source must match, not crash on an empty file list.
