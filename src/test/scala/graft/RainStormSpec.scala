@@ -245,6 +245,56 @@ class RainStormSpec extends GraftSpec {
     assert(out.collect().isEmpty)
   }
 
+  test("REPL loop: scripted create → append → ls → RainStorm → get session") {
+    // The reference's entry point is a long-lived shell dispatching the
+    // DFS verbs and the RainStorm verbs from one loop (main.go:78-253).
+    // Drive a full scripted session through runLoop and assert each
+    // verb's effect end-to-end, including that the RainStorm verb's
+    // output equals the library call's.
+    val work = tmpDir("rainstorm-repl")
+    val dfs = s"$work/dfs-signs"
+    val localA = Paths.get(work, "a.csv")
+    val localB = Paths.get(work, "b.csv")
+    val contentA = String.join("\n", rows.take(3): _*)
+    val contentB = String.join("\n", rows.drop(3): _*)
+    Files.write(localA, contentA.getBytes("UTF-8"))
+    Files.write(localB, contentB.getBytes("UTF-8"))
+    val dest = s"$work/out-cli"
+    val roundtrip = Paths.get(work, "roundtrip.csv")
+    val script = Seq(
+      s"create $localA $dfs",
+      s"append $localB $dfs",
+      s"ls $dfs",
+      "", // empty line: skipped
+      "bogus_verb", // unknown: prints Invalid command, loop continues
+      "append onlyonearg", // missing params: prints, loop continues
+      s"RainStorm app1op1 app1op2 $dfs $dest 2 Stop",
+      s"get $dfs $roundtrip",
+      "list_mem", // membership: documented delegation, not a crash
+      "exit").mkString("\n")
+    val buf = new java.io.ByteArrayOutputStream()
+    RainStormCli.runLoop(spark,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(buf, true, "UTF-8"))
+    val printed = new String(buf.toByteArray, "UTF-8").linesIterator.toSeq
+    assert(printed.count(_.startsWith("block-")) === 2,
+      s"ls must print the two appended blocks, got:\n${printed.mkString("\n")}")
+    assert(printed.contains("Invalid command"))
+    assert(printed.contains("Missing parameters"))
+    assert(printed.exists(_.startsWith("delegated")))
+    // get = canonical-order concatenation of the two appended blocks
+    assert(new String(Files.readAllBytes(roundtrip), "UTF-8")
+      === contentA + contentB)
+    // the RainStorm verb's sink output equals the library facade's
+    val destLib = s"$work/out-lib"
+    RainStorm.run(spark, dfs, Ops.app1op1, Ops.app1op2,
+      dest = Some(destLib), numTasks = 2, pattern = "Stop")
+    val viaCli = spark.read.textFile(dest).collect().toSet
+    val viaLib = spark.read.textFile(destLib).collect().toSet
+    assert(viaCli === viaLib)
+    assert(viaCli.map(_.split(",", 2)(1)) === Set("Stop"))
+  }
+
   test("CountByKey then FlatMap: allowed in batch, rejected in streaming") {
     val src = writeFixture()
     // batch: CountByKey over the per-line source keys (all distinct ->
