@@ -33,32 +33,59 @@ object RainStorm {
     * (spark.task.maxFailures=4, the cluster default, set in
     * GraftSession) and lineage/shuffle replay reproduces the lost
     * work — output equivalence is the scheduler's contract instead of a
-    * hand-rolled WAL's. The flag is JVM-local (@volatile + atomic),
-    * which reaches every executor thread under local[*] exactly like
-    * the reference's single-box demo; on a real cluster the injection
-    * would ride a broadcast variable or an executor plugin instead.
+    * hand-rolled WAL's. Armed kills are RUN-SCOPED: arm(n) parks a
+    * pending count that the next run claims under its own run id, so
+    * concurrent runs (or parallel tests) can never absorb each other's
+    * kills. The registry is JVM-local, which reaches every executor
+    * thread under local[*] exactly like the reference's single-box
+    * demo; on a real cluster the injection would ride a broadcast
+    * variable or an executor plugin instead.
     */
   object Chaos {
-    @volatile private var armed = false
-    private val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Kills armed but not yet claimed by a run. */
+    private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Armed kills, RUN-SCOPED: runId → remaining. A run claims the
+      * pending count when it starts, so a concurrently running job (or
+      * parallel test) can never absorb kills armed for another run —
+      * and deliveries of unarmed runs pay one probe of an (almost
+      * always empty) map, nothing more.
+      */
+    private val runs =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
     private val fired = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    /** Arm the next `n` deliveries to kill their task attempt. */
-    def arm(n: Int): Unit = { remaining.set(n); armed = n > 0 }
+    /** Arm the next run started in this JVM to kill its first `n` task
+      * deliveries (the reference's KillRandom(n)). The count is claimed
+      * by — and scoped to — the NEXT RainStorm.run/runStreaming call.
+      */
+    def arm(n: Int): Unit = pending.set(math.max(n, 0))
 
     /** Total task-attempt kills injected since JVM start (spec probe). */
     def firedCount: Int = fired.get()
 
-    /** Called per record delivery on the FlatMap path; free when
-      * disarmed (one volatile read).
+    /** Claim any pending kills for this run id. */
+    private[graft] def claim(runId: String): Unit = {
+      val n = pending.getAndSet(0)
+      if (n > 0) runs.put(runId, new java.util.concurrent.atomic.AtomicInteger(n))
+    }
+
+    /** Drop a run's armed state (run teardown; exhausted cells removed
+      * in tap). */
+    private[graft] def release(runId: String): Unit = runs.remove(runId)
+
+    /** Called per record delivery on the FlatMap path with the owning
+      * run's id; only that run's deliveries can fire its kills.
       */
-    private[graft] def tap(): Unit = if (armed) {
-      val r = remaining.getAndUpdate(x => if (x > 0) x - 1 else x)
-      if (r <= 1) armed = false
-      if (r > 0) {
-        fired.incrementAndGet()
-        throw new RuntimeException(
-          s"chaos: injected task-attempt kill ($r armed kills remaining)")
+    private[graft] def tap(runId: String): Unit = {
+      val cell = runs.get(runId)
+      if (cell != null) {
+        val r = cell.getAndDecrement()
+        if (r <= 1) runs.remove(runId)
+        if (r > 0) {
+          fired.incrementAndGet()
+          throw new RuntimeException(
+            s"chaos: injected task-attempt kill ($r armed kills remaining)")
+        }
       }
     }
   }
@@ -131,7 +158,8 @@ object RainStorm {
     }
   }
 
-  private def applyOp(df: DataFrame, op: RsOp, pattern: String, numTasks: Int): DataFrame =
+  private def applyOp(df: DataFrame, op: RsOp, pattern: String, numTasks: Int,
+                      runId: String): DataFrame =
     op match {
       case FlatMap(f) =>
         // stage boundary: the reference hash-exchanges on key between
@@ -139,7 +167,7 @@ object RainStorm {
         Core.flatMapRecords(
           df.repartition(numTasks, col("key")),
           r => {
-            Chaos.tap() // no-op unless RainStormWithFail armed kills
+            Chaos.tap(runId) // no-op unless THIS run claimed armed kills
             f(r.key, r.value, pattern).map { case (k, v) =>
               Core.Record(java.util.UUID.randomUUID().toString, k, v)
             }
@@ -258,10 +286,21 @@ object RainStorm {
     */
   def run(spark: SparkSession, src: String, op1: RsOp, op2: RsOp,
           dest: Option[String], numTasks: Int = 3, pattern: String = ""): DataFrame = {
-    val out = applyOp(applyOp(sourceBatch(spark, src), op1, pattern, numTasks),
-      op2, pattern, numTasks)
+    val runId = java.util.UUID.randomUUID().toString
+    Chaos.claim(runId) // any kills armed for the next run are OURS alone
+    val out = applyOp(
+      applyOp(sourceBatch(spark, src), op1, pattern, numTasks, runId),
+      op2, pattern, numTasks, runId)
       .select(col("key"), col("value")) // sink format, rainstorm/types.go:79
-    dest.foreach(d => out.write.mode("overwrite").csv(d))
+    // With a dest the job executes HERE — release the claim after it
+    // (exhausted cells self-remove in tap; release covers a job that
+    // failed before firing every kill). Without a dest the returned
+    // frame is lazy: the claim must outlive this call so the caller's
+    // later action can still fire it.
+    dest.foreach { d =>
+      try out.write.mode("overwrite").csv(d)
+      finally Chaos.release(runId)
+    }
     out
   }
 
@@ -280,11 +319,14 @@ object RainStorm {
       "CountByKey followed by CountByKey is not supported in streaming mode: " +
         "Structured Streaming does not allow chained streaming aggregations " +
         "in this output mode. Run this combination in batch (RainStorm.run).")
+    val runId = java.util.UUID.randomUUID().toString
+    Chaos.claim(runId) // run-scoped, like the batch path
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))
       .withColumn("id", expr("uuid()"))
-    val out = applyOp(applyOp(src, op1, pattern, numTasks), op2, pattern, numTasks)
+    val out = applyOp(applyOp(src, op1, pattern, numTasks, runId),
+      op2, pattern, numTasks, runId)
       .select(col("key"), col("value"))
     val mode =
       if (op2 == CountByKey || op1 == CountByKey) OutputMode.Complete()

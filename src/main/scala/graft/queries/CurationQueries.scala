@@ -86,9 +86,28 @@ object CurationQueries {
   /** Occurrence packing for chunk-level dedup: occurrence id =
     * doc_id · 2^20 + chunk_id. Valid while chunk_id < 2^20 (docs up to
     * ~25 M words at stride 24) and doc_id < 2^43 — both far beyond any
-    * real document corpus; past them, widen to a struct min.
+    * real document corpus; past them, widen to a struct min. The
+    * domain is GUARDED at runtime (packGuard): an out-of-range id
+    * raises instead of silently corrupting the decoded survivors.
     */
   private val ChunkPack = 1048576L
+  /** doc_id bound for the occurrence pack: 2^43 (so doc_id·2^20 +
+    * chunk_id stays inside a signed long). */
+  private val ChunkPackMaxDoc = 8796093022208L
+
+  /** Runtime domain guard for packed-key encodings: evaluates to
+    * `packed` when `id` is inside [0, bound), raises otherwise — the
+    * cost is one branch per row, the alternative is silent corruption
+    * past the documented domain. raise_error's NullType coerces into
+    * the long branch, and because the guard feeds the packed value
+    * itself it can never be pruned from the plan.
+    */
+  private def packGuard(id: Column, bound: Long, what: String,
+                        packed: Column): Column =
+    when(id < 0L || id >= bound,
+      raise_error(concat(lit(s"$what out of packed-key domain [0, $bound): "),
+        id.cast("string"))).cast("long"))
+      .otherwise(packed)
 
   /** (doc_id, chunk_id, n_words, chunk_fp) chunk rows from a
     * (doc_id, text) frame. Pure projection + Generate (narrow), so the
@@ -330,7 +349,11 @@ object CurationQueries {
     // (h, doc_id); for id spaces past 2^31 widen the pack to a struct
     // min-k.
     "docs_stratified_sample" -> ((s, d) => {
-      val ck = Portable.lcg(col("doc_id")) * Portable.LcgM + col("doc_id")
+      // packGuard: the (h, doc_id) pack decodes via ckv % LcgM, which is
+      // wrong for doc_id ≥ 2^31 — raise there instead of silently
+      // returning corrupted ids (widen to a struct min-k past that).
+      val ck = packGuard(col("doc_id"), Portable.LcgM, "doc_id",
+        Portable.lcg(col("doc_id")) * Portable.LcgM + col("doc_id"))
       Tables.documents(s, d)
         .select(col("lang"), ck.as("ck"))
         .groupBy(col("lang"))
@@ -365,7 +388,9 @@ object CurationQueries {
     "dedup_chunks" -> ((s, d) =>
       queries("docs_chunk")(s, d)
         .select(col("chunk_fp"),
-          (col("doc_id") * ChunkPack + col("chunk_id")).as("packed"))
+          packGuard(col("chunk_id"), ChunkPack, "chunk_id",
+            packGuard(col("doc_id"), ChunkPackMaxDoc, "doc_id",
+              col("doc_id") * ChunkPack + col("chunk_id"))).as("packed"))
         .groupBy(col("chunk_fp"))
         .agg(min(col("packed")).as("keep"), count(lit(1)).as("n_copies"))
         .select(expr(s"keep div $ChunkPack").as("doc_id"),

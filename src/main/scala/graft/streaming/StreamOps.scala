@@ -145,8 +145,23 @@ object StreamOps {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val totals =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, (Long, Long)]()
+    /** Terminated queries whose totals are still readable. Bounded
+      * grace instead of evict-on-terminate: callers read totals AFTER
+      * awaitTermination (racing the async listener bus), so dropping a
+      * query's entry the moment it terminates would hand them zeros.
+      * Keeping the last `RetainTerminated` terminated queries bounds a
+      * session-long listener at O(retained + running) entries — without
+      * the eviction, one entry leaks per streaming query forever.
+      */
+    private val RetainTerminated = 64
+    private val terminated = new java.util.ArrayDeque[java.util.UUID]()
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      terminated.synchronized {
+        terminated.addLast(event.id)
+        while (terminated.size > RetainTerminated)
+          totals.remove(terminated.removeFirst())
+      }
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
       def metric(name: String, field: String): Long =
