@@ -52,8 +52,37 @@ case class BinaryByteStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Perceptual hash of a PPM P6 payload as 8 bands of 8 bits each
+  * (array<int>, band k = hash bits 8k..8k+7) — the banded form feeds
+  * LSH-style bucketing directly, so the hash never needs re-splitting
+  * in the plan. NULL for payloads that are not well-formed P6 images
+  * (the codec decides; MediaOps.Codec.phashBands holds the math).
+  * CodegenFallback for the same reason as BinaryByteStats: the pixel
+  * loop is compiled JVM code either way.
+  */
+case class PpmPhashBands(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_phash_bands"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.multimodal.MediaOps.Codec.phashBands(input.asInstanceOf[Array[Byte]])
+      .map(a => new org.apache.spark.sql.catalyst.util.GenericArrayData(a))
+      .orNull
+
+  override protected def withNewChildInternal(newChild: Expression): PpmPhashBands =
+    copy(child = newChild)
+}
+
 object BinaryFunctions {
   /** One-pass byte stats struct for a binary column. */
   def byteStats(payload: Column): Column =
     Shim.column(BinaryByteStats(Shim.expression(payload)))
+
+  /** 8×8-bit perceptual-hash bands of a P6 image payload (null when
+    * the payload is not a P6 image). */
+  def ppmPhashBands(payload: Column): Column =
+    Shim.column(PpmPhashBands(Shim.expression(payload)))
 }

@@ -144,6 +144,59 @@ object MediaOps {
       }
     }
 
+    /** Encode a P6 payload whose pixel bytes CYCLE through `src` —
+      * the deterministic image synthesizer for gate data: real header,
+      * real pixel layout, content derived from the document so the
+      * DuckDB oracle can recompute every pixel from the text.
+      */
+    private[graft] def ppmFromBytes(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && src.nonEmpty,
+        "ppmFromBytes needs positive dims and a non-empty source")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var j = 0
+      while (j < w * h * 3) {
+        out(header.length + j) = src(j % src.length)
+        j += 1
+      }
+      out
+    }
+
+    /** 64-bit PERCEPTUAL HASH of a P6 payload, returned as 8 bands of
+      * 8 bits (band k = bits 8k..8k+7): nearest-neighbor downsample to
+      * an 8×8 luma grid (the same floor index map as resizePpm, so
+      * resize-then-hash equals hash for multiple-of-8 geometries),
+      * ITU-R 601 integer luma (299r+587g+114b)/1000, threshold
+      * strictly above the floor mean. Pure integer arithmetic —
+      * bit-identical in any engine — and None when the payload is not
+      * a well-formed P6 image.
+      */
+    private[graft] def phashBands(b: Array[Byte]): Option[Array[Int]] =
+      parsePpmHeader(b).map { case (w, h, _, off) =>
+        val luma = new Array[Long](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          val sx = ((i % 8).toLong * w / 8).toInt
+          val sy = ((i / 8).toLong * h / 8).toInt
+          val si = off + (sy * w + sx) * 3
+          val l = (299 * (b(si) & 0xff) + 587 * (b(si + 1) & 0xff) +
+            114 * (b(si + 2) & 0xff)) / 1000
+          luma(i) = l
+          sum += l
+          i += 1
+        }
+        val mean = sum / 64
+        val bands = new Array[Int](8)
+        i = 0
+        while (i < 64) {
+          if (luma(i) > mean) bands(i / 8) |= 1 << (i % 8)
+          i += 1
+        }
+        bands
+      }
+
     def decode(m: Media): MediaFeatures = {
       val bytes = m.payload
       var sum = 0L

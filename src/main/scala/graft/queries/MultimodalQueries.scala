@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,6 +17,41 @@ object MultimodalQueries {
 
   private def media(s: SparkSession, d: String): DataFrame =
     MediaOps.mediaFromDocuments(Tables.documents(s, d))
+
+  /** Twin ids live TwinOffset above their originals. */
+  private val TwinOffset = 10000000L
+  /** Near-dup threshold: hamming ≤ 7 over the 64-bit phash. With 8
+    * bands of 8 bits, ≤ 7 differing bits CANNOT touch every band
+    * (pigeonhole), so at least one band matches exactly — banded
+    * candidate generation has PERFECT recall at this threshold and the
+    * operator is exact, not approximate (which is what lets an oracle
+    * gate it).
+    */
+  private val HamMax = 7L
+
+  /** Synthesized image corpus: every image-kind document becomes a REAL
+    * 16×16 PPM P6 payload whose pixel bytes cycle through the text
+    * (deterministic, so the oracle recomputes every pixel from the
+    * text), and every sixth doc additionally ships a TWIN — the same
+    * image pushed through the REAL resize machinery (resizePpm,
+    * 16×16 → 8×8). Both geometries are multiples of 8, so the twin's
+    * 8×8 phash grid lands on exactly the original's sampled pixels —
+    * planted near-dups at hamming 0, which is how the gate (and
+    * MediaSpec's recall test) get guaranteed positives.
+    */
+  private def imageMedia(s: SparkSession, d: String): Dataset[MediaOps.Media] = {
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaOps.Media(id, "image",
+          MediaOps.Codec.ppmFromBytes(text.getBytes("US-ASCII"), 16, 16))
+      }
+    val twins = MediaOps.resizeImages(imgs.filter(_.media_id % 6 == 0), 8, 8)
+      .map(m => m.copy(media_id = m.media_id + TwinOffset))
+    imgs.union(twins)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -42,6 +77,40 @@ object MultimodalQueries {
           // exact integer ppm: ROUND on small-denominator rationals hits
           // .5 ties that Spark and DuckDB resolve differently
           expr("(1000000 * st.sum_bytes) div st.n_bytes").as("mean_byte_ppm"))
+    }),
+
+    // Perceptual-hash near-dup dedup over IMAGE payloads — the dedup
+    // family's multimodal member (text: dedup_minhash_lsh; embeddings:
+    // dedup_embedding; pixels: this). The phash is computed by the
+    // native PpmPhashBands expression over the REAL P6 payloads (twins
+    // went through the real resize codec), already split into 8 bands
+    // of 8 bits; candidates come from ONE equi-join of the banded
+    // table with itself on (band, value) — ≤ 8·256 bounded buckets,
+    // never all-pairs — and ≤ HamMax verification has perfect recall
+    // by pigeonhole (see HamMax), so the result is EXACT. The phash
+    // table is one row of 8 ints per image: localCheckpoint (hygiene
+    // device) so its four consumers share one synthesis+hash pass.
+    "mm_dedup_phash" -> ((s, d) => {
+      val ph = imageMedia(s, d).toDF()
+        .select(col("media_id"),
+          BinaryFunctions.ppmPhashBands(col("payload")).as("bands"))
+        .filter(col("bands").isNotNull)
+        .localCheckpoint()
+      val long = ph.select(col("media_id"),
+        posexplode(col("bands")).as(Seq("bnd", "bval")))
+      val cand = long.select(col("media_id").as("da"), col("bnd"), col("bval"))
+        .join(long.select(col("media_id").as("db"), col("bnd"), col("bval")),
+          Seq("bnd", "bval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(ph.select(col("media_id").as("da"), col("bands").as("ba")), "da")
+        .join(ph.select(col("media_id").as("db"), col("bands").as("bb")), "db")
+        .withColumn("hamming",
+          aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y))), lit(0L), (a, x) => a + x))
+        .filter(col("hamming") <= HamMax)
+        .select(col("da"), col("db"), col("hamming"))
     }),
 
     // Frame sampling: fixed 16-byte frames, every 4th frame fingerprinted
@@ -85,6 +154,43 @@ object MultimodalQueries {
       SELECT doc_id AS media_id, k AS frame_idx,
              md5(substring(text, CAST(k * 16 + 1 AS INT), 16)) AS frame_md5
       FROM documents,
-           LATERAL (SELECT unnest(range(0, CAST(CEIL(length(text) / 16.0) AS BIGINT), 4)) AS k) t"""
+           LATERAL (SELECT unnest(range(0, CAST(CEIL(length(text) / 16.0) AS BIGINT), 4)) AS k) t""",
+    // The oracle recomputes the phash straight from the text: pixel
+    // byte j of the synthesized 16×16 image is text[(j % len) + 1], the
+    // 8×8 grid point i samples pixel (2·(i%8), 2·(i/8)) — byte index
+    // (32·(i//8) + 2·(i%8))·3 + channel — and twins share their
+    // original's bands by construction (the 8×8 resize samples exactly
+    // the grid pixels). Luma, mean, and band bits are the same integer
+    // arithmetic as the codec; the pair join is all-pairs here (oracle
+    // scale), banded in Spark.
+    "mm_dedup_phash" -> s"""
+      WITH img AS (
+        SELECT doc_id AS media_id, text FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) > 0),
+      am AS (
+        SELECT media_id, text FROM img
+        UNION ALL
+        SELECT media_id + $TwinOffset, text FROM img WHERE media_id % 6 = 0),
+      px AS (
+        SELECT media_id, i,
+          (299 * ascii(substring(text, ((32 * (i // 8) + 2 * (i % 8)) * 3) % length(text) + 1, 1))
+         + 587 * ascii(substring(text, ((32 * (i // 8) + 2 * (i % 8)) * 3 + 1) % length(text) + 1, 1))
+         + 114 * ascii(substring(text, ((32 * (i // 8) + 2 * (i % 8)) * 3 + 2) % length(text) + 1, 1)))
+         // 1000 AS luma
+        FROM am, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+      mns AS (SELECT media_id, SUM(luma) // 64 AS mean FROM px GROUP BY media_id),
+      bands AS (
+        SELECT px.media_id, i // 8 AS bnd,
+               SUM(CASE WHEN luma > mean THEN 1 << (i % 8) ELSE 0 END) AS bval
+        FROM px JOIN mns USING (media_id)
+        GROUP BY px.media_id, i // 8),
+      bl AS (SELECT media_id, list(CAST(bval AS INT) ORDER BY bnd) AS bs
+             FROM bands GROUP BY media_id)
+      SELECT da, db, hamming FROM (
+        SELECT a.media_id AS da, b.media_id AS db,
+               CAST(list_sum(list_transform(range(1, 9),
+                 k -> bit_count(xor(a.bs[k], b.bs[k])))) AS BIGINT) AS hamming
+        FROM bl a JOIN bl b ON a.media_id < b.media_id)
+      WHERE hamming <= $HamMax"""
   )
 }

@@ -181,6 +181,54 @@ class MediaSpec extends GraftSpec {
     assert(f.n_bytes === 100L)
   }
 
+  test("phash: resize twins hash identically, perturbations move few bits, non-images null") {
+    // synth image from a deterministic byte pattern
+    val src = (0 until 300).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    val img = Codec.ppmFromBytes(src, 16, 16)
+    val orig = Codec.phashBands(img).get
+    assert(orig.length === 8 && orig.forall(b => b >= 0 && b <= 255))
+    // resize 16×16 → 8×8 through the REAL codec: the 8×8 phash grid
+    // lands exactly on the original's sampled pixels → identical hash
+    val twin = Codec.resizePpm(img, 8, 8).get
+    assert(Codec.phashBands(twin).get === orig)
+    // flipping ONE sampled pixel to an extreme moves only a few bits:
+    // locate grid pixel (0,0)'s bytes right after the header
+    val off = Codec.parsePpmHeader(img).get._4
+    val pert = img.clone()
+    pert(off) = 0xff.toByte; pert(off + 1) = 0xff.toByte; pert(off + 2) = 0xff.toByte
+    val pb = Codec.phashBands(pert).get
+    val ham = (0 until 8).map(k => Integer.bitCount(orig(k) ^ pb(k))).sum
+    assert(ham > 0 && ham <= 7,
+      s"one-pixel perturbation must move few bits, moved $ham")
+    // pigeonhole: with ≤7 differing bits at least one band is equal —
+    // the property banded candidate generation relies on for recall
+    assert((0 until 8).exists(k => orig(k) == pb(k)))
+    // a payload that is not a P6 image hashes to null, in the codec
+    // and through the native expression
+    assert(Codec.phashBands("not an image".getBytes) === None)
+    val viaExpr = Seq((1L, img), (2L, "nope".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), BinaryFunctions.ppmPhashBands(col("payload")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(viaExpr === Map(1L -> false, 2L -> true))
+  }
+
+  test("mm_dedup_phash reports every planted resize twin (recall 1.0)") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.queries.MultimodalQueries
+      .queries("mm_dedup_phash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted positives: every image doc with doc_id % 6 == 0 has a
+    // resized twin at id + 10000000 with an identical phash
+    val expected = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 6 === 0 && length(col("text")) > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, id + 10000000L)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(pairs),
+      s"missing planted twins: ${expected -- pairs}")
+  }
+
   test("byteStats handles unsigned bytes and empty payloads") {
     val df = Seq(
       (1L, Array(0xff.toByte, 0x00.toByte)),
