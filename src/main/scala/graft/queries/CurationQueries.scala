@@ -115,7 +115,7 @@ object CurationQueries {
     * docs_chunk, dedup_chunks, and the streaming chunk-dedup gate all
     * chunk through here and can never drift apart.
     */
-  private[queries] def chunkRows(docs: DataFrame): DataFrame = {
+  private[graft] def chunkRows(docs: DataFrame): DataFrame = {
     val (c, st) = (ChunkWords, ChunkStride)
     docs.select(col("doc_id"), TextQueries.words(col("text")).as("w"))
       .withColumn("len", size(col("w")).cast("long"))
@@ -131,11 +131,13 @@ object CurationQueries {
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
   }
 
-  /** The chunks CTE as oracle SQL — the SQL twin of chunkRows, shared
-    * by every chunk-consuming oracle.
+  /** The chunks CTEs as a WITH-body fragment over a caller-chosen
+    * source relation — the SQL twin of chunkRows, shared by every
+    * chunk-consuming oracle (the streaming composite chunks only the
+    * curation-kept docs; everything else chunks `documents`).
     */
-  private[queries] val chunksSql = s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+  private[graft] def chunksCtesFrom(from: String): String = s"""
+      dw AS (SELECT doc_id, $wordsSql AS w FROM $from),
       sized AS (
         SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len
         FROM dw WHERE len(w) > 0),
@@ -150,6 +152,9 @@ object CurationQueries {
             CASE WHEN len > $ChunkWords
                  THEN (len - $ChunkWords + $ChunkStride - 1) // $ChunkStride
                  ELSE 0 END + 1)) AS k) t)"""
+
+  /** The whole-corpus chunks CTE (the common case). */
+  private[queries] val chunksSql = s"WITH ${chunksCtesFrom("documents")}"
 
   /** Per-language stratified sample size. */
   private val StratumK = 25L
@@ -176,11 +181,21 @@ object CurationQueries {
   /** Oracle SQL for split/decontaminate, shared by their own entries
     * and the end-to-end composite (one definition, zero drift).
     */
-  private val splitSql = s"""
-      SELECT doc_id,
-        CASE WHEN $bucketSql < 80 THEN 'train'
+  /** The 80/10/10 split as a pure column / SQL CASE over an id —
+    * shared by docs_split and the streaming composite gate.
+    */
+  private[graft] def splitCol(id: Column): Column =
+    when(bucket100(id) < 80, "train")
+      .when(bucket100(id) < 90, "val")
+      .otherwise("test")
+
+  private[graft] val splitCaseSql =
+    s"""CASE WHEN $bucketSql < 80 THEN 'train'
              WHEN $bucketSql < 90 THEN 'val'
-             ELSE 'test' END AS split
+             ELSE 'test' END"""
+
+  private val splitSql = s"""
+      SELECT doc_id, $splitCaseSql AS split
       FROM documents"""
 
   private val deconSql = s"""
@@ -215,10 +230,7 @@ object CurationQueries {
     // cannot give.
     "docs_split" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(bucket100(col("doc_id")) < 80, "train")
-            .when(bucket100(col("doc_id")) < 90, "val")
-            .otherwise("test").as("split"))),
+        .select(col("doc_id"), splitCol(col("doc_id")).as("split"))),
 
     // Benchmark decontamination: drop every training doc that shares a
     // word n-gram with the (tiny) benchmark set. The gram join

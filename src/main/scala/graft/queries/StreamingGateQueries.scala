@@ -178,7 +178,52 @@ object StreamingGateQueries {
       s.read.schema(out.schema).parquet(outDir)
     }
 
+  /** The two pipeline stages of the streaming curation composite,
+    * shared with the spec that asserts its metrics totals (one
+    * definition, zero drift). op1 is STATELESS — curation gates
+    * (TextQueries.curationGateRows), chunking (CurationQueries
+    * .chunkRows), split assignment (pure function of doc_id) — so the
+    * only streaming state is op2's dedup set, and the emitted
+    * (split, chunk_fp) SET is deterministic (which copy survives
+    * dedup is arrival-order-dependent; the set is not — same
+    * reasoning as stream_dedup_chunks).
+    */
+  private[graft] val curationOp1: DataFrame => DataFrame = df =>
+    CurationQueries.chunkRows(
+      TextQueries.curationGateRows(df.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")))
+      .withColumn("split", CurationQueries.splitCol(col("doc_id")))
+  private[graft] val curationOp2: DataFrame => DataFrame = df =>
+    df.dropDuplicates("split", "chunk_fp")
+      .select(col("split"), col("chunk_fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The LLM curation pipeline composed UNDER CHECKPOINTED STREAMING —
+    // quality/language gate → chunk → split → chunk-dedup — through the
+    // PRODUCTION path end-to-end: StreamOps.runPipeline (both ends
+    // observed for PipelineMetricsListener; StreamingSpec asserts the
+    // totals against batch counts) into the parquet file sink, read
+    // back via the sink's commit log. Proves the per-operator streaming
+    // twins COMPOSE as one checkpointed job, not just individually.
+    "stream_curation_pipeline" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_curation_${runId.incrementAndGet()}"
+        val (src, ckpt) = stageStream(s, s"$d/documents.parquet", name, identity)
+        val outDir = Files.createTempDirectory(s"graft-out-$name").toString
+        val q = graft.streaming.StreamOps.runPipeline(
+          src, curationOp1, curationOp2,
+          OutputMode.Append(), ckpt, Some(outDir))
+        q.awaitTermination()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("split",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("chunk_fp",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema).parquet(outDir)
+      }
+    }),
 
     // App-2's stateful keyed count as a genuine streaming job.
     "stream_count_by_key" -> ((s, d) => {
@@ -381,6 +426,16 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    // Streaming ≡ batch for the composite: the emitted (split,
+    // chunk_fp) set equals DISTINCT over the batch composition of the
+    // same shared stages (curation gate CTEs → chunks over kept docs
+    // → split case).
+    "stream_curation_pipeline" -> s"""
+      WITH ${TextQueries.curationGateSql},
+      ${CurationQueries.chunksCtesFrom(
+        "documents WHERE doc_id IN (SELECT doc_id FROM kept)")}
+      SELECT DISTINCT ${CurationQueries.splitCaseSql} AS split, chunk_fp
+      FROM chunks""",
     // Streaming ≡ batch for set-valued dedup: the emitted fingerprint
     // set equals DISTINCT over the whole table.
     "stream_dedup_docs" -> """

@@ -79,6 +79,37 @@ object TextQueries {
      + (300000 * (n - stop)) // n
      + LEAST((300000 * sumlen) // (8 * n), 300000)"""
 
+  /** The STATELESS curation gates — language dominance (en markers win
+    * ties) + absolute quality floor — over any (doc_id, text) frame,
+    * batch OR streaming (no window, no aggregation, no state). Shared
+    * by docs_curation and the streaming composite gate so the two
+    * faces can never drift. Output: (doc_id, text, n_tokens,
+    * quality_ppm); tokenless documents are dropped by definition (and
+    * n = 0 divides by zero under ANSI).
+    */
+  private[graft] def curationGateRows(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    docs.select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("text"),
+        size(w).cast("long").as("n"),
+        size(filter(w, x => x.isin(StopWords: _*)))
+          .cast("long").as("stop"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"),
+        size(filter(w, x => x.isin(EnMarkers: _*)))
+          .cast("long").as("en_hits"),
+        size(filter(w, x => x.isin(EsMarkers: _*)))
+          .cast("long").as("es_hits"),
+        size(filter(w, x => x.isin(DeMarkers: _*)))
+          .cast("long").as("de_hits"))
+      .filter(col("n") > 0)
+      .withColumn("quality_ppm", expr(QualityExpr))
+      .filter(col("en_hits") >= col("es_hits") &&
+        col("en_hits") >= col("de_hits") &&
+        col("quality_ppm") >= 800000L)
+      .select(col("doc_id"), col("text"),
+        col("n").as("n_tokens"), col("quality_ppm"))
+  }
+
   private val P = 1000000007L
 
   /** Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
@@ -574,41 +605,23 @@ object TextQueries {
     // chain runs scan-side before any shuffle, so at 100 TB the only
     // exchanged data is (fingerprint, doc_id) for the canonical-copy
     // choice.
-    "docs_curation" -> ((s, d) => {
-      val w = col("w")
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), words(col("text")).as("w"))
-        .select(col("doc_id"), col("text"),
-          size(w).cast("long").as("n"),
-          size(filter(w, x => x.isin(StopWords: _*)))
-            .cast("long").as("stop"),
-          aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sumlen"),
-          size(filter(w, x => x.isin(EnMarkers: _*)))
-            .cast("long").as("en_hits"),
-          size(filter(w, x => x.isin(EsMarkers: _*)))
-            .cast("long").as("es_hits"),
-          size(filter(w, x => x.isin(DeMarkers: _*)))
-            .cast("long").as("de_hits"))
-        // tokenless documents cannot be scored (and n = 0 divides by
-        // zero under ANSI) — curation drops them by definition
-        .filter(col("n") > 0)
-        .withColumn("quality_ppm", expr(QualityExpr))
-        .withColumn("fp",
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
-        .filter(col("en_hits") >= col("es_hits") &&
-          col("en_hits") >= col("de_hits") &&
-          col("quality_ppm") >= 800000L)
+    "docs_curation" -> ((s, d) =>
+      // the STATELESS gates live in curationGateRows (shared with the
+      // streaming composite gate — one definition, zero drift); the
+      // canonical-copy pick is the batch-only stage on top.
       // Canonical copy via a PARTITIONED window (rn=1 over fp ordered by
-      // doc_id == min doc_id per fingerprint): one pass over the scored
+      // doc_id == min doc_id per fingerprint): one pass over the gated
       // scan instead of a groupBy + semi-join back against a second
       // scan of it, and half the codegen surface.
-      scored
+      curationGateRows(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("fp")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("n").as("n_tokens"), col("quality_ppm"))
-    }),
+        .select(col("doc_id"), col("n_tokens"), col("quality_ppm"))),
 
     // Bigram language-model scoring (the CCNet-style statistical
     // quality signal): build the corpus bigram model DISTRIBUTIVELY —
@@ -720,6 +733,28 @@ object TextQueries {
 
   private val wordsSql =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"""
+
+  /** The curation gates as a WITH-body CTE fragment ending in
+    * `kept(doc_id, n_tokens, quality_ppm)` — the SQL twin of
+    * curationGateRows, shared by the docs_curation oracle and the
+    * streaming composite gate's oracle.
+    */
+  private[graft] val curationGateSql = s"""
+      scored AS (
+        SELECT doc_id,
+          len(w) AS n,
+          len(list_filter(w, x -> x IN ${inListSql(StopWords)})) AS stop,
+          CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen,
+          len(list_filter(w, x -> x IN ${inListSql(EnMarkers)})) AS en_hits,
+          len(list_filter(w, x -> x IN ${inListSql(EsMarkers)})) AS es_hits,
+          len(list_filter(w, x -> x IN ${inListSql(DeMarkers)})) AS de_hits
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)),
+      kept AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST($QualitySql AS BIGINT) AS quality_ppm
+        FROM scored
+        WHERE n > 0 AND en_hits >= es_hits AND en_hits >= de_hits
+          AND CAST($QualitySql AS BIGINT) >= 800000)"""
 
   /** Shared SQL CTE: distinct (doc_id, sh) word-bigram shingles. */
   private val shinglesCte =
@@ -933,27 +968,14 @@ object TextQueries {
         map(['n'], [CAST(len(w) AS BIGINT)])['n'][1] AS map_get
       FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
     "docs_curation" -> s"""
-      WITH scored AS (
-        SELECT doc_id,
-          len(w) AS n,
-          len(list_filter(w, x -> x IN ${inListSql(StopWords)})) AS stop,
-          CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sumlen,
-          len(list_filter(w, x -> x IN ${inListSql(EnMarkers)})) AS en_hits,
-          len(list_filter(w, x -> x IN ${inListSql(EsMarkers)})) AS es_hits,
-          len(list_filter(w, x -> x IN ${inListSql(DeMarkers)})) AS de_hits,
-          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)),
-      gated AS (
-        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, fp,
-          CAST(8000 * LEAST(n, 50)
-             + (300000 * (n - stop)) // n
-             + LEAST((300000 * sumlen) // (8 * n), 300000) AS BIGINT) AS quality_ppm
-        FROM scored
-        WHERE en_hits >= es_hits AND en_hits >= de_hits AND n > 0),
-      kept AS (SELECT * FROM gated WHERE quality_ppm >= 800000),
-      canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
-      SELECT k.doc_id, k.n_tokens, k.quality_ppm
-      FROM kept k JOIN canon c ON c.fp = k.fp AND c.doc_id = k.doc_id""",
+      WITH $curationGateSql,
+      fps AS (
+        SELECT k.doc_id, k.n_tokens, k.quality_ppm,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+        FROM kept k JOIN documents d USING (doc_id)),
+      canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp)
+      SELECT f.doc_id, f.n_tokens, f.quality_ppm
+      FROM fps f JOIN canon c ON c.fp = f.fp AND c.doc_id = f.doc_id""",
     "text_lm_score" -> s"""
       WITH inst AS (
         SELECT doc_id,

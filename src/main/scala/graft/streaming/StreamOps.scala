@@ -179,6 +179,15 @@ object StreamOps {
     /** Total sink rows observed across the query's batches so far. */
     def rowsOut(id: java.util.UUID): Long =
       Option(totals.get(id)).map(_._2).getOrElse(0L)
+    /** Current per-query (rows_in, rows_out) totals — the
+      * observability/spec hook for callers that don't hold the query
+      * id (progress events are async: poll after termination).
+      */
+    def snapshot: Map[java.util.UUID, (Long, Long)] = {
+      val b = Map.newBuilder[java.util.UUID, (Long, Long)]
+      totals.forEach((k, v) => b += (k -> v))
+      b.result()
+    }
   }
 
   /** The RainStorm pipeline template, streaming edition: source → op1 →

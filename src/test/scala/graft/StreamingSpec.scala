@@ -252,6 +252,43 @@ class StreamingSpec extends GraftSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming curation composite: result and metrics totals equal the batch run") {
+    // The driver-gated stream_curation_pipeline composes curation gate
+    // → chunk → split → chunk-dedup through runPipeline's production
+    // sink. Here: (a) the emitted (split, chunk_fp) set equals the
+    // batch composition of the SAME shared stages, and (b) the
+    // PipelineMetricsListener totals show every source document
+    // observed (rows_in) and exactly the deduped set emitted
+    // (rows_out) — the composition proof the per-operator gates can't
+    // give individually.
+    val d = "/root/testdata/sf0.001"
+    val listener = new StreamOps.PipelineMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val before = listener.snapshot.keySet
+      val streamed = graft.queries.StreamingGateQueries
+        .queries("stream_curation_pipeline")(spark, d)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val batch = graft.queries.StreamingGateQueries.curationOp2(
+        graft.queries.StreamingGateQueries.curationOp1(docs))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      val nDocs = docs.count()
+      val nOut = streamed.size.toLong
+      // progress events are posted asynchronously; poll briefly for the
+      // gate query's entry (keyed by its — unknown here — query id)
+      val deadline = System.currentTimeMillis() + 15000
+      def entries = (listener.snapshot -- before).values.toSeq
+      while (!entries.contains((nDocs, nOut)) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(entries.contains((nDocs, nOut)),
+        s"expected totals ($nDocs, $nOut) on the listener bus, saw $entries")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dedup drops redelivered ids (F5)") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(String, java.sql.Timestamp, String)]
