@@ -39,9 +39,10 @@ object MultimodalQueries {
     * planted near-dups at hamming 0, which is how the gate (and
     * MediaSpec's recall test) get guaranteed positives.
     */
-  private def imageMedia(s: SparkSession, d: String): Dataset[MediaOps.Media] = {
+  private[queries] def imageMediaRows(docs: DataFrame): Dataset[MediaOps.Media] = {
+    val s = docs.sparkSession
     import s.implicits._
-    val imgs = Tables.documents(s, d)
+    val imgs = docs
       .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
@@ -52,6 +53,9 @@ object MultimodalQueries {
       .map(m => m.copy(media_id = m.media_id + TwinOffset))
     imgs.union(twins)
   }
+
+  private def imageMedia(s: SparkSession, d: String): Dataset[MediaOps.Media] =
+    imageMediaRows(Tables.documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -113,6 +117,17 @@ object MultimodalQueries {
         .select(col("da"), col("db"), col("hamming"))
     }),
 
+    // Transitive clustering of the IMAGE near-dup pairs — the phash
+    // twin of dedup_minhash_clusters / dedup_clusters, through the SAME
+    // Graphs.connectedComponents min-label loop: images linked
+    // transitively by verified phash pairs share a cluster, labeled by
+    // its smallest media_id. Pair generation stays banded
+    // (mm_dedup_phash); clustering adds O(diameter) join+agg rounds.
+    "mm_dedup_clusters" -> ((s, d) =>
+      Graphs.connectedComponents(
+        queries("mm_dedup_phash")(s, d).select(col("da"), col("db")))
+        .select(col("id").as("media_id"), col("comp").as("cluster_id"))),
+
     // Frame sampling: fixed 16-byte frames, every 4th frame fingerprinted
     // — the video-pipeline shape (decode → sample → per-frame feature),
     // all inside one generate + projection, no shuffle.
@@ -164,7 +179,30 @@ object MultimodalQueries {
     // arithmetic as the codec; the pair join is all-pairs here (oracle
     // scale), banded in Spark.
     "mm_dedup_phash" -> s"""
-      WITH img AS (
+      WITH $phashBandsCtes
+      $phashPairsSelect""",
+    // Transitive closure over the same pairs (the shared recursive-CTE
+    // device of dedup_minhash_clusters / dedup_clusters), labels =
+    // smallest member — the unique fixpoint the Spark min-propagation
+    // loop converges to.
+    "mm_dedup_clusters" -> s"""
+      WITH RECURSIVE $phashBandsCtes,
+      pairs AS ($phashPairsSelect),
+      e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
+      SELECT a AS media_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a"""
+  )
+
+  /** The phash band table as WITH-body CTEs ending in
+    * `bl(media_id, bs)` — shared by the pair, cluster, and streaming
+    * oracles (one definition of the hash arithmetic).
+    */
+  private[queries] lazy val phashBandsCtes = s"""
+      img AS (
         SELECT doc_id AS media_id, text FROM documents
         WHERE doc_id % 3 = 0 AND length(text) > 0),
       am AS (
@@ -185,12 +223,14 @@ object MultimodalQueries {
         FROM px JOIN mns USING (media_id)
         GROUP BY px.media_id, i // 8),
       bl AS (SELECT media_id, list(CAST(bval AS INT) ORDER BY bnd) AS bs
-             FROM bands GROUP BY media_id)
+             FROM bands GROUP BY media_id)"""
+
+  /** The ≤-HamMax pair join over `bl` (all-pairs at oracle scale). */
+  private[queries] lazy val phashPairsSelect = s"""
       SELECT da, db, hamming FROM (
         SELECT a.media_id AS da, b.media_id AS db,
                CAST(list_sum(list_transform(range(1, 9),
                  k -> bit_count(xor(a.bs[k], b.bs[k])))) AS BIGINT) AS hamming
         FROM bl a JOIN bl b ON a.media_id < b.media_id)
       WHERE hamming <= $HamMax"""
-  )
 }

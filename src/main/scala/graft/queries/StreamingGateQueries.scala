@@ -375,6 +375,28 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // Exact IMAGE dedup on the streaming face — the multimodal twin of
+    // stream_dedup_docs: arriving documents synthesize into real PPM
+    // payloads (incl. resize twins) via the SAME imageMediaRows the
+    // batch phash operators use, each payload hashes through the
+    // native PpmPhashBands expression, and each distinct phash is
+    // emitted once with the seen-set in the state store. Output is the
+    // deterministic distinct band-tuple SET (which image arrives first
+    // is arrival-order-dependent; the set is not).
+    "stream_dedup_phash" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => MultimodalQueries
+          .imageMediaRows(df.select(col("doc_id"), col("text"))).toDF()
+          .select(graft.functions.BinaryFunctions
+            .ppmPhashBands(col("payload")).as("bands"))
+          .filter(col("bands").isNotNull)
+          .select((0 until 8).map(i =>
+            element_at(col("bands"), i + 1).as(s"b$i")): _*)
+          .dropDuplicates((0 until 8).map(i => s"b$i")),
+        OutputMode.Append())
+    }),
+
     // Event-time tumbling window aggregation with a watermark, streamed
     // through the PRODUCTION parquet file sink (Append mode, result read
     // back via the sink's commit log — no memory sink in this plan).
@@ -449,6 +471,12 @@ object StreamingGateQueries {
     "stream_dedup_chunks" -> s"""
       ${CurationQueries.chunksSql}
       SELECT DISTINCT chunk_fp FROM chunks""",
+    // Streaming ≡ batch for the phash set (phashBandsCtes is the SQL
+    // twin of the synthesis + hash both faces share).
+    "stream_dedup_phash" -> s"""
+      WITH ${MultimodalQueries.phashBandsCtes}
+      SELECT DISTINCT ${(0 until 8).map(i => s"bs[${i + 1}] AS b$i").mkString(", ")}
+      FROM bl""",
     // Same gaps-and-islands construction as the batch q_session_window
     // oracle (>= gap starts a new session, half-open, per the playbook).
     "stream_session_window" -> """
