@@ -118,6 +118,29 @@ class RainStormSpec extends GraftSpec {
     assert(got === Set("Regulatory,2", "Warning,1"))
   }
 
+  test("chaos kills are run-scoped: another run cannot absorb them") {
+    // arm() parks a pending count that the NEXT run claims under its
+    // own run id — so a different run executing while the claim is
+    // live must fire nothing, and the claiming run's own action still
+    // fires every kill (the round-4 design was JVM-global: any
+    // concurrent delivery could absorb kills armed for another job).
+    val src = writeFixture()
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val before = RainStorm.Chaos.firedCount
+    RainStorm.Chaos.arm(2)
+    // run A claims the kills but stays LAZY (no dest, no action yet)
+    val a = RainStorm.run(spark, src, idOp, idOp, dest = None, numTasks = 2)
+    // run B executes to completion while A's claim is live: zero kills
+    val destB = tmpDir("chaos-scope") + "/out"
+    RainStorm.run(spark, src, idOp, idOp, dest = Some(destB), numTasks = 2)
+    assert(RainStorm.Chaos.firedCount === before,
+      "a run must not absorb kills claimed by another run")
+    // A's own action fires both kills; retries reproduce the output
+    assert(a.count() === 5)
+    assert(RainStorm.Chaos.firedCount === before + 2,
+      "the claiming run's deliveries must fire the armed kills")
+  }
+
   test("batch source keys are <srcFile>:<lineNo>, distinct for duplicate lines") {
     // The reference keys records "<src>:<lineNo>" 1-based
     // (rainstorm/server.go:427-439): two IDENTICAL lines are distinct
