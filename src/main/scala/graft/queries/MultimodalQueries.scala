@@ -94,6 +94,13 @@ object MultimodalQueries {
     // by pigeonhole (see HamMax), so the result is EXACT. The phash
     // table is one row of 8 ints per image: localCheckpoint (hygiene
     // device) so its four consumers share one synthesis+hash pass.
+    // SCALE KNOB: banded candidate volume is ~corpus²/2^bandBits per
+    // band (this is multi-index hashing; sharing ≥1 band is the
+    // MINIMUM exact candidate set for a given hash size). 64-bit/8×8
+    // fits this corpus; a billion-image corpus wants a wider hash —
+    // e.g. a 16×16 grid → 256-bit hash → 16 bands of 16 bits: 65 536
+    // buckets per band (the dedup_embedding geometry) and exactness up
+    // to hamming 15. Geometry is a constant here, not a redesign.
     "mm_dedup_phash" -> ((s, d) => {
       val ph = imageMedia(s, d).toDF()
         .select(col("media_id"),
