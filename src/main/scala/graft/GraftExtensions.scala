@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BinaryByteStats, FloatDotProduct}
+import graft.functions.{BinaryByteStats, FloatDotProduct, PpmPhashBands}
 
 /** SparkSessionExtensions wiring: exposes graft's native expressions to
   * the SQL surface (`SELECT float_dot(a.embedding, b.embedding) ...`),
@@ -30,7 +30,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatDotProduct(children(0), children(1))),
     (new FunctionIdentifier("byte_stats"),
       new ExpressionInfo(classOf[BinaryByteStats].getName, "byte_stats"),
-      (children: Seq[Expression]) => BinaryByteStats(children.head)))
+      (children: Seq[Expression]) => BinaryByteStats(children.head)),
+    (new FunctionIdentifier("ppm_phash_bands"),
+      new ExpressionInfo(classOf[PpmPhashBands].getName, "ppm_phash_bands"),
+      (children: Seq[Expression]) => PpmPhashBands(children.head)))
 
   /** Register into a live session (post-hoc equivalent of the builder
     * extension path).

@@ -29,6 +29,10 @@ class ExtensionsSpec extends GraftSpec {
         .select("st.*").head()
       assert((st.getLong(0), st.getLong(1), st.getInt(2), st.getInt(3)) ===
         ((2L, 195L, 97, 98)))
+      // ppm_phash_bands: non-image payload → NULL on the SQL surface
+      // (the full hash math is pinned in MediaSpec)
+      assert(s2.sql("SELECT ppm_phash_bands(CAST('nope' AS BINARY)) AS b")
+        .head().isNullAt(0))
     } finally ()
   }
 
