@@ -332,9 +332,14 @@ class PartitioningSpec extends GraftSpec {
     val d = "/root/testdata/sf0.001"
     val sc = spark.sparkContext
     val baseline = sc.getPersistentRDDs.keySet
-    def run(): Unit =
+    def run(): Unit = {
       assert(graft.queries.TextQueries.queries("dedup_e2e_pipeline")(spark, d)
         .count() > 0)
+      // the image composite rides the same device (phash table
+      // localCheckpoint + the CC loop's per-round checkpoints)
+      assert(graft.queries.MultimodalQueries.queries("mm_dedup_clusters")(spark, d)
+        .count() > 0)
+    }
     run() // all frames (and their checkpoint RDDs) unreachable from here
     def leaked = sc.getPersistentRDDs.keySet -- baseline
     val deadline = System.currentTimeMillis() + 60000

@@ -284,6 +284,10 @@ class RainStormSpec extends GraftSpec {
     Files.write(localB, contentB.getBytes("UTF-8"))
     val dest = s"$work/out-cli"
     val roundtrip = Paths.get(work, "roundtrip.csv")
+    val localC = Paths.get(work, "c.csv")
+    val localD = Paths.get(work, "d.csv")
+    Files.write(localC, "extra1".getBytes("UTF-8"))
+    Files.write(localD, "extra2".getBytes("UTF-8"))
     val script = Seq(
       s"create $localA $dfs",
       s"append $localB $dfs",
@@ -291,8 +295,14 @@ class RainStormSpec extends GraftSpec {
       "", // empty line: skipped
       "bogus_verb", // unknown: prints Invalid command, loop continues
       "append onlyonearg", // missing params: prints, loop continues
+      s"cat $localA", // prints the local file (util.Cat)
       s"RainStorm app1op1 app1op2 $dfs $dest 2 Stop",
       s"get $dfs $roundtrip",
+      // reference arity validation, then a real concurrent multiappend
+      s"multiappend $dfs-extra 1,2,3 $localC,$localD",
+      s"multiappend $dfs-extra 1,2 $localC,$localD",
+      s"merge $dfs-extra", // compaction: get-before == get-after
+      s"get $dfs-extra ${Paths.get(work, "extra.txt")}",
       "list_mem", // membership: documented delegation, not a crash
       "exit").mkString("\n")
     val buf = new java.io.ByteArrayOutputStream()
@@ -305,6 +315,15 @@ class RainStormSpec extends GraftSpec {
     assert(printed.contains("Invalid command"))
     assert(printed.contains("Missing parameters"))
     assert(printed.exists(_.startsWith("delegated")))
+    // cat printed the local file's content
+    assert(printed.contains(contentA.linesIterator.next()))
+    // multiappend arity mismatch prints the reference's message; the
+    // valid one lands both blocks, merge compacts, get sees both
+    assert(printed.exists(_.startsWith("Missing filenames")))
+    val extra = new String(
+      Files.readAllBytes(Paths.get(work, "extra.txt")), "UTF-8")
+    assert(extra.contains("extra1") && extra.contains("extra2"))
+    assert(extra.length === "extra1extra2".length)
     // get = canonical-order concatenation of the two appended blocks
     assert(new String(Files.readAllBytes(roundtrip), "UTF-8")
       === contentA + contentB)
