@@ -90,13 +90,23 @@ object StreamingGateQueries {
     * exactly. coalesce(1) is gate-scoped staging (tens of k rows), not
     * a query plan — the query under test never coalesces.
     */
+  /** `normalize` is applied BEFORE the split (so batch predicates and
+    * `prepare` see normalized columns — e.g. events.ts as a timestamp,
+    * not raw nanos) and the staged files already carry the normalized
+    * schema; the readStream side re-reads them as-is. `prepare` maps
+    * each batch's filtered frame to what that micro-batch should
+    * contain (default: the rows themselves) — the device that lets a
+    * gate stream e.g. one row per key per batch with a deterministic
+    * event time.
+    */
   private def stageBatchedStream(s: SparkSession, path: String, name: String,
                                  normalize: DataFrame => DataFrame,
-                                 batches: Seq[org.apache.spark.sql.Column])
+                                 batches: Seq[org.apache.spark.sql.Column],
+                                 prepare: DataFrame => DataFrame = identity)
       : (DataFrame, String) = {
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
-    val full = s.read.parquet(path)
+    val full = normalize(s.read.parquet(path))
     def stageOne(df: DataFrame, fileName: String, mtime: Long): Unit = {
       val tmp = Files.createTempDirectory(s"graft-stage-$name").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -108,13 +118,14 @@ object StreamingGateQueries {
       dst.toFile.setLastModified(mtime)
     }
     val t0 = System.currentTimeMillis() - 600000L
-    batches.zipWithIndex.foreach { case (pred, i) =>
-      stageOne(full.filter(pred), f"batch$i%02d.parquet", t0 + i * 60000L)
+    val staged = batches.map(pred => prepare(full.filter(pred)))
+    staged.zipWithIndex.foreach { case (df, i) =>
+      stageOne(df, f"batch$i%02d.parquet", t0 + i * 60000L)
     }
-    val src = s.readStream.schema(full.schema)
+    val src = s.readStream.schema(staged.head.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
-    (normalize(src), ckpt)
+    (src, ckpt)
   }
 
   /** Run a streaming aggregation through the PRODUCTION sink path: a
@@ -397,6 +408,92 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // Watermark-BOUNDED streaming dedup — the state regime the three
+    // unbounded dedup gates (stream_dedup_docs/chunks/phash) need at
+    // 100 TB, driver-gated with an EXACT cross-batch eviction oracle.
+    // The events table arrives as FOUR time-ordered micro-batches
+    // (fixed calendar cutoffs), each staged as one row per user_id with
+    // that batch's MIN event time (deterministic expiry — within-batch
+    // arrival order can never pick a different first row). The query is
+    // StreamOps.dedupBoundedBy on user_id with a 12-hour delay:
+    // exactly-once within the watermark horizon, re-emission beyond it.
+    // The oracle replays the pinned eviction timing (measured here and
+    // in StreamingSpec's model test): state is evicted at the END of
+    // each batch using the watermark in force DURING it — ms-truncated
+    // max event time over PRIOR batches minus delay — so batch b's
+    // LOOKUPS see evictions by the watermark of two batches back
+    // (batches 0 and 1 both run with the initial zero watermark; with
+    // AvailableNow no no-data batch interleaves the planned file
+    // batches to advance it early, which is what makes the replay
+    // exact). An entry is live iff its ms-truncated FIRST-arrival time
+    // + delay clears that watermark; duplicates never extend it. Four
+    // batches exercise two distinct eviction rounds: at sf0.01 batch 2
+    // re-emits the expired majority and batch 3 the complementary set.
+    "stream_dedup_events_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => graft.streaming.StreamOps.dedupBoundedBy(
+            df.withColumn("ts", col("ts").cast("timestamp")),
+            "ts", "12 hours", "user_id")
+          .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts")),
+        stageBatchedStream(_, _, _, _,
+          Seq(
+            col("ts") < lit("2024-01-08").cast("timestamp_ntz"),
+            col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+              col("ts") < lit("2024-01-15").cast("timestamp_ntz"),
+            col("ts") >= lit("2024-01-15").cast("timestamp_ntz") &&
+              col("ts") < lit("2024-01-22").cast("timestamp_ntz"),
+            col("ts") >= lit("2024-01-22").cast("timestamp_ntz")),
+          prepare = df => df.groupBy(col("user_id"))
+            .agg(min(col("ts")).as("ts"))))
+    }),
+
+    // ARRIVAL-time watermark-bounded chunk dedup — the bounded twin of
+    // stream_dedup_chunks for corpora with no event-time column
+    // (documents): the event time is the micro-batch's processing
+    // timestamp (current_timestamp() is the batch timestamp under
+    // Structured Streaming — deterministic per batch), so the seen-set
+    // holds only the last `delay` of ARRIVALS at steady state instead
+    // of every fingerprint ever ingested. Within one gate run arrivals
+    // are monotone and span far less than the 1-day delay, so nothing
+    // is evicted mid-run and the emitted set equals DISTINCT — which is
+    // what lets the same batch oracle gate it exactly; the eviction
+    // machinery itself is proven by stream_dedup_events_wm and the
+    // StreamingSpec state-bound test.
+    "stream_dedup_chunks_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => graft.streaming.StreamOps.dedupBoundedBy(
+            CurationQueries.chunkRows(df.select(col("doc_id"), col("text")))
+              .select(col("chunk_fp"))
+              .withColumn("arrival_ts", current_timestamp()),
+            "arrival_ts", "1 day", "chunk_fp")
+          .select(col("chunk_fp")),
+        OutputMode.Append())
+    }),
+
+    // The same arrival-time bounded regime on the IMAGE face: phash
+    // band-tuples deduped with the seen-set bounded by the 1-day
+    // arrival watermark (same DISTINCT-equivalence argument as
+    // stream_dedup_chunks_wm; same synthesis + native hash as
+    // stream_dedup_phash).
+    "stream_dedup_phash_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => graft.streaming.StreamOps.dedupBoundedBy(
+            MultimodalQueries
+              .imageMediaRows(df.select(col("doc_id"), col("text"))).toDF()
+              .select(graft.functions.BinaryFunctions
+                .ppmPhashBands(col("payload")).as("bands"))
+              .filter(col("bands").isNotNull)
+              .select((0 until 8).map(i =>
+                element_at(col("bands"), i + 1).as(s"b$i")): _*)
+              .withColumn("arrival_ts", current_timestamp()),
+            "arrival_ts", "1 day", (0 until 8).map(i => s"b$i"): _*)
+          .select((0 until 8).map(i => col(s"b$i")): _*),
+        OutputMode.Append())
+    }),
+
     // Event-time tumbling window aggregation with a watermark, streamed
     // through the PRODUCTION parquet file sink (Append mode, result read
     // back via the sink's commit log — no memory sink in this plan).
@@ -474,6 +571,79 @@ object StreamingGateQueries {
     // Streaming ≡ batch for the phash set (phashBandsCtes is the SQL
     // twin of the synthesis + hash both faces share).
     "stream_dedup_phash" -> s"""
+      WITH ${MultimodalQueries.phashBandsCtes}
+      SELECT DISTINCT ${(0 until 8).map(i => s"bs[${i + 1}] AS b$i").mkString(", ")}
+      FROM bl""",
+    // Watermark-bounded dedup replay, batch by batch. b0..b3 are the
+    // staged micro-batches (one row per user: that batch's MIN event
+    // time). Pinned timing (StreamingSpec's model test + this gate's
+    // own measurement): eviction runs at the END of each batch with
+    // the watermark in force DURING it (f(prior batches)), so batch
+    // b's lookups see evictions by f(batches < b-1) — w0 = f(b0)
+    // governs batch 2, w1 = f(b0,b1) governs batch 3, and batches 0/1
+    // both run against the initial zero watermark. An entry is live
+    // iff its ms-truncated FIRST-arrival time + delay clears the
+    // governing watermark (duplicates never extend it; a re-emission
+    // refreshes it — hence "latest emission wins" in live3). Keys with
+    // live entries are dropped; keys whose entries expired RE-EMIT —
+    // the bounded-state contract stated exactly.
+    "stream_dedup_events_wm" -> """
+      WITH b0 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                  WHERE ts < TIMESTAMP '2024-01-08' GROUP BY user_id),
+      b1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+             WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+             GROUP BY user_id),
+      b2 AS (SELECT user_id, MIN(ts) AS ts FROM events
+             WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+             GROUP BY user_id),
+      b3 AS (SELECT user_id, MIN(ts) AS ts FROM events
+             WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY user_id),
+      w0 AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 12 HOURS AS w
+             FROM b0),
+      w1 AS (SELECT date_trunc('milliseconds',
+               GREATEST((SELECT MAX(ts) FROM b0), (SELECT MAX(ts) FROM b1)))
+               - INTERVAL 12 HOURS AS w),
+      e1 AS (SELECT user_id, ts FROM b1
+             WHERE user_id NOT IN (SELECT user_id FROM b0)),
+      live2 AS (
+        SELECT user_id FROM b0
+        WHERE date_trunc('milliseconds', ts) + INTERVAL 12 HOURS
+              >= (SELECT w FROM w0)
+        UNION
+        SELECT user_id FROM e1
+        WHERE date_trunc('milliseconds', ts) + INTERVAL 12 HOURS
+              >= (SELECT w FROM w0)),
+      e2 AS (SELECT user_id, ts FROM b2
+             WHERE user_id NOT IN (SELECT user_id FROM live2)),
+      live3 AS (
+        SELECT user_id FROM e2
+        WHERE date_trunc('milliseconds', ts) + INTERVAL 12 HOURS
+              >= (SELECT w FROM w1)
+        UNION
+        SELECT user_id FROM e1
+        WHERE user_id NOT IN (SELECT user_id FROM e2)
+          AND date_trunc('milliseconds', ts) + INTERVAL 12 HOURS
+              >= (SELECT w FROM w1)
+        UNION
+        SELECT user_id FROM b0
+        WHERE user_id NOT IN (SELECT user_id FROM e2)
+          AND user_id NOT IN (SELECT user_id FROM e1)
+          AND date_trunc('milliseconds', ts) + INTERVAL 12 HOURS
+              >= (SELECT w FROM w1)),
+      e3 AS (SELECT user_id, ts FROM b3
+             WHERE user_id NOT IN (SELECT user_id FROM live3))
+      SELECT user_id, ts FROM b0
+      UNION ALL SELECT user_id, ts FROM e1
+      UNION ALL SELECT user_id, ts FROM e2
+      UNION ALL SELECT user_id, ts FROM e3""",
+    // Bounded-state twin ≡ DISTINCT within one run: arrivals are
+    // monotone and the run spans far less than the 1-day delay, so no
+    // entry is evicted mid-run (eviction semantics themselves are the
+    // events_wm gate's job).
+    "stream_dedup_chunks_wm" -> s"""
+      ${CurationQueries.chunksSql}
+      SELECT DISTINCT chunk_fp FROM chunks""",
+    "stream_dedup_phash_wm" -> s"""
       WITH ${MultimodalQueries.phashBandsCtes}
       SELECT DISTINCT ${(0 until 8).map(i => s"bs[${i + 1}] AS b$i").mkString(", ")}
       FROM bl""",

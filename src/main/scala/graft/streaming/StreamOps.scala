@@ -100,15 +100,33 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Watermark-BOUNDED streaming dedup on arbitrary key columns — the
+    * state regime that survives 100 TB: dropDuplicatesWithinWatermark
+    * keys state by `keys` alone and EVICTS entries once the watermark
+    * passes their expiry, so the seen-set holds only the active
+    * watermark horizon instead of the full key universe (plain
+    * dropDuplicates — the reference-faithful regime, server.go:34 —
+    * grows forever). Exact semantics, pinned in StreamingSpec and
+    * encoded by the stream_dedup_events_wm oracle:
+    *  - an entry's expiry is FIRST-arrival event time + delay —
+    *    later duplicates are dropped but do NOT extend it;
+    *  - a batch's lookups see evictions by the CURRENT watermark
+    *    (ms-truncated max event time over PRIOR batches, minus delay);
+    *  - a key re-arriving after eviction is re-emitted (the bounded
+    *    contract: exactly-once within the horizon, at-least-once
+    *    beyond it).
+    */
+  def dedupBoundedBy(df: DataFrame, tsCol: String, delay: String,
+                     keys: String*): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** F5 streaming exactly-once dedup on the record ID ALONE — the
     * reference's `processedRecordIDs` set semantics (server.go:292-298):
     * a redelivered id is dropped even if its event-time column differs
-    * between deliveries. dropDuplicatesWithinWatermark keys state by id
-    * only and evicts entries past the watermark, so state stays bounded
-    * (the reference's dedup set grows forever — server.go:34).
+    * between deliveries (dedupBoundedBy keys state by id only).
     */
   def dedupById(df: DataFrame, tsCol: String, watermark: String): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("id")
+    dedupBoundedBy(df, tsCol, watermark, "id")
 
   /** Tumbling event-time window aggregation with watermarking. */
   def tumblingCounts(df: DataFrame, tsCol: String, width: String,

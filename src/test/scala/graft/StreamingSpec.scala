@@ -406,6 +406,93 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("dedupBoundedBy: first-arrival expiry, end-of-batch eviction, re-emission") {
+    // The exact model the stream_dedup_events_wm oracle replays,
+    // pinned on synthetic data with no-data micro-batches DISABLED —
+    // the driver gate's AvailableNow file stream never interleaves
+    // one between planned batches, and a no-data batch would advance
+    // the watermark (and run evictions) a batch early. Measured:
+    //  1. eviction runs at the END of each batch with the watermark
+    //     in force DURING it — max event time over PRIOR batches
+    //     minus delay — so batch b's LOOKUPS see evictions by the
+    //     watermark of two batches back: A/X (expiry 11:00) are
+    //     still live in batch 2 (eviction after batch 1 used batch
+    //     0's watermark 09:00) but GONE in batch 3 (eviction after
+    //     batch 2 used 11:30);
+    //  2. duplicates do NOT extend an entry's expiry (X's 12:30 and
+    //     13:00 dups are dropped, yet X still re-emits at 15:00 —
+    //     the first-arrival expiry 11:00 governed throughout);
+    //  3. an evicted key re-arriving is RE-EMITTED: bounded state
+    //     means exactly-once within the horizon, not forever.
+    implicit val sql = spark.sqlContext
+    val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val out = StreamOps.dedupBoundedBy(
+      ms.toDF().toDF("k", "ts"), "ts", "1 hour", "k")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_dedup_model").start()
+    try {
+      ms.addData(("A", ts("10:00")), ("X", ts("10:00")), ("F", ts("10:00")))
+      q.processAllAvailable() // all emit, expiry 11:00; evict with wm 0
+      ms.addData(("G", ts("12:30")), ("X", ts("12:30")))
+      q.processAllAvailable() // X dropped (live); evict with wm 09:00
+      ms.addData(("A", ts("13:00")), ("X", ts("13:00")))
+      q.processAllAvailable() // A/X STILL live -> dropped; evict with wm 11:30
+      ms.addData(("A", ts("15:00")), ("X", ts("15:00")))
+      q.processAllAvailable() // entries evicted at 11:30: both re-emit
+      val rows = spark.table("wm_dedup_model").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+      assert(rows === Set(
+        ("A", ts("10:00")), ("X", ts("10:00")), ("F", ts("10:00")),
+        ("G", ts("12:30")),
+        ("A", ts("15:00")), ("X", ts("15:00"))))
+    } finally {
+      q.stop()
+      prevNd match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  test("dedupBoundedBy state stays bounded across batches while dropDuplicates grows") {
+    // THE 100 TB property the watermark-bounded twins buy: plain
+    // dropDuplicates accretes one state row per distinct key forever;
+    // dedupBoundedBy holds only the keys inside the watermark horizon.
+    // Five batches, ten fresh keys each, event time advancing 2 h per
+    // batch, 30 min delay: the unbounded twin ends at 50 state rows
+    // (and grows linearly with batches), the bounded one holds the
+    // last two batches' keys — a plateau, not a slope.
+    implicit val sql = spark.sqlContext
+    def run(bounded: Boolean): Seq[Long] = {
+      val ms = MemoryStream[(String, java.sql.Timestamp)]
+      val df = ms.toDF().toDF("k", "ts")
+      val out =
+        if (bounded) StreamOps.dedupBoundedBy(df, "ts", "30 minutes", "k")
+        else df.dropDuplicates("k")
+      val name = s"wm_growth_${if (bounded) "b" else "u"}"
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        (0 until 5).foreach { b =>
+          val t = java.sql.Timestamp.valueOf(f"2024-01-01 ${2 * b}%02d:00:00")
+          ms.addData((0 until 10).map(i => (s"k${b}_$i", t)): _*)
+          q.processAllAvailable()
+        }
+        assert(spark.table(name).count() === 50L) // all keys distinct: same output
+        q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+      } finally q.stop()
+    }
+    val unbounded = run(bounded = false)
+    val bounded = run(bounded = true)
+    assert(unbounded.max === 50L, s"unbounded state must reach every key: $unbounded")
+    assert(bounded.max <= 20L,
+      s"bounded state must never exceed the two-batch horizon: $bounded")
+  }
+
   test("RocksDB state store: state survives restart under the scale backend") {
     // The default (HDFS-backed) state store holds every key in executor
     // heap — at 100 TB of keyed state the ONLY shippable configuration
