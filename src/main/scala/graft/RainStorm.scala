@@ -27,66 +27,105 @@ object RainStorm {
   /** Chaos-kill injection backing the reference's `RainStormWithFail`
     * REPL verb (main.go:223-243: run the job, kill two live op workers
     * 1.5 s in, and show output equivalence; rainstorm/server.go:543-572
-    * is the failover that absorbs it). Spark analogue: the next `n`
-    * record deliveries inside FlatMap tasks each throw once, killing
-    * their task attempt mid-run; the scheduler reschedules the attempt
-    * (spark.task.maxFailures=4, the cluster default, set in
-    * GraftSession) and lineage/shuffle replay reproduces the lost
-    * work — output equivalence is the scheduler's contract instead of a
-    * hand-rolled WAL's. Armed kills are RUN-SCOPED: arm(n) parks a
-    * pending count that the next run claims under its own run id, so
-    * concurrent runs (or parallel tests) can never absorb each other's
-    * kills. The registry is JVM-local, which reaches every executor
-    * thread under local[*] exactly like the reference's single-box
-    * demo; on a real cluster the injection would ride a broadcast
-    * variable or an executor plugin instead.
+    * is the failover that absorbs it). Spark analogue: armed kills
+    * throw inside FlatMap tasks, killing the task attempt mid-run; the
+    * scheduler reschedules the attempt (spark.task.maxFailures=4, the
+    * cluster default, set in GraftSession) and lineage/shuffle replay
+    * reproduces the lost work — output equivalence is the scheduler's
+    * contract instead of a hand-rolled WAL's. Armed kills are
+    * RUN-SCOPED: arm(n) parks a pending count that the next run claims
+    * as a KillPlan under its own identity, so concurrent runs (or
+    * parallel tests) can never absorb each other's kills.
+    *
+    * The TRANSPORT is selected by master URL at run start (plan):
+    * under local[*] a JVM-shared countdown kills the run's next n
+    * deliveries wherever they land — the reference's single-box demo
+    * shape. On a real cluster a shared countdown cannot reach executor
+    * JVMs, so the armed count rides the run's serialized task closure
+    * (PartitionKills) and the kill decision becomes a pure function of
+    * TaskContext — first attempt of each of the first n non-empty
+    * partitions throws once — which needs no cross-JVM state at all
+    * and is exactly as honest as the reference's "kill two live
+    * workers": n distinct task attempts die, the scheduler recovers.
     */
   object Chaos {
+    /** A run's injection plan, embedded in its task closures. */
+    sealed trait KillPlan extends Serializable
+    /** No kills armed for this run (the common case). */
+    case object NoKills extends KillPlan
+    /** local[*] transport: JVM-shared countdown — the run's next n
+      * deliveries each kill their task attempt, whichever executor
+      * thread delivers them.
+      */
+    final case class RegistryKills(runId: String) extends KillPlan
+    /** Cluster transport: the count ships inside the serialized
+      * closure; first attempt of each of the first n partitions
+      * throws on its first delivery. Deterministic, run-scoped by
+      * construction, reaches every executor JVM.
+      */
+    final case class PartitionKills(n: Int) extends KillPlan
+
     /** Kills armed but not yet claimed by a run. */
     private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
-    /** Armed kills, RUN-SCOPED: runId → remaining. A run claims the
-      * pending count when it starts, so a concurrently running job (or
-      * parallel test) can never absorb kills armed for another run —
-      * and deliveries of unarmed runs pay one probe of an (almost
-      * always empty) map, nothing more.
+    /** Registry-transport armed kills, RUN-SCOPED: runId → remaining.
+      * Deliveries of unarmed runs pay one probe of an (almost always
+      * empty) map, nothing more.
       */
     private val runs =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
     private val fired = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    /** Arm the next run started in this JVM to kill its first `n` task
-      * deliveries (the reference's KillRandom(n)). The count is claimed
-      * by — and scoped to — the NEXT RainStorm.run/runStreaming call.
+    /** Arm the next run started in this JVM to kill `n` task attempts
+      * (the reference's KillRandom(n)). The count is claimed by — and
+      * scoped to — the NEXT RainStorm.run/runStreaming call.
       */
     def arm(n: Int): Unit = pending.set(math.max(n, 0))
 
-    /** Total task-attempt kills injected since JVM start (spec probe). */
+    /** Task-attempt kills injected since JVM start (spec probe; under
+      * a multi-JVM cluster each executor counts its own — use the
+      * scheduler UI's failed-attempt count there).
+      */
     def firedCount: Int = fired.get()
 
-    /** Claim any pending kills for this run id. */
-    private[graft] def claim(runId: String): Unit = {
+    /** Claim any pending kills for this run, selecting the transport
+      * by master URL. */
+    private[graft] def plan(runId: String, master: String): KillPlan = {
       val n = pending.getAndSet(0)
-      if (n > 0) runs.put(runId, new java.util.concurrent.atomic.AtomicInteger(n))
+      if (n <= 0) NoKills
+      else if (master.startsWith("local")) {
+        runs.put(runId, new java.util.concurrent.atomic.AtomicInteger(n))
+        RegistryKills(runId)
+      } else PartitionKills(n)
     }
 
-    /** Drop a run's armed state (run teardown; exhausted cells removed
-      * in tap). */
+    /** Drop a run's registry claim (run teardown; exhausted cells
+      * remove themselves in tap; PartitionKills has no JVM state to
+      * drop). */
     private[graft] def release(runId: String): Unit = runs.remove(runId)
 
     /** Called per record delivery on the FlatMap path with the owning
-      * run's id; only that run's deliveries can fire its kills.
+      * run's plan; only that run's deliveries can fire its kills.
       */
-    private[graft] def tap(runId: String): Unit = {
-      val cell = runs.get(runId)
-      if (cell != null) {
-        val r = cell.getAndDecrement()
-        if (r <= 1) runs.remove(runId)
-        if (r > 0) {
+    private[graft] def tap(plan: KillPlan): Unit = plan match {
+      case NoKills => ()
+      case RegistryKills(runId) =>
+        val cell = runs.get(runId)
+        if (cell != null) {
+          val r = cell.getAndDecrement()
+          if (r <= 1) runs.remove(runId)
+          if (r > 0) {
+            fired.incrementAndGet()
+            throw new RuntimeException(
+              s"chaos: injected task-attempt kill ($r armed kills remaining)")
+          }
+        }
+      case PartitionKills(n) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() < n && tc.attemptNumber() == 0) {
           fired.incrementAndGet()
           throw new RuntimeException(
-            s"chaos: injected task-attempt kill ($r armed kills remaining)")
+            s"chaos: injected task-attempt kill (partition ${tc.partitionId()}, attempt 0)")
         }
-      }
     }
   }
 
@@ -159,7 +198,7 @@ object RainStorm {
   }
 
   private def applyOp(df: DataFrame, op: RsOp, pattern: String, numTasks: Int,
-                      runId: String): DataFrame =
+                      plan: Chaos.KillPlan): DataFrame =
     op match {
       case FlatMap(f) =>
         // stage boundary: the reference hash-exchanges on key between
@@ -167,7 +206,7 @@ object RainStorm {
         Core.flatMapRecords(
           df.repartition(numTasks, col("key")),
           r => {
-            Chaos.tap(runId) // no-op unless THIS run claimed armed kills
+            Chaos.tap(plan) // no-op unless THIS run claimed armed kills
             f(r.key, r.value, pattern).map { case (k, v) =>
               Core.Record(java.util.UUID.randomUUID().toString, k, v)
             }
@@ -198,6 +237,13 @@ object RainStorm {
     * (star patterns, e.g. dir/star.csv) — resolved via globStatus,
     * matching what the textFile scan accepted; a glob matching nothing
     * is empty, a non-glob path that doesn't exist still throws.
+    * Divergence, pinned in RainStormSpec: DIRECTLY addressing a hidden
+    * file (`_`/`.` prefix) yields an empty frame — spark.read.text
+    * applies its hidden-file filter even to explicitly listed paths —
+    * where a plain open of the named file would have read it. Hidden
+    * files are metadata by Spark convention (`_SUCCESS`, `.crc`);
+    * treating an explicit address differently from a listing would make
+    * record identity depend on how the path was spelled.
     *
     * Scale shape — ONE scan for ANY file count: every file feeds a
     * single `spark.read.text` (the previous design built one driver-
@@ -254,17 +300,30 @@ object RainStorm {
       .withColumn("base", coalesce(sum(col("cnt")).over(win), lit(0L)))
       .select(col("fp"), col("bs"), col("base"))
     // pass 2: within-split 1-based ordinal, attached narrowly. The key
-    // path is the scheme-less decoded URI path — the same value the
-    // listing side's Path.toUri.getPath produced before, so record
-    // identity stays address-independent.
+    // path is the scheme-less decoded path via hadoop Path (tolerant of
+    // both raw and URI-encoded forms, unlike java.net.URI, which throws
+    // on a space) — the same value the listing side's Path.toUri.getPath
+    // produces, so record identity stays address-independent. The
+    // reset-on-boundary counter is exact ONLY while each (file, split)
+    // pair is one contiguous run inside its partition — a stable but
+    // non-contractual property of the file scan (FilePartitions pack
+    // whole PartitionedFiles, read sequentially) — so a recurring pair
+    // RAISES instead of silently misnumbering lines if a future Spark
+    // changes the packing.
     val withOrd = lines.as[(String, String, Long)].mapPartitions { it =>
       var curFp: String = null
       var curBs = -1L
       var kp: String = null
       var n = 0L
+      val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
       it.map { case (v, fp, bs) =>
         if (fp != curFp || bs != curBs) {
-          if (fp != curFp) kp = new java.net.URI(fp).getPath
+          if (!seen.add((fp, bs)))
+            throw new IllegalStateException(
+              s"sourceBatch: split ($fp, $bs) recurred after a boundary — " +
+                "file-scan rows are no longer contiguous per split; " +
+                "line numbering would be wrong")
+          if (fp != curFp) kp = new org.apache.hadoop.fs.Path(fp).toUri.getPath
           curFp = fp; curBs = bs; n = 0L
         }
         n += 1
@@ -287,10 +346,11 @@ object RainStorm {
   def run(spark: SparkSession, src: String, op1: RsOp, op2: RsOp,
           dest: Option[String], numTasks: Int = 3, pattern: String = ""): DataFrame = {
     val runId = java.util.UUID.randomUUID().toString
-    Chaos.claim(runId) // any kills armed for the next run are OURS alone
+    // any kills armed for the next run are OURS alone; transport by master
+    val plan = Chaos.plan(runId, spark.sparkContext.master)
     val out = applyOp(
-      applyOp(sourceBatch(spark, src), op1, pattern, numTasks, runId),
-      op2, pattern, numTasks, runId)
+      applyOp(sourceBatch(spark, src), op1, pattern, numTasks, plan),
+      op2, pattern, numTasks, plan)
       .select(col("key"), col("value")) // sink format, rainstorm/types.go:79
     // With a dest the job executes HERE — release the claim after it
     // (exhausted cells self-remove in tap; release covers a job that
@@ -320,20 +380,43 @@ object RainStorm {
         "Structured Streaming does not allow chained streaming aggregations " +
         "in this output mode. Run this combination in batch (RainStorm.run).")
     val runId = java.util.UUID.randomUUID().toString
-    Chaos.claim(runId) // run-scoped, like the batch path
+    // run-scoped, like the batch path (transport by master URL)
+    val plan = Chaos.plan(runId, spark.sparkContext.master)
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))
       .withColumn("id", expr("uuid()"))
-    val out = applyOp(applyOp(src, op1, pattern, numTasks, runId),
-      op2, pattern, numTasks, runId)
+    val out = applyOp(applyOp(src, op1, pattern, numTasks, plan),
+      op2, pattern, numTasks, plan)
       .select(col("key"), col("value"))
     val mode =
       if (op2 == CountByKey || op1 == CountByKey) OutputMode.Complete()
       else OutputMode.Append()
-    out.writeStream.outputMode(mode)
+    val q = out.writeStream.outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .format("memory").queryName(queryName).start()
+    // Release the registry claim when THIS query terminates — without
+    // it, a query that dies (or a caller that never drains every armed
+    // kill) leaks its countdown cell in the JVM-lifetime map. The
+    // isActive check after registration covers the race where an
+    // AvailableNow drain finishes before the listener lands (release
+    // is an idempotent remove; PartitionKills has nothing to drop).
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          Chaos.release(runId)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      Chaos.release(runId)
+      spark.streams.removeListener(listener)
+    }
+    q
   }
 }

@@ -38,12 +38,21 @@ object MultimodalQueries {
     * 8×8 phash grid lands on exactly the original's sampled pixels —
     * planted near-dups at hamming 0, which is how the gate (and
     * MediaSpec's recall test) get guaranteed positives.
+    *
+    * ASCII-ONLY synthesis, ENFORCED (not assumed): the oracle indexes
+    * text by CHARACTER while this side feeds getBytes, so the two
+    * faces agree only when chars == bytes. The filter admits exactly
+    * those docs (octet_length == char length ⟺ pure ASCII under
+    * UTF-8) and the oracle's img CTE states the same predicate — a
+    * non-ASCII document is excluded on BOTH faces instead of silently
+    * hashing differently on each. No-op on the all-ASCII testdata.
     */
   private[queries] def imageMediaRows(docs: DataFrame): Dataset[MediaOps.Media] = {
     val s = docs.sparkSession
     import s.implicits._
     val imgs = docs
-      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         MediaOps.Media(id, "image",
@@ -211,7 +220,8 @@ object MultimodalQueries {
   private[queries] lazy val phashBandsCtes = s"""
       img AS (
         SELECT doc_id AS media_id, text FROM documents
-        WHERE doc_id % 3 = 0 AND length(text) > 0),
+        WHERE doc_id % 3 = 0 AND length(text) > 0
+          AND strlen(text) = length(text)),
       am AS (
         SELECT media_id, text FROM img
         UNION ALL

@@ -141,6 +141,63 @@ class RainStormSpec extends GraftSpec {
       "the claiming run's deliveries must fire the armed kills")
   }
 
+  test("chaos transport: cluster masters get closure-shipped PartitionKills") {
+    // plan() selects the injection transport by master URL: local[*]
+    // keeps the JVM-shared countdown; anything else (a real cluster,
+    // where executor JVMs cannot see this JVM's registry) gets
+    // PartitionKills — the armed count embedded in the task closure,
+    // the kill decision a pure function of TaskContext.
+    RainStorm.Chaos.arm(2)
+    val p1 = RainStorm.Chaos.plan("run-a", "spark://host:7077")
+    assert(p1 === RainStorm.Chaos.PartitionKills(2))
+    // the claim is consumed: the next run has nothing armed
+    assert(RainStorm.Chaos.plan("run-b", "spark://host:7077") === RainStorm.Chaos.NoKills)
+    RainStorm.Chaos.arm(1)
+    val p3 = RainStorm.Chaos.plan("run-c", "local[4]")
+    assert(p3 === RainStorm.Chaos.RegistryKills("run-c"))
+    RainStorm.Chaos.release("run-c")
+  }
+
+  test("PartitionKills transport: kills fire via TaskContext and retries recover") {
+    // The cluster transport exercised end-to-end (TaskContext is the
+    // same API under local[4, 4]): first attempt of partitions 0 and 1
+    // dies on its first delivery, the scheduler reschedules, attempt 1
+    // passes the tap, and the output is byte-identical to an unkilled
+    // run — the reference's kill-two-workers equivalence with zero
+    // shared state between driver and executors.
+    import spark.implicits._
+    val before = RainStorm.Chaos.firedCount
+    val recs = (1 to 40)
+      .map(i => graft.operators.Core.Record(s"id$i", s"k${i % 4}", s"v$i"))
+    // round-robin repartition: every partition is guaranteed non-empty
+    // (a key-hash layout can leave partition 0 or 1 empty and the kill
+    // for an empty partition never fires — no deliveries to tap)
+    val ds = spark.createDataset(recs).repartition(4)
+    val plan: RainStorm.Chaos.KillPlan = RainStorm.Chaos.PartitionKills(2)
+    val out = graft.operators.Core.flatMapRecords(ds.toDF(), r => {
+      RainStorm.Chaos.tap(plan)
+      Seq(graft.operators.Core.Record(r.id, r.key, r.value))
+    })
+    assert(out.count() === 40L, "retried attempts must reproduce every record")
+    assert(RainStorm.Chaos.firedCount === before + 2,
+      "first attempts of the first two non-empty partitions must die")
+  }
+
+  test("direct address of a hidden file yields empty output (pinned divergence)") {
+    // spark.read.text applies its hidden-file filter even to explicitly
+    // listed paths: naming `_f.txt` directly reads as EMPTY, where a
+    // plain open would have returned its bytes. Pinned as intended —
+    // hidden files are Spark metadata convention, and record identity
+    // must not depend on how the path was spelled (sourceBatch doc).
+    val dir = tmpDir("rainstorm-hidden")
+    Files.write(Paths.get(dir, "_f.txt"), "line1\nline2".getBytes,
+      StandardOpenOption.CREATE)
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val out = RainStorm.run(spark, s"$dir/_f.txt", idOp, idOp,
+      dest = None, numTasks = 2)
+    assert(out.count() === 0L)
+  }
+
   test("batch source keys are <srcFile>:<lineNo>, distinct for duplicate lines") {
     // The reference keys records "<src>:<lineNo>" 1-based
     // (rainstorm/server.go:427-439): two IDENTICAL lines are distinct
