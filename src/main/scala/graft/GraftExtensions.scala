@@ -33,7 +33,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => BinaryByteStats(children.head)),
     (new FunctionIdentifier("ppm_phash_bands"),
       new ExpressionInfo(classOf[PpmPhashBands].getName, "ppm_phash_bands"),
-      (children: Seq[Expression]) => PpmPhashBands(children.head)))
+      (children: Seq[Expression]) => children match {
+        // 1-arg: default 8×8/8 geometry; 3-arg: explicit (grid, nBands)
+        // scale knob — both must be integer literals (the geometry is a
+        // plan-time constant, like a bucket count)
+        case Seq(payload) => PpmPhashBands(payload)
+        case Seq(payload, g, nb) =>
+          def lit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(
+              s"ppm_phash_bands: $name must be an integer literal, got $e")
+          }
+          PpmPhashBands(payload, lit(g, "grid"), lit(nb, "nBands"))
+        case _ => throw new IllegalArgumentException(
+          "ppm_phash_bands takes (payload) or (payload, grid, nBands)")
+      }))
 
   /** Register into a live session (post-hoc equivalent of the builder
     * extension path).

@@ -52,15 +52,20 @@ case class BinaryByteStats(child: Expression)
     copy(child = newChild)
 }
 
-/** Perceptual hash of a PPM P6 payload as 8 bands of 8 bits each
-  * (array<int>, band k = hash bits 8k..8k+7) — the banded form feeds
-  * LSH-style bucketing directly, so the hash never needs re-splitting
-  * in the plan. NULL for payloads that are not well-formed P6 images
+/** Perceptual hash of a PPM P6 payload as `nBands` bands of
+  * grid²/nBands bits each (array<int>, band k = hash bits
+  * [k·bandBits, (k+1)·bandBits)) — the banded form feeds LSH-style
+  * bucketing directly, so the hash never needs re-splitting in the
+  * plan. Geometry is the SCALE KNOB (constructor args, SQL args 2+3):
+  * the 8×8/8 default is exact to hamming 7 with 256 buckets per band;
+  * 16×16/16 (the billion-image configuration) is exact to hamming 15
+  * with 65 536 buckets per band — pigeonhole exactness ≤ nBands−1
+  * either way. NULL for payloads that are not well-formed P6 images
   * (the codec decides; MediaOps.Codec.phashBands holds the math).
   * CodegenFallback for the same reason as BinaryByteStats: the pixel
   * loop is compiled JVM code either way.
   */
-case class PpmPhashBands(child: Expression)
+case class PpmPhashBands(child: Expression, grid: Int = 8, nBands: Int = 8)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -68,7 +73,8 @@ case class PpmPhashBands(child: Expression)
   override def prettyName: String = "ppm_phash_bands"
 
   protected override def nullSafeEval(input: Any): Any =
-    graft.multimodal.MediaOps.Codec.phashBands(input.asInstanceOf[Array[Byte]])
+    graft.multimodal.MediaOps.Codec
+      .phashBands(input.asInstanceOf[Array[Byte]], grid, nBands)
       .map(a => new org.apache.spark.sql.catalyst.util.GenericArrayData(a))
       .orNull
 
@@ -81,8 +87,14 @@ object BinaryFunctions {
   def byteStats(payload: Column): Column =
     Shim.column(BinaryByteStats(Shim.expression(payload)))
 
-  /** 8×8-bit perceptual-hash bands of a P6 image payload (null when
-    * the payload is not a P6 image). */
+  /** Perceptual-hash bands of a P6 image payload at the default
+    * 8×8/8-band geometry (null when the payload is not a P6 image). */
   def ppmPhashBands(payload: Column): Column =
     Shim.column(PpmPhashBands(Shim.expression(payload)))
+
+  /** Perceptual-hash bands at an explicit (grid, nBands) geometry —
+    * the scale knob: 16×16/16 bands is the billion-image
+    * configuration (exact to hamming 15, 65 536 buckets per band). */
+  def ppmPhashBands(payload: Column, grid: Int, nBands: Int): Column =
+    Shim.column(PpmPhashBands(Shim.expression(payload), grid, nBands))
 }

@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * vectorized UDFs: one decoder instantiation per batch, records
   * streamed through it, no driver collection).
   *
-  * The codec REALLY decodes two standard library-free formats — RIFF/
-  * WAV (PCM audio) and PPM P6 (binary RGB images), both pure byte
-  * arithmetic — filling width/height/sample_rate/n_samples from the
-  * actual container structure (MediaSpec proves recovery of synthesized
-  * ground truth end-to-end through the batched path). Payloads that are
-  * neither fall back to a deterministic byte-stats fake, standing in
-  * for the compressed codecs (JPEG/FLAC/H.264) this container has no
-  * libraries for — swapping that fallback for a JNI/FFI codec is the
-  * only change a real deployment needs.
+  * The codec REALLY decodes three formats — RIFF/WAV (PCM audio) and
+  * PPM P6 (binary RGB images), both pure byte arithmetic, plus PNG: a
+  * genuine COMPRESSED format, header-parsed for metadata and inflated
+  * through the JDK's ImageIO (transcodeImages) into P6 for the
+  * downstream operators — filling width/height/sample_rate/n_samples
+  * from the actual container structure (MediaSpec proves recovery of
+  * synthesized ground truth end-to-end through the batched path, and a
+  * PNG → phash near-dup pipeline with full recall). Payloads that are
+  * none of the three fall back to a deterministic byte-stats fake,
+  * standing in for the codecs the JDK lacks (FLAC/H.264; JPEG decodes
+  * via ImageIO too but is kept out of oracle-gated paths — decoder
+  * output may vary across JDK versions) — swapping that fallback for a
+  * JNI/FFI codec is the only change a real deployment needs.
   */
 object MediaOps {
 
@@ -163,23 +167,39 @@ object MediaOps {
       out
     }
 
-    /** 64-bit PERCEPTUAL HASH of a P6 payload, returned as 8 bands of
-      * 8 bits (band k = bits 8k..8k+7): nearest-neighbor downsample to
-      * an 8×8 luma grid (the same floor index map as resizePpm, so
-      * resize-then-hash equals hash for multiple-of-8 geometries),
-      * ITU-R 601 integer luma (299r+587g+114b)/1000, threshold
-      * strictly above the floor mean. Pure integer arithmetic —
-      * bit-identical in any engine — and None when the payload is not
-      * a well-formed P6 image.
+    /** PERCEPTUAL HASH of a P6 payload with a PARAMETERIZED geometry,
+      * returned as `nBands` bands of grid²/nBands bits each (band k =
+      * hash bits [k·bandBits, (k+1)·bandBits)): nearest-neighbor
+      * downsample to a grid×grid luma grid (the same floor index map
+      * as resizePpm, so resize-then-hash equals hash when both image
+      * dims are multiples of the grid), ITU-R 601 integer luma
+      * (299r+587g+114b)/1000, threshold strictly above the floor mean.
+      * Pure integer arithmetic — bit-identical in any engine — and
+      * None when the payload is not a well-formed P6 image.
+      *
+      * Geometry IS the scale knob: banded candidate volume is
+      * ~corpus²/2^bandBits per band, and ≤(nBands−1) hamming is exact
+      * by pigeonhole. The 8×8/8-band default (64-bit hash, 256 buckets
+      * per band, exact to hamming 7) fits corpus-scale gates; a
+      * billion-image corpus runs 16×16/16 bands (256-bit hash, 65 536
+      * buckets per band, exact to hamming 15) — same code, one
+      * argument.
       */
-    private[graft] def phashBands(b: Array[Byte]): Option[Array[Int]] =
+    private[graft] def phashBands(b: Array[Byte], grid: Int = 8,
+                                  nBands: Int = 8): Option[Array[Int]] = {
+      require(grid > 0 && nBands > 0 && (grid * grid) % nBands == 0 &&
+        grid * grid / nBands <= 31,
+        s"phash geometry $grid×$grid/$nBands: cells must split evenly " +
+          "into bands of <= 31 bits (band values are Ints)")
       parsePpmHeader(b).map { case (w, h, _, off) =>
-        val luma = new Array[Long](64)
+        val cells = grid * grid
+        val bandBits = cells / nBands
+        val luma = new Array[Long](cells)
         var sum = 0L
         var i = 0
-        while (i < 64) {
-          val sx = ((i % 8).toLong * w / 8).toInt
-          val sy = ((i / 8).toLong * h / 8).toInt
+        while (i < cells) {
+          val sx = ((i % grid).toLong * w / grid).toInt
+          val sy = ((i / grid).toLong * h / grid).toInt
           val si = off + (sy * w + sx) * 3
           val l = (299 * (b(si) & 0xff) + 587 * (b(si + 1) & 0xff) +
             114 * (b(si + 2) & 0xff)) / 1000
@@ -187,14 +207,96 @@ object MediaOps {
           sum += l
           i += 1
         }
-        val mean = sum / 64
-        val bands = new Array[Int](8)
+        val mean = sum / cells
+        val bands = new Array[Int](nBands)
         i = 0
-        while (i < 64) {
-          if (luma(i) > mean) bands(i / 8) |= 1 << (i % 8)
+        while (i < cells) {
+          if (luma(i) > mean) bands(i / bandBits) |= 1 << (i % bandBits)
           i += 1
         }
         bands
+      }
+    }
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    /** REAL PNG header parse (pure bytes, no decoder): signature +
+      * leading IHDR chunk → (width, height). The container-metadata
+      * path for PNG payloads — decode() fills width/height from it
+      * without inflating the pixel data.
+      */
+    private[graft] def parsePng(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length < 24 || !sig.indices.forall(i => b(i) == sig(i))) return None
+      if (ascii(b, 12, 4) != "IHDR") return None // IHDR is mandatory-first
+      val (w, h) = (be32(b, 16), be32(b, 20))
+      if (w <= 0 || h <= 0) None else Some((w, h))
+    }
+
+    /** REAL PNG decode via the JDK's ImageIO (javax.imageio ships in
+      * every JRE — no external dependency): the payload is inflated
+      * and re-encoded as P6, the codec's uncompressed interchange
+      * form, so everything downstream (phash, resize, byte features)
+      * is format-agnostic. PNG is lossless, so our own ppmToPng
+      * round-trips byte-identically (MediaSpec). None when the payload
+      * is not a PNG or ImageIO cannot decode it. This retires the
+      * deterministic stand-in for the PNG format; the stand-in remains
+      * only for formats the JDK lacks (JPEG is ImageIO-decodable too
+      * but non-deterministic across JDK decoder versions, so it stays
+      * out of oracle-gated paths).
+      */
+    private[graft] def pngToPpm(b: Array[Byte]): Option[Array[Byte]] = {
+      if (parsePng(b).isEmpty) return None
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val out = new Array[Byte](header.length + w * h * 3)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var o = header.length
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              out(o) = ((rgb >> 16) & 0xff).toByte
+              out(o + 1) = ((rgb >> 8) & 0xff).toByte
+              out(o + 2) = (rgb & 0xff).toByte
+              o += 3; x += 1
+            }
+            y += 1
+          }
+          out
+        }
+    }
+
+    /** Encode a P6 payload as real PNG bytes via ImageIO — the
+      * sink-side half of the PNG codec (and the synthesis aid that
+      * lets specs drive a true compressed-format pipeline). Samples
+      * are copied as 8-bit channel values; lossless, so
+      * pngToPpm(ppmToPng(p)) == p for maxval-255 images.
+      */
+    private[graft] def ppmToPng(ppm: Array[Byte]): Option[Array[Byte]] =
+      parsePpmHeader(ppm).map { case (w, h, _, off) =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        var i = off
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            im.setRGB(x, y,
+              ((ppm(i) & 0xff) << 16) | ((ppm(i + 1) & 0xff) << 8) |
+                (ppm(i + 2) & 0xff))
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", baos)
+        baos.toByteArray
       }
 
     def decode(m: Media): MediaFeatures = {
@@ -211,12 +313,16 @@ object MediaOps {
       val n = bytes.length
       val wav = parseWav(bytes)
       val ppm = if (wav.isEmpty) parsePpm(bytes) else None
+      // PNG: real container parse (header only — no inflate needed for
+      // metadata), third in line after the cheaper sniffs miss
+      val png = if (wav.isEmpty && ppm.isEmpty) parsePng(bytes) else None
+      val img = ppm.orElse(png)
       MediaFeatures(
         m.media_id, m.kind, n.toLong,
         if (n == 0) 0.0 else sum.toDouble / n,
         (n + FrameBytes - 1) / FrameBytes,
         sig,
-        width = ppm.map(_._1), height = ppm.map(_._2),
+        width = img.map(_._1), height = img.map(_._2),
         sample_rate = wav.map(_._1), n_samples = wav.map(_._3))
     }
   }
@@ -269,6 +375,23 @@ object MediaOps {
       if (m.kind != "image") m
       else Codec.resizePpm(m.payload, outW, outH)
         .map(p => m.copy(payload = p)).getOrElse(m)
+    })
+  }
+
+  /** The DECODE stage of the multimodal pipeline with a REAL
+    * compressed codec: image payloads that are PNG are inflated
+    * through the JDK's ImageIO and re-encoded as P6 (the codec's
+    * interchange form every downstream operator speaks); everything
+    * else passes through byte-identical. Pure per-record function,
+    * partition-streaming, no shuffle at any scale — the compressed
+    * bytes never leave the task that decodes them.
+    */
+  def transcodeImages(ds: Dataset[Media]): Dataset[Media] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else Codec.pngToPpm(m.payload).map(p => m.copy(payload = p)).getOrElse(m)
     })
   }
 }

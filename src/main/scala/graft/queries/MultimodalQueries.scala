@@ -47,10 +47,19 @@ object MultimodalQueries {
     * non-ASCII document is excluded on BOTH faces instead of silently
     * hashing differently on each. No-op on the all-ASCII testdata.
     */
-  private[queries] def imageMediaRows(docs: DataFrame): Dataset[MediaOps.Media] = {
+  /** `viaPng = true` routes the synthesized corpus through the REAL
+    * compressed codec — each P6 payload is PNG-encoded then inflated
+    * back through ImageIO (MediaOps.transcodeImages, the production
+    * decode stage). PNG is lossless, so the round-trip is
+    * value-identical to the direct path (MediaSpec asserts the phash
+    * equality per image); gates keep the direct path — same numbers,
+    * no inflate cost per run.
+    */
+  private[graft] def imageMediaRows(docs: DataFrame,
+                                      viaPng: Boolean = false): Dataset[MediaOps.Media] = {
     val s = docs.sparkSession
     import s.implicits._
-    val imgs = docs
+    val synthesized = docs
       .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0 &&
         octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -58,6 +67,10 @@ object MultimodalQueries {
         MediaOps.Media(id, "image",
           MediaOps.Codec.ppmFromBytes(text.getBytes("US-ASCII"), 16, 16))
       }
+    val imgs =
+      if (!viaPng) synthesized
+      else MediaOps.transcodeImages(synthesized.map(m => m.copy(
+        payload = MediaOps.Codec.ppmToPng(m.payload).getOrElse(m.payload))))
     val twins = MediaOps.resizeImages(imgs.filter(_.media_id % 6 == 0), 8, 8)
       .map(m => m.copy(media_id = m.media_id + TwinOffset))
     imgs.union(twins)

@@ -213,6 +213,97 @@ class MediaSpec extends GraftSpec {
     assert(viaExpr === Map(1L -> false, 2L -> true))
   }
 
+  test("REAL PNG codec: lossless round-trip, header parse, decode metadata") {
+    val src = (0 until 300).map(i => ((i * 31 + 7) % 253).toByte).toArray
+    val ppm = Codec.ppmFromBytes(src, 16, 16)
+    val png = Codec.ppmToPng(ppm).get
+    // it IS a PNG (signature + IHDR) and the header parse recovers dims
+    assert(Codec.parsePng(png) === Some((16, 16)))
+    // ImageIO decode back to P6 is BYTE-IDENTICAL — PNG is lossless,
+    // which is what lets the compressed path share the P6 oracles
+    val back = Codec.pngToPpm(png).get
+    assert(back === ppm)
+    // decode() fills container metadata from the real PNG header
+    val f = Codec.decode(Media(7L, "image", png))
+    assert(f.width === Some(16) && f.height === Some(16))
+    assert(f.sample_rate === None)
+    // non-PNG bytes are rejected, not crashed on
+    assert(Codec.parsePng(ppm) === None)
+    assert(Codec.pngToPpm("not a png".getBytes) === None)
+    // truncated signature / bogus dims
+    assert(Codec.parsePng(png.take(20)) === None)
+  }
+
+  test("PNG → phash near-dup pipeline: full recall through the real compressed codec") {
+    // The production shape: compressed payloads arrive, the decode
+    // stage (transcodeImages/ImageIO) inflates to P6, the native
+    // phash + banded join finds near-dups. Driven over the same
+    // corpus as mm_dedup_phash with synthesis routed through
+    // PNG-encode → ImageIO-decode: every per-image phash must equal
+    // the direct path's (losslessness, end-to-end), so the planted
+    // resize twins are found with recall 1.0 by construction.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def bands(viaPng: Boolean): Map[Long, Seq[Int]] =
+      graft.queries.MultimodalQueries.imageMediaRows(docs, viaPng = viaPng)
+        .toDF()
+        .select(col("media_id"),
+          BinaryFunctions.ppmPhashBands(col("payload")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val direct = bands(viaPng = false)
+    val viaPng = bands(viaPng = true)
+    assert(direct.nonEmpty)
+    assert(viaPng === direct,
+      "PNG round-trip must be phash-identical to the direct synthesis")
+    // planted twins hash identically through the compressed path too
+    val twinned = viaPng.keys.filter(_ >= 10000000L)
+    assert(twinned.nonEmpty)
+    twinned.foreach(t => assert(viaPng(t) === viaPng(t - 10000000L)))
+  }
+
+  test("phash geometry knob: 16×16/16-band hashes, pigeonhole exactness, twin recall") {
+    // The billion-image configuration (MultimodalQueries scale-knob
+    // doc): 256-bit hash as 16 bands of 16 bits. Twin-equality needs
+    // image dims that are multiples of the GRID, so synthesize 32×32
+    // and resize 32×32 → 16×16 — the 16×16 grid then lands exactly on
+    // the original's sampled pixels.
+    val src = (0 until 400).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    val img = Codec.ppmFromBytes(src, 32, 32)
+    val orig = Codec.phashBands(img, grid = 16, nBands = 16).get
+    assert(orig.length === 16 && orig.forall(b => b >= 0 && b <= 0xffff))
+    val twin = Codec.resizePpm(img, 16, 16).get
+    assert(Codec.phashBands(twin, grid = 16, nBands = 16).get === orig)
+    // perturb ONE sampled grid pixel to an extreme: few bits move, and
+    // by pigeonhole (≤ 15 differing bits over 16 bands) at least one
+    // band must stay equal — the exactness contract banded candidate
+    // generation relies on at hamming ≤ nBands − 1
+    val off = Codec.parsePpmHeader(img).get._4
+    val pert = img.clone()
+    pert(off) = 0xff.toByte; pert(off + 1) = 0xff.toByte; pert(off + 2) = 0xff.toByte
+    val pb = Codec.phashBands(pert, grid = 16, nBands = 16).get
+    val ham = (0 until 16).map(k => Integer.bitCount(orig(k) ^ pb(k))).sum
+    assert(ham > 0 && ham <= 15,
+      s"one-pixel perturbation must move few bits, moved $ham")
+    assert((0 until 16).exists(k => orig(k) == pb(k)))
+    // the geometry reaches the expression surface: DataFrame overload
+    // and the 3-arg SQL form agree with the codec
+    GraftExtensions.install(spark)
+    val viaExpr = Seq((1L, img)).toDF("id", "payload")
+      .select(BinaryFunctions.ppmPhashBands(col("payload"), 16, 16).as("b"))
+      .head().getSeq[Int](0)
+    assert(viaExpr === orig.toSeq)
+    val viaSql = Seq((1L, img)).toDF("id", "payload")
+      .createOrReplaceTempView("phash_geom_probe")
+    val sqlBands = spark.sql(
+      "SELECT ppm_phash_bands(payload, 16, 16) AS b FROM phash_geom_probe")
+      .head().getSeq[Int](0)
+    assert(sqlBands === orig.toSeq)
+    // invalid geometry raises at construction, not mid-scan
+    intercept[IllegalArgumentException] {
+      Codec.phashBands(img, grid = 16, nBands = 3)
+    }
+  }
+
   test("mm_dedup_phash reports every planted resize twin (recall 1.0)") {
     val d = "/root/testdata/sf0.001"
     val pairs = graft.queries.MultimodalQueries
