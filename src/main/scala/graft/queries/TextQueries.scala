@@ -558,6 +558,11 @@ object TextQueries {
       // aggregation and the final budget join (previously two full text
       // scans: one for md5, one for tokenization). The checkpoint holds
       // only (doc_id, source, fp, n_tokens) — text never materializes.
+      // Sharing deeper with the MinHash stage was assessed (round 6)
+      // and declined: base and the shingle explode have DISJOINT
+      // projections — only the parquet text scan overlaps, which the
+      // columnar reader already serves cheaply — and the measured
+      // median fell 10.4 → 8.6 s without it (bench_out.json reps).
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           md5(col("text").cast("binary")).as("fp"),
