@@ -73,6 +73,19 @@ def main():
         mark = "PASS" if v == "OK" else "FAIL"
         print(f"[{mark}] {name}" + ("" if v == "OK" else f" :: {v[:400]}"))
     print(f"== {ok}/{len(results)} OK")
+    # Optional artifact in the driver's CORRECTNESS format (set
+    # CHECK_ORACLE_JSON=/path.json): rows/schema/hash flags per query.
+    art = os.environ.get("CHECK_ORACLE_JSON")
+    if art:
+        def entry(v):
+            return {
+                "rows_match": v == "OK" or v.startswith("VALUES"),
+                "schema_match": v == "OK" or v.startswith(("VALUES", "ROWCOUNT")),
+                "hash_match": v == "OK",
+                "err": None if v == "OK" else v[:400],
+            }
+        with open(art, "w") as f:
+            json.dump({k: entry(v) for k, v in sorted(results.items())}, f, indent=1)
     sys.exit(0 if ok == len(results) else 1)
 
 if __name__ == "__main__":
