@@ -69,10 +69,17 @@ object RainStorm {
     private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
     /** Registry-transport armed kills, RUN-SCOPED: runId → remaining.
       * Deliveries of unarmed runs pay one probe of an (almost always
-      * empty) map, nothing more.
+      * empty) map, nothing more. BOUNDED: a batch run without a dest
+      * hands back a lazy frame whose claim must outlive the call (the
+      * caller's later action fires it) — if the caller never acts, the
+      * cell would sit in this JVM-lifetime map forever, so claims
+      * beyond the `RetainClaims` newest evict oldest-first (the same
+      * bounded-grace device as PipelineMetricsListener).
       */
     private val runs =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    private val RetainClaims = 64
+    private val claimOrder = new java.util.ArrayDeque[String]()
     private val fired = new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** Arm the next run started in this JVM to kill `n` task attempts
@@ -94,6 +101,11 @@ object RainStorm {
       if (n <= 0) NoKills
       else if (master.startsWith("local")) {
         runs.put(runId, new java.util.concurrent.atomic.AtomicInteger(n))
+        claimOrder.synchronized {
+          claimOrder.addLast(runId)
+          while (claimOrder.size > RetainClaims)
+            runs.remove(claimOrder.removeFirst())
+        }
         RegistryKills(runId)
       } else PartitionKills(n)
     }
