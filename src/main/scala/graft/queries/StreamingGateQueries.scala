@@ -208,6 +208,28 @@ object StreamingGateQueries {
     df.dropDuplicates("split", "chunk_fp")
       .select(col("split"), col("chunk_fp"))
 
+  /** Body of stream_dedup_events_wm (the gate wraps it in the
+    * no-data-micro-batch pin): four time-ordered staged batches, one
+    * row per user_id per batch at that batch's MIN event time, deduped
+    * through StreamOps.dedupBoundedBy with a 12-hour delay.
+    */
+  private def runDedupEventsWm(s: SparkSession, d: String): DataFrame =
+    runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+      df => graft.streaming.StreamOps.dedupBoundedBy(
+          df.withColumn("ts", col("ts").cast("timestamp")),
+          "ts", "12 hours", "user_id")
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts")),
+      stageBatchedStream(_, _, _, _,
+        Seq(
+          col("ts") < lit("2024-01-08").cast("timestamp_ntz"),
+          col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
+            col("ts") < lit("2024-01-15").cast("timestamp_ntz"),
+          col("ts") >= lit("2024-01-15").cast("timestamp_ntz") &&
+            col("ts") < lit("2024-01-22").cast("timestamp_ntz"),
+          col("ts") >= lit("2024-01-22").cast("timestamp_ntz")),
+        prepare = df => df.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("ts"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The LLM curation pipeline composed UNDER CHECKPOINTED STREAMING —
@@ -431,21 +453,19 @@ object StreamingGateQueries {
     // re-emits the expired majority and batch 3 the complementary set.
     "stream_dedup_events_wm" -> ((s, d) => {
       Tables.load(s, d, "region")
-      runFileSinkStream(s, s"$d/events.parquet", Tables.normalizeEvents,
-        df => graft.streaming.StreamOps.dedupBoundedBy(
-            df.withColumn("ts", col("ts").cast("timestamp")),
-            "ts", "12 hours", "user_id")
-          .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts")),
-        stageBatchedStream(_, _, _, _,
-          Seq(
-            col("ts") < lit("2024-01-08").cast("timestamp_ntz"),
-            col("ts") >= lit("2024-01-08").cast("timestamp_ntz") &&
-              col("ts") < lit("2024-01-15").cast("timestamp_ntz"),
-            col("ts") >= lit("2024-01-15").cast("timestamp_ntz") &&
-              col("ts") < lit("2024-01-22").cast("timestamp_ntz"),
-            col("ts") >= lit("2024-01-22").cast("timestamp_ntz")),
-          prepare = df => df.groupBy(col("user_id"))
-            .agg(min(col("ts")).as("ts"))))
+      // The replay oracle assumes NO no-data micro-batch interleaves
+      // the four planned file batches (one would advance the watermark
+      // — and run evictions — a batch early). AvailableNow is observed
+      // never to interleave one, but observed isn't contractual: pin
+      // the conf for this run so the assumption is enforced by
+      // configuration, not by scheduler happenstance. (The window
+      // gates must NOT get this pin — their Append emission relies on
+      // the trailing no-data batch the default runs.)
+      val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNd = s.conf.get(confKey)
+      s.conf.set(confKey, "false")
+      try runDedupEventsWm(s, d)
+      finally s.conf.set(confKey, prevNd)
     }),
 
     // ARRIVAL-time watermark-bounded chunk dedup — the bounded twin of
