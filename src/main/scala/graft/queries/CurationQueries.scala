@@ -131,6 +131,36 @@ object CurationQueries {
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
   }
 
+  /** (doc_id, cid, n_words, chunk_fp) CONTENT-DEFINED chunk rows from
+    * a (doc_id, text) frame — the shift-robust chunking device behind
+    * dedup_cdc_chunks: a word ENDS a chunk iff the last hex digit of
+    * its md5 is '0' (p = 1/16, expected ~16-word chunks), so chunk
+    * boundaries are a pure function of content and an edit perturbs
+    * only its own chunk (CurationSpec pins the locality). Chunk id =
+    * boundaries before the word via a per-DOCUMENT cumulative window
+    * (entity key — state bounded by document length); chunk text
+    * reassembles by struct-sorting the collected (pos, word) pairs,
+    * deterministic under any arrival order.
+    */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("brk",
+        when(substring(md5(col("word").cast("binary")), 32, 1) === "0", 1L)
+          .otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("brk")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word"))).cast("binary")).as("chunk_fp"))
+  }
+
   /** The chunks CTEs as a WITH-body fragment over a caller-chosen
     * source relation — the SQL twin of chunkRows, shared by every
     * chunk-consuming oracle (the streaming composite chunks only the
@@ -409,6 +439,36 @@ object CurationQueries {
           (col("keep") % ChunkPack).as("chunk_id"),
           col("chunk_fp"), col("n_copies"))),
 
+    // CONTENT-DEFINED chunk dedup — the shift-robust member of the
+    // chunk-dedup family (the storage-dedup / repeated-passage device:
+    // fixed-stride chunks lose every downstream fingerprint when one
+    // word is inserted, because all boundaries shift; content-defined
+    // boundaries are a pure function of the words themselves, so an
+    // edit perturbs only the chunk containing it — everything after
+    // the next boundary re-aligns; CurationSpec pins the locality).
+    // A word ENDS a chunk iff the last hex digit of md5(word) is '0'
+    // (p = 1/16 → expected ~16-word chunks; md5 is bit-identical on
+    // both engines, making the boundary rule fully oracle-portable).
+    // Chunk id = boundaries BEFORE the word, via a per-document
+    // cumulative window — an ENTITY-keyed window (state bounded by
+    // document length, never corpus size), the same class as every
+    // other window in this file. Chunk text reassembles by sorting the
+    // collected (pos, word) structs — deterministic under any shuffle
+    // arrival order. Output mirrors dedup_chunks: first occurrence by
+    // packed (doc_id, chunk_id), copy count per distinct chunk.
+    "dedup_cdc_chunks" -> ((s, d) =>
+      cdcChunkRows(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("chunk_fp"), col("n_words"),
+          packGuard(col("cid"), ChunkPack, "cdc chunk_id",
+            packGuard(col("doc_id"), ChunkPackMaxDoc, "doc_id",
+              col("doc_id") * ChunkPack + col("cid"))).as("packed"))
+        .groupBy(col("chunk_fp"))
+        .agg(min(col("packed")).as("keep"), count(lit(1)).as("n_copies"),
+          min(col("n_words")).as("n_words"))
+        .select(expr(s"keep div $ChunkPack").as("doc_id"),
+          (col("keep") % ChunkPack).as("chunk_id"),
+          col("chunk_fp"), col("n_copies"), col("n_words"))),
+
     // Token-budget packing: greedy contiguous fill of PackBudget-token
     // bins, independently per shard. bin = tokens-before-this-doc div
     // budget — the distributed form of "append until the bin is full,
@@ -498,6 +558,35 @@ object CurationQueries {
       FROM (SELECT chunk_fp, MIN(doc_id * $ChunkPack + chunk_id) AS keep,
                    COUNT(*) AS n_copies
             FROM chunks GROUP BY chunk_fp)""",
+    // The SQL twin of the CDC construction: same boundary rule (last
+    // md5 hex digit '0' ends a chunk), same preceding-boundary count
+    // for chunk ids, same packed first-occurrence dedup.
+    "dedup_cdc_chunks" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      wr AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+        FROM (SELECT doc_id, w FROM dw WHERE len(w) > 0),
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+      fl AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN substring(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END AS brk
+        FROM wr),
+      cids AS (
+        SELECT doc_id, pos, word,
+               CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cid
+        FROM fl),
+      cdc AS (
+        SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
+        FROM cids GROUP BY doc_id, cid)
+      SELECT CAST(keep // $ChunkPack AS BIGINT) AS doc_id,
+             CAST(keep % $ChunkPack AS BIGINT) AS chunk_id,
+             chunk_fp, CAST(n_copies AS BIGINT) AS n_copies,
+             CAST(n_words AS BIGINT) AS n_words
+      FROM (SELECT chunk_fp, MIN(doc_id * $ChunkPack + cid) AS keep,
+                   COUNT(*) AS n_copies, MIN(n_words) AS n_words
+            FROM cdc GROUP BY chunk_fp)""",
     "docs_pack" -> s"""
       WITH tok AS (
         SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens

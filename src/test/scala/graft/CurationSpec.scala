@@ -112,6 +112,41 @@ class CurationSpec extends GraftSpec {
       "the later copy of the shared chunk must be dropped")
   }
 
+  test("dedup_cdc_chunks: content-defined boundaries are shift-robust; stride chunks are not") {
+    import spark.implicits._
+    // A long deterministic word stream, then the SAME stream with two
+    // words PREPENDED — the edit every fixed-stride chunker loses
+    // everything to.
+    val words = (0 until 400).map(i => s"w${(i * 37 + 11) % 997}x$i")
+    val orig = words.mkString(" ")
+    val shifted = "alpha beta " + orig
+    def cdcFps(text: String): Set[String] =
+      CurationQueries.cdcChunkRows(Seq((1L, text)).toDF("doc_id", "text"))
+        .select(col("chunk_fp")).collect().map(_.getString(0)).toSet
+    val a = cdcFps(orig)
+    val b = cdcFps(shifted)
+    assert(a.size > 5, s"expected several CDC chunks, got ${a.size}")
+    // locality: the prepended words only disturb the FIRST chunk (they
+    // merge into it up to its boundary); every later chunk re-aligns
+    assert((a -- b).size <= 1,
+      s"CDC must lose at most the first chunk to a prefix edit, lost ${(a -- b).size}")
+    // contrast: fixed-stride chunking loses (nearly) every fingerprint
+    // to the same two-word prefix — the failure mode CDC exists to fix
+    def strideFps(text: String): Set[String] =
+      CurationQueries.chunkRows(Seq((1L, text)).toDF("doc_id", "text"))
+        .select(col("chunk_fp")).collect().map(_.getString(0)).toSet
+    val sa = strideFps(orig)
+    val sb = strideFps(shifted)
+    assert((sa -- sb).size > sa.size / 2,
+      "fixed-stride chunks should mostly NOT survive a prefix edit")
+    // chunk ids are dense per doc and chunks tile the word stream
+    val rows = CurationQueries.cdcChunkRows(Seq((1L, orig)).toDF("doc_id", "text"))
+      .select(col("cid"), col("n_words")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong))
+    assert(rows.map(_._2).sum === 400L, "chunks must tile every word exactly once")
+  }
+
   test("docs_mixture: per-language weights hold exactly and copies are contiguous") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1))
