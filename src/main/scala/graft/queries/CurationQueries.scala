@@ -136,30 +136,47 @@ object CurationQueries {
     * dedup_cdc_chunks: a word ENDS a chunk iff the last hex digit of
     * its md5 is '0' (p = 1/16, expected ~16-word chunks), so chunk
     * boundaries are a pure function of content and an edit perturbs
-    * only its own chunk (CurationSpec pins the locality). Chunk id =
-    * boundaries before the word via a per-DOCUMENT cumulative window
-    * (entity key — state bounded by document length); chunk text
-    * reassembles by struct-sorting the collected (pos, word) pairs,
-    * deterministic under any arrival order.
+    * only its own chunk (CurationSpec pins the locality).
+    *
+    * Pure-ARRAY construction: boundary positions → slice spans →
+    * per-span fingerprints, entirely in higher-order functions over
+    * the row's own word array, then ONE narrow Generate to emit chunk
+    * rows. No window, no explode-regroup — nothing shuffles until a
+    * consumer aggregates — and (unlike a cumulative window) the
+    * construction is legal over STREAMING frames, which is what the
+    * stream_dedup_cdc_chunks gate runs. Each HOF stage materializes as
+    * its own column (lambda bodies get no subexpression elimination —
+    * the repo-wide HOF rule).
     */
-  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
       .filter(size(col("w")) > 0)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-      .withColumn("brk",
-        when(substring(md5(col("word").cast("binary")), 32, 1) === "0", 1L)
-          .otherwise(0L))
-      .withColumn("cid", coalesce(sum(col("brk")).over(win), lit(0L)))
-      .groupBy(col("doc_id"), col("cid"))
-      .agg(
-        count(lit(1)).as("n_words"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x("word"))).cast("binary")).as("chunk_fp"))
-  }
+      // 0-based positions whose word ends a chunk
+      .withColumn("bpos",
+        filter(
+          transform(col("w"), (wd, i) =>
+            when(substring(md5(wd.cast("binary")), 32, 1) === "0", i)
+              .otherwise(lit(-1))),
+          p => p >= 0))
+      // span k = [starts(k), ends(k)] inclusive; the trailing span
+      // after the last boundary covers the tail (empty when the last
+      // word IS a boundary — filtered below)
+      .withColumn("starts",
+        concat(array(lit(0)), transform(col("bpos"), p => p + 1)))
+      .withColumn("ends", concat(col("bpos"), array(size(col("w")) - 1)))
+      .withColumn("spans",
+        filter(zip_with(col("starts"), col("ends"),
+            (s, e) => struct(s.as("s"), e.as("e"))),
+          c => c("e") >= c("s")))
+      .select(col("doc_id"),
+        posexplode(transform(col("spans"), c => struct(
+          (c("e") - c("s") + 1).cast("long").as("n_words"),
+          md5(concat_ws(" ",
+            slice(col("w"), c("s") + 1, c("e") - c("s") + 1)).cast("binary"))
+            .as("chunk_fp")))).as(Seq("cid", "chunk")))
+      .select(col("doc_id"), col("cid").cast("long").as("cid"),
+        col("chunk.n_words").as("n_words"), col("chunk.chunk_fp").as("chunk_fp"))
 
   /** The chunks CTEs as a WITH-body fragment over a caller-chosen
     * source relation — the SQL twin of chunkRows, shared by every
@@ -185,6 +202,33 @@ object CurationQueries {
 
   /** The whole-corpus chunks CTE (the common case). */
   private[queries] val chunksSql = s"WITH ${chunksCtesFrom("documents")}"
+
+  /** CONTENT-DEFINED chunks as a WITH-body fragment ending in
+    * `cdc(doc_id, cid, n_words, chunk_fp)` — the SQL twin of
+    * cdcChunkRows, shared by the batch dedup oracle and the streaming
+    * twin's (one definition of the boundary rule). The window form
+    * here is value-equal to the Scala side's span construction: cid =
+    * boundaries strictly before the word.
+    */
+  private[graft] val cdcChunksCtes = s"""
+      cdw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      cwr AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+        FROM (SELECT doc_id, w FROM cdw WHERE len(w) > 0),
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+      cfl AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN substring(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END AS brk
+        FROM cwr),
+      ccid AS (
+        SELECT doc_id, pos, word,
+               CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cid
+        FROM cfl),
+      cdc AS (
+        SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
+        FROM ccid GROUP BY doc_id, cid)"""
 
   /** Per-language stratified sample size. */
   private val StratumK = 25L
@@ -560,26 +604,10 @@ object CurationQueries {
             FROM chunks GROUP BY chunk_fp)""",
     // The SQL twin of the CDC construction: same boundary rule (last
     // md5 hex digit '0' ends a chunk), same preceding-boundary count
-    // for chunk ids, same packed first-occurrence dedup.
+    // for chunk ids, same packed first-occurrence dedup (cdcChunksCtes
+    // is the one shared definition, as with chunksCtesFrom).
     "dedup_cdc_chunks" -> s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      wr AS (
-        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
-        FROM (SELECT doc_id, w FROM dw WHERE len(w) > 0),
-             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
-      fl AS (
-        SELECT doc_id, pos, word,
-               CASE WHEN substring(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END AS brk
-        FROM wr),
-      cids AS (
-        SELECT doc_id, pos, word,
-               CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cid
-        FROM fl),
-      cdc AS (
-        SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS n_words,
-               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
-        FROM cids GROUP BY doc_id, cid)
+      WITH $cdcChunksCtes
       SELECT CAST(keep // $ChunkPack AS BIGINT) AS doc_id,
              CAST(keep % $ChunkPack AS BIGINT) AS chunk_id,
              chunk_fp, CAST(n_copies AS BIGINT) AS n_copies,

@@ -408,6 +408,23 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // CONTENT-DEFINED chunk dedup on the streaming face: arriving
+    // documents chunk through the SAME pure-array cdcChunkRows the
+    // batch operator uses — the span construction is all higher-order
+    // functions + one narrow Generate, which is exactly what makes it
+    // legal over a streaming frame (the window formulation wouldn't
+    // be) — and each chunk fingerprint is emitted once with the
+    // seen-set in the state store. Deterministic fingerprint SET out
+    // (same reasoning as stream_dedup_chunks).
+    "stream_dedup_cdc_chunks" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => CurationQueries.cdcChunkRows(df.select(col("doc_id"), col("text")))
+          .select(col("chunk_fp"))
+          .dropDuplicates("chunk_fp"),
+        OutputMode.Append())
+    }),
+
     // Exact IMAGE dedup on the streaming face — the multimodal twin of
     // stream_dedup_docs: arriving documents synthesize into real PPM
     // payloads (incl. resize twins) via the SAME imageMediaRows the
@@ -588,6 +605,11 @@ object StreamingGateQueries {
     "stream_dedup_chunks" -> s"""
       ${CurationQueries.chunksSql}
       SELECT DISTINCT chunk_fp FROM chunks""",
+    // Streaming ≡ batch for the CDC fingerprint set (cdcChunksCtes is
+    // the shared SQL twin of cdcChunkRows).
+    "stream_dedup_cdc_chunks" -> s"""
+      WITH ${CurationQueries.cdcChunksCtes}
+      SELECT DISTINCT chunk_fp FROM cdc""",
     // Streaming ≡ batch for the phash set (phashBandsCtes is the SQL
     // twin of the synthesis + hash both faces share).
     "stream_dedup_phash" -> s"""
