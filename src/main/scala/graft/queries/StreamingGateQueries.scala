@@ -207,6 +207,19 @@ object StreamingGateQueries {
   private[graft] val curationOp2: DataFrame => DataFrame = df =>
     df.dropDuplicates("split", "chunk_fp")
       .select(col("split"), col("chunk_fp"))
+  /** The BOUNDED-state form of the composite's dedup stage: seen-set
+    * keyed by (split, chunk_fp) with an arrival-time watermark (the
+    * documents corpus has no event time), evicted past the 1-day
+    * horizon — the state regime the composite needs at 100 TB. Within
+    * one gate run nothing evicts (arrivals monotone, span << delay),
+    * so the emitted set still equals DISTINCT and the unbounded
+    * twin's oracle gates it exactly.
+    */
+  private[graft] val curationOp2Wm: DataFrame => DataFrame = df =>
+    graft.streaming.StreamOps.dedupBoundedBy(
+        df.withColumn("arrival_ts", current_timestamp()),
+        "arrival_ts", "1 day", "split", "chunk_fp")
+      .select(col("split"), col("chunk_fp"))
 
   /** Body of stream_dedup_events_wm (the gate wraps it in the
     * no-data-micro-batch pin): four time-ordered staged batches, one
@@ -230,6 +243,31 @@ object StreamingGateQueries {
         prepare = df => df.groupBy(col("user_id"))
           .agg(min(col("ts")).as("ts"))))
 
+  /** Shared body of the two curation-composite gates: op1 (stateless
+    * gate → chunk → split) then the given dedup stage, through
+    * runPipeline's production parquet sink, read back via the sink's
+    * commit log.
+    */
+  private def runCurationPipeline(s: SparkSession, d: String,
+                                  op2: DataFrame => DataFrame): DataFrame = {
+    Tables.load(s, d, "region")
+    withGateParts(s) {
+      val name = s"gate_curation_${runId.incrementAndGet()}"
+      val (src, ckpt) = stageStream(s, s"$d/documents.parquet", name, identity)
+      val outDir = Files.createTempDirectory(s"graft-out-$name").toString
+      val q = graft.streaming.StreamOps.runPipeline(
+        src, curationOp1, op2,
+        OutputMode.Append(), ckpt, Some(outDir))
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("split",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("chunk_fp",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).parquet(outDir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The LLM curation pipeline composed UNDER CHECKPOINTED STREAMING —
@@ -239,24 +277,18 @@ object StreamingGateQueries {
     // totals against batch counts) into the parquet file sink, read
     // back via the sink's commit log. Proves the per-operator streaming
     // twins COMPOSE as one checkpointed job, not just individually.
-    "stream_curation_pipeline" -> ((s, d) => {
-      Tables.load(s, d, "region")
-      withGateParts(s) {
-        val name = s"gate_curation_${runId.incrementAndGet()}"
-        val (src, ckpt) = stageStream(s, s"$d/documents.parquet", name, identity)
-        val outDir = Files.createTempDirectory(s"graft-out-$name").toString
-        val q = graft.streaming.StreamOps.runPipeline(
-          src, curationOp1, curationOp2,
-          OutputMode.Append(), ckpt, Some(outDir))
-        q.awaitTermination()
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("split",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("chunk_fp",
-            org.apache.spark.sql.types.StringType)))
-        s.read.schema(schema).parquet(outDir)
-      }
-    }),
+    "stream_curation_pipeline" -> ((s, d) =>
+      runCurationPipeline(s, d, curationOp2)),
+
+    // The SAME composite with the dedup stage in its BOUNDED-state
+    // form (curationOp2Wm): gate → chunk → split → watermark-bounded
+    // chunk-dedup as one checkpointed job through the production
+    // parquet sink. The emitted set equals the unbounded twin's
+    // (nothing evicts within a run), so one oracle gates both — what
+    // changes is the state regime, which is the part that decides
+    // whether the composite survives a month of 100 TB ingest.
+    "stream_curation_pipeline_wm" -> ((s, d) =>
+      runCurationPipeline(s, d, curationOp2Wm)),
 
     // App-2's stateful keyed count as a genuine streaming job.
     "stream_count_by_key" -> ((s, d) => {
@@ -579,6 +611,18 @@ object StreamingGateQueries {
     })
   )
 
+  /** Streaming ≡ batch for the composite: the emitted (split,
+    * chunk_fp) set equals DISTINCT over the batch composition of the
+    * same shared stages (curation gate CTEs → chunks over kept docs →
+    * split case). One definition for both composite gates.
+    */
+  private lazy val curationPipelineOracle: String = s"""
+      WITH ${TextQueries.curationGateSql},
+      ${CurationQueries.chunksCtesFrom(
+        "documents WHERE doc_id IN (SELECT doc_id FROM kept)")}
+      SELECT DISTINCT ${CurationQueries.splitCaseSql} AS split, chunk_fp
+      FROM chunks"""
+
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
@@ -586,12 +630,10 @@ object StreamingGateQueries {
     // chunk_fp) set equals DISTINCT over the batch composition of the
     // same shared stages (curation gate CTEs → chunks over kept docs
     // → split case).
-    "stream_curation_pipeline" -> s"""
-      WITH ${TextQueries.curationGateSql},
-      ${CurationQueries.chunksCtesFrom(
-        "documents WHERE doc_id IN (SELECT doc_id FROM kept)")}
-      SELECT DISTINCT ${CurationQueries.splitCaseSql} AS split, chunk_fp
-      FROM chunks""",
+    "stream_curation_pipeline" -> curationPipelineOracle,
+    // Identical emitted set — the bounded twin differs only in state
+    // regime (nothing evicts within a gate run).
+    "stream_curation_pipeline_wm" -> curationPipelineOracle,
     // Streaming ≡ batch for set-valued dedup: the emitted fingerprint
     // set equals DISTINCT over the whole table.
     "stream_dedup_docs" -> """
