@@ -99,7 +99,10 @@ object RainStorm {
     private[graft] def plan(runId: String, master: String): KillPlan = {
       val n = pending.getAndSet(0)
       if (n <= 0) NoKills
-      else if (master.startsWith("local")) {
+      // single-JVM masters ONLY: "local" / "local[...]" — NOT
+      // local-cluster[...], whose executors are separate JVMs that
+      // cannot see this registry (they take the closure transport)
+      else if (master == "local" || master.startsWith("local[")) {
         runs.put(runId, new java.util.concurrent.atomic.AtomicInteger(n))
         claimOrder.synchronized {
           claimOrder.addLast(runId)
@@ -312,10 +315,15 @@ object RainStorm {
       .withColumn("base", coalesce(sum(col("cnt")).over(win), lit(0L)))
       .select(col("fp"), col("bs"), col("base"))
     // pass 2: within-split 1-based ordinal, attached narrowly. The key
-    // path is the scheme-less decoded path via hadoop Path (tolerant of
-    // both raw and URI-encoded forms, unlike java.net.URI, which throws
-    // on a space) — the same value the listing side's Path.toUri.getPath
-    // produces, so record identity stays address-independent. The
+    // path must be the DECODED scheme-less path — the same value the
+    // listing side's Path.toUri.getPath produces, so record identity
+    // stays address-independent. _metadata.file_path arrives
+    // percent-ENCODED (Spark renders it via Path.toUri.toString), so
+    // java.net.URI is the decoder; hadoop Path(String) would keep
+    // "my%20file" literal and corrupt the key for any filename with a
+    // space or '%' (spec-pinned). The Path route remains only as the
+    // fallback should a future Spark hand back a raw (URI-illegal)
+    // path that URI refuses to parse. The
     // reset-on-boundary counter is exact ONLY while each (file, split)
     // pair is one contiguous run inside its partition — a stable but
     // non-contractual property of the file scan (FilePartitions pack
@@ -335,7 +343,10 @@ object RainStorm {
               s"sourceBatch: split ($fp, $bs) recurred after a boundary — " +
                 "file-scan rows are no longer contiguous per split; " +
                 "line numbering would be wrong")
-          if (fp != curFp) kp = new org.apache.hadoop.fs.Path(fp).toUri.getPath
+          if (fp != curFp) kp =
+            try new java.net.URI(fp).getPath
+            catch { case _: java.net.URISyntaxException =>
+              new org.apache.hadoop.fs.Path(fp).toUri.getPath }
           curFp = fp; curBs = bs; n = 0L
         }
         n += 1
@@ -360,9 +371,17 @@ object RainStorm {
     val runId = java.util.UUID.randomUUID().toString
     // any kills armed for the next run are OURS alone; transport by master
     val plan = Chaos.plan(runId, spark.sparkContext.master)
+    // The closure transport is stateless per task, so arming BOTH
+    // stages would fire n kills in each (2n per run, vs the armed n).
+    // Scope it to op1's stage; the registry transport counts down
+    // globally and stays armed across both stages, like the reference.
+    val op2Plan = plan match {
+      case Chaos.PartitionKills(_) => Chaos.NoKills
+      case p                       => p
+    }
     val out = applyOp(
       applyOp(sourceBatch(spark, src), op1, pattern, numTasks, plan),
-      op2, pattern, numTasks, plan)
+      op2, pattern, numTasks, op2Plan)
       .select(col("key"), col("value")) // sink format, rainstorm/types.go:79
     // With a dest the job executes HERE — release the claim after it
     // (exhausted cells self-remove in tap; release covers a job that
@@ -392,8 +411,17 @@ object RainStorm {
         "Structured Streaming does not allow chained streaming aggregations " +
         "in this output mode. Run this combination in batch (RainStorm.run).")
     val runId = java.util.UUID.randomUUID().toString
-    // run-scoped, like the batch path (transport by master URL)
-    val plan = Chaos.plan(runId, spark.sparkContext.master)
+    // Run-scoped, like the batch path. Streaming + CLUSTER master is
+    // the one combination the closure transport cannot express
+    // honestly: every micro-batch re-executes the closure with fresh
+    // attempt-0 tasks, so PartitionKills(n) would fire n kills per
+    // BATCH, not per run — map it to NoKills instead (the chaos verb
+    // is the reference's single-box batch demo; cluster streaming
+    // fault injection belongs to the scheduler's own machinery).
+    val plan = Chaos.plan(runId, spark.sparkContext.master) match {
+      case Chaos.PartitionKills(_) => Chaos.NoKills
+      case p                       => p
+    }
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))

@@ -187,8 +187,12 @@ object MediaOps {
       */
     private[graft] def phashBands(b: Array[Byte], grid: Int = 8,
                                   nBands: Int = 8): Option[Array[Int]] = {
-      require(grid > 0 && nBands > 0 && (grid * grid) % nBands == 0 &&
-        grid * grid / nBands <= 31,
+      // Long arithmetic in the guard: grid*grid in Int overflows for
+      // grid >= 46341 and would PASS validation (cells = 0 or negative)
+      // only to crash mid-scan — same overflow class the parsers guard.
+      require(grid > 0 && nBands > 0 &&
+        (grid.toLong * grid) % nBands == 0 &&
+        grid.toLong * grid / nBands <= 31,
         s"phash geometry $grid×$grid/$nBands: cells must split evenly " +
           "into bands of <= 31 bits (band values are Ints)")
       parsePpmHeader(b).map { case (w, h, _, off) =>
@@ -247,7 +251,16 @@ object MediaOps {
       * but non-deterministic across JDK decoder versions, so it stays
       * out of oracle-gated paths).
       */
+    /** ImageIO defaults to a DISK-backed stream cache — one temp-file
+      * create/write/delete per decoded record, pure syscall waste for
+      * payloads already in memory. Disabled once per JVM before the
+      * first codec use (transcodeImages is a per-record hot path).
+      */
+    private lazy val imageIoNoDiskCache: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+
     private[graft] def pngToPpm(b: Array[Byte]): Option[Array[Byte]] = {
+      imageIoNoDiskCache
       if (parsePng(b).isEmpty) return None
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
         .map { im =>
@@ -278,7 +291,8 @@ object MediaOps {
       * are copied as 8-bit channel values; lossless, so
       * pngToPpm(ppmToPng(p)) == p for maxval-255 images.
       */
-    private[graft] def ppmToPng(ppm: Array[Byte]): Option[Array[Byte]] =
+    private[graft] def ppmToPng(ppm: Array[Byte]): Option[Array[Byte]] = {
+      imageIoNoDiskCache
       parsePpmHeader(ppm).map { case (w, h, _, off) =>
         val im = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -298,6 +312,7 @@ object MediaOps {
         javax.imageio.ImageIO.write(im, "png", baos)
         baos.toByteArray
       }
+    }
 
     def decode(m: Media): MediaFeatures = {
       val bytes = m.payload

@@ -410,8 +410,10 @@ object StreamingGateQueries {
     // fingerprint SET (not survivor doc_ids: which duplicate arrives
     // first is arrival-order-dependent; the set is deterministic). No
     // watermark: state is the full fingerprint universe, as in the
-    // reference, whose dedup log also never expires — bound it with
-    // dropDuplicatesWithinWatermark when the corpus has event time.
+    // reference, whose dedup log also never expires. The BOUNDED
+    // regime ships alongside: stream_dedup_events_wm (real event time,
+    // exact eviction-replay oracle) and the *_wm arrival-time twins
+    // for this corpus (chunks/phash/cdc/curation composite).
     "stream_dedup_docs" -> ((s, d) => {
       Tables.load(s, d, "region")
       runStream(s, s"$d/documents.parquet", identity,

@@ -302,6 +302,15 @@ class MediaSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Codec.phashBands(img, grid = 16, nBands = 3)
     }
+    // overflow-class geometries must FAIL validation, not slip through
+    // an Int-wrapped grid*grid and crash mid-scan (65536² wraps to 0 —
+    // division by zero; 46341² wraps negative — negative array size)
+    intercept[IllegalArgumentException] {
+      Codec.phashBands(img, grid = 65536, nBands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Codec.phashBands(img, grid = 46341, nBands = 5)
+    }
   }
 
   test("mm_dedup_phash reports every planted resize twin (recall 1.0)") {

@@ -156,6 +156,11 @@ class RainStormSpec extends GraftSpec {
     val p3 = RainStorm.Chaos.plan("run-c", "local[4]")
     assert(p3 === RainStorm.Chaos.RegistryKills("run-c"))
     RainStorm.Chaos.release("run-c")
+    // local-cluster[...] runs executors in SEPARATE JVMs — the
+    // registry cannot reach them; it must take the closure transport
+    RainStorm.Chaos.arm(1)
+    assert(RainStorm.Chaos.plan("run-d", "local-cluster[2,1,1024]") ===
+      RainStorm.Chaos.PartitionKills(1))
   }
 
   test("PartitionKills transport: kills fire via TaskContext and retries recover") {
@@ -181,6 +186,22 @@ class RainStormSpec extends GraftSpec {
     assert(out.count() === 40L, "retried attempts must reproduce every record")
     assert(RainStorm.Chaos.firedCount === before + 2,
       "first attempts of the first two non-empty partitions must die")
+  }
+
+  test("record keys DECODE percent-encoded metadata paths (space in filename)") {
+    // _metadata.file_path arrives percent-encoded (Spark renders it
+    // via Path.toUri.toString): a file named "my file.csv" shows up as
+    // ".../my%20file.csv". The record key contract is the DECODED
+    // scheme-less path — the value the listing side produces — so a
+    // space (or any URI-escaped char) must round-trip, not leak as
+    // "%20" into record identity.
+    val dir = tmpDir("rainstorm-space")
+    Files.write(Paths.get(dir, "my file.csv"), "l1\nl2".getBytes,
+      StandardOpenOption.CREATE)
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val out = RainStorm.run(spark, dir, idOp, idOp, dest = None, numTasks = 2)
+    val keys = out.collect().map(_.getString(0)).sorted
+    assert(keys.toSeq === Seq(s"$dir/my file.csv:1", s"$dir/my file.csv:2"))
   }
 
   test("direct address of a hidden file yields empty output (pinned divergence)") {
