@@ -493,6 +493,47 @@ class StreamingSpec extends GraftSpec {
       s"bounded state must never exceed the two-batch horizon: $bounded")
   }
 
+  test("dedup seen-set survives restart: duplicates across incarnations stay dropped") {
+    // The reference's F5 essence under failure: its processedRecordIDs
+    // set is WAL-recovered so a redelivery after a crash is still
+    // dropped (rainstorm/server.go:292-298 + log replay). Spark twin:
+    // the dropDuplicates state store is checkpoint-recovered, so a
+    // fingerprint seen before the "crash" must NOT re-emit when a new
+    // incarnation drains new files containing it — and a genuinely new
+    // fingerprint must. Covers the dedup gates' recovery story
+    // (stream_dedup_docs/chunks/cdc/phash all ride this machinery).
+    // Through the PRODUCTION parquet sink: an Append-mode memory sink
+    // refuses checkpoint recovery, and the file sink is what the dedup
+    // gates ship with anyway. The sink accumulates across
+    // incarnations, so the recovery proof is the absence of duplicate
+    // rows: a lost seen-set would emit the redelivered 'aaa' twice.
+    val srcDir = tmpDir("deduprestart-src")
+    val ckpt = tmpDir("deduprestart-ckpt")
+    val outDir = tmpDir("deduprestart-out")
+    writeLines(srcDir, "f1.txt", Seq("aaa", "bbb", "aaa"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.text(srcDir)
+        .withColumn("fp", md5(col("value").cast("binary")))
+        .dropDuplicates("fp")
+        .select(col("value"))
+        .writeStream.outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination()
+    }
+    def emitted(): Map[String, Long] =
+      spark.read.schema("value STRING").parquet(outDir).collect()
+        .map(_.getString(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    runOnce()
+    assert(emitted() === Map("aaa" -> 1L, "bbb" -> 1L)) // in-batch dup dropped
+    // incarnation 2: one duplicate of a pre-crash fingerprint, one new
+    writeLines(srcDir, "f2.txt", Seq("aaa", "ccc"))
+    runOnce()
+    assert(emitted() === Map("aaa" -> 1L, "bbb" -> 1L, "ccc" -> 1L),
+      "the recovered seen-set must drop the redelivered 'aaa' exactly once")
+  }
+
   test("RocksDB state store: state survives restart under the scale backend") {
     // The default (HDFS-backed) state store holds every key in executor
     // heap — at 100 TB of keyed state the ONLY shippable configuration
