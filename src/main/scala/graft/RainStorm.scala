@@ -361,6 +361,25 @@ object RainStorm {
       .withColumn("id", expr("uuid()"))
   }
 
+  /** Per-stage kill plans for a batch run. The closure transport
+    * (PartitionKills) is stateless per task, so arming BOTH stages
+    * would fire n kills in each (2n per run, vs the armed n): scope it
+    * to the FIRST FlatMap stage — only FlatMap deliveries tap the
+    * plan, so scoping to op1 unconditionally would silently disarm a
+    * (CountByKey, FlatMap) run. The registry transport counts down
+    * globally and stays armed across both stages, like the reference.
+    * (A CountByKey/CountByKey run has no tap path under EITHER
+    * transport — nothing to kill in a pipeline with no user-operator
+    * deliveries.)
+    */
+  private[graft] def stagePlans(plan: Chaos.KillPlan,
+                                op1: RsOp): (Chaos.KillPlan, Chaos.KillPlan) =
+    plan match {
+      case k @ Chaos.PartitionKills(_) =>
+        if (op1.isInstanceOf[FlatMap]) (k, Chaos.NoKills) else (Chaos.NoKills, k)
+      case p => (p, p)
+    }
+
   /** Batch run: source → op1 → [exchange] → op2 → dest (one text-like
     * csv line `key,value` per record, matching the leader's
     * `<key, value>` sink format, rainstorm/types.go:79). Returns the
@@ -371,16 +390,9 @@ object RainStorm {
     val runId = java.util.UUID.randomUUID().toString
     // any kills armed for the next run are OURS alone; transport by master
     val plan = Chaos.plan(runId, spark.sparkContext.master)
-    // The closure transport is stateless per task, so arming BOTH
-    // stages would fire n kills in each (2n per run, vs the armed n).
-    // Scope it to op1's stage; the registry transport counts down
-    // globally and stays armed across both stages, like the reference.
-    val op2Plan = plan match {
-      case Chaos.PartitionKills(_) => Chaos.NoKills
-      case p                       => p
-    }
+    val (op1Plan, op2Plan) = stagePlans(plan, op1)
     val out = applyOp(
-      applyOp(sourceBatch(spark, src), op1, pattern, numTasks, plan),
+      applyOp(sourceBatch(spark, src), op1, pattern, numTasks, op1Plan),
       op2, pattern, numTasks, op2Plan)
       .select(col("key"), col("value")) // sink format, rainstorm/types.go:79
     // With a dest the job executes HERE — release the claim after it

@@ -187,14 +187,18 @@ object MediaOps {
       */
     private[graft] def phashBands(b: Array[Byte], grid: Int = 8,
                                   nBands: Int = 8): Option[Array[Int]] = {
-      // Long arithmetic in the guard: grid*grid in Int overflows for
-      // grid >= 46341 and would PASS validation (cells = 0 or negative)
-      // only to crash mid-scan — same overflow class the parsers guard.
+      // Long arithmetic in the guard AND a cell-count ceiling: grid*grid
+      // in Int overflows for grid >= 46341 and would PASS a naive check
+      // (cells = 0 or negative) only to crash mid-scan — the same
+      // overflow class the parsers guard. The Int.MaxValue clause keeps
+      // the body's Int cell arithmetic exact for every geometry that
+      // validates.
       require(grid > 0 && nBands > 0 &&
+        grid.toLong * grid <= Int.MaxValue &&
         (grid.toLong * grid) % nBands == 0 &&
         grid.toLong * grid / nBands <= 31,
-        s"phash geometry $grid×$grid/$nBands: cells must split evenly " +
-          "into bands of <= 31 bits (band values are Ints)")
+        s"phash geometry $grid×$grid/$nBands: cells must fit an Int and " +
+          "split evenly into bands of <= 31 bits (band values are Ints)")
       parsePpmHeader(b).map { case (w, h, _, off) =>
         val cells = grid * grid
         val bandBits = cells / nBands

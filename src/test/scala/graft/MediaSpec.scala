@@ -311,6 +311,12 @@ class MediaSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Codec.phashBands(img, grid = 46341, nBands = 5)
     }
+    // even a divisible/narrow-band pairing must fail once grid² no
+    // longer fits an Int (46341² % 79536603 == 0 with quotient 27 —
+    // it would pass a guard that only checked the band clauses)
+    intercept[IllegalArgumentException] {
+      Codec.phashBands(img, grid = 46341, nBands = 79536603)
+    }
   }
 
   test("mm_dedup_phash reports every planted resize twin (recall 1.0)") {

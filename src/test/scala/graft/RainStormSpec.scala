@@ -161,6 +161,17 @@ class RainStormSpec extends GraftSpec {
     RainStorm.Chaos.arm(1)
     assert(RainStorm.Chaos.plan("run-d", "local-cluster[2,1,1024]") ===
       RainStorm.Chaos.PartitionKills(1))
+    // The closure transport arms exactly ONE stage — the first
+    // FlatMap one (CountByKey never taps, so op1-unconditional
+    // scoping would silently disarm a (CountByKey, FlatMap) run);
+    // the registry transport stays armed across both stages.
+    val idOp = RainStorm.FlatMap((k, v, _) => Seq(k -> v))
+    val pk = RainStorm.Chaos.PartitionKills(2)
+    assert(RainStorm.stagePlans(pk, idOp) === ((pk, RainStorm.Chaos.NoKills)))
+    assert(RainStorm.stagePlans(pk, RainStorm.CountByKey) ===
+      ((RainStorm.Chaos.NoKills, pk)))
+    val reg = RainStorm.Chaos.RegistryKills("run-e")
+    assert(RainStorm.stagePlans(reg, RainStorm.CountByKey) === ((reg, reg)))
   }
 
   test("PartitionKills transport: kills fire via TaskContext and retries recover") {
