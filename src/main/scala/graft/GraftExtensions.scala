@@ -47,6 +47,20 @@ object GraftExtensions {
           PpmPhashBands(payload, lit(g, "grid"), lit(nb, "nBands"))
         case _ => throw new IllegalArgumentException(
           "ppm_phash_bands takes (payload) or (payload, grid, nBands)")
+      }),
+    // The content-defined chunker on the SQL surface: cdc_chunks(text)
+    // → array<struct<n_words bigint, chunk_fp string>>, composed from
+    // the SAME stage functions cdcChunkRows uses (one definition of
+    // the boundary rule; ExtensionsSpec pins the equality).
+    (new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo("graft.queries.CurationQueries", "cdc_chunks"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) =>
+          org.apache.spark.sql.graft.Shim.expressionTree(
+            graft.queries.CurationQueries.cdcChunkArray(
+              org.apache.spark.sql.graft.Shim.column(text)))
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunks takes exactly one argument: (text)")
       }))
 
   /** Register into a live session (post-hoc equivalent of the builder

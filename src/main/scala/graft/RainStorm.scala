@@ -44,9 +44,14 @@ object RainStorm {
     * JVMs, so the armed count rides the run's serialized task closure
     * (PartitionKills) and the kill decision becomes a pure function of
     * TaskContext — first attempt of each of the first n non-empty
-    * partitions throws once — which needs no cross-JVM state at all
-    * and is exactly as honest as the reference's "kill two live
-    * workers": n distinct task attempts die, the scheduler recovers.
+    * partitions throws once — which needs no cross-JVM state at all.
+    * Kills are BEST-EFFORT (at-most-n): the FlatMap stage partitions
+    * by key hash, so a kill armed on a partition that receives no
+    * deliveries is silently absorbed and fewer than n attempts die —
+    * counting "n distinct non-empty partitions" exactly would need the
+    * cross-JVM state this transport exists to avoid. At-most-n is
+    * still as honest as the reference's "kill two live workers": up to
+    * n distinct task attempts die, the scheduler recovers.
     */
   object Chaos {
     /** A run's injection plan, embedded in its task closures. */
@@ -60,8 +65,11 @@ object RainStorm {
     final case class RegistryKills(runId: String) extends KillPlan
     /** Cluster transport: the count ships inside the serialized
       * closure; first attempt of each of the first n partitions
-      * throws on its first delivery. Deterministic, run-scoped by
-      * construction, reaches every executor JVM.
+      * throws on its first delivery. Run-scoped by construction,
+      * reaches every executor JVM. AT-MOST-n: an empty partition
+      * among the first n absorbs its kill (nothing delivers there),
+      * so under key-skew fewer than n attempts may die — see the
+      * Chaos scaladoc.
       */
     final case class PartitionKills(n: Int) extends KillPlan
 

@@ -68,6 +68,18 @@ case class BinaryByteStats(child: Expression)
 case class PpmPhashBands(child: Expression, grid: Int = 8, nBands: Int = 8)
     extends UnaryExpression with CodegenFallback {
 
+  // Geometry is a PLAN-TIME constant: validate at construction (the
+  // expression is built while the plan is, so a bad (grid, nBands)
+  // from SQL or the DataFrame API fails at analysis time, not as a
+  // task-level error mid-scan). Same rule as the codec's eval-time
+  // require, which stays for direct Codec.phashBands callers.
+  require(grid > 0 && nBands > 0 &&
+    grid.toLong * grid <= Int.MaxValue &&
+    (grid.toLong * grid) % nBands == 0 &&
+    grid.toLong * grid / nBands <= 31,
+    s"phash geometry $grid×$grid/$nBands: cells must fit an Int and " +
+      "split evenly into bands of <= 31 bits (band values are Ints)")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "ppm_phash_bands"

@@ -9,19 +9,20 @@ import org.apache.spark.sql.functions._
   * vectorized UDFs: one decoder instantiation per batch, records
   * streamed through it, no driver collection).
   *
-  * The codec REALLY decodes three formats — RIFF/WAV (PCM audio) and
-  * PPM P6 (binary RGB images), both pure byte arithmetic, plus PNG: a
-  * genuine COMPRESSED format, header-parsed for metadata and inflated
-  * through the JDK's ImageIO (transcodeImages) into P6 for the
-  * downstream operators — filling width/height/sample_rate/n_samples
-  * from the actual container structure (MediaSpec proves recovery of
-  * synthesized ground truth end-to-end through the batched path, and a
-  * PNG → phash near-dup pipeline with full recall). Payloads that are
-  * none of the three fall back to a deterministic byte-stats fake,
-  * standing in for the codecs the JDK lacks (FLAC/H.264; JPEG decodes
-  * via ImageIO too but is kept out of oracle-gated paths — decoder
-  * output may vary across JDK versions) — swapping that fallback for a
-  * JNI/FFI codec is the only change a real deployment needs.
+  * The codec REALLY decodes four formats — RIFF/WAV (PCM audio) and
+  * PPM P6 (binary RGB images), both pure byte arithmetic, plus the two
+  * major COMPRESSED image formats: PNG (header-parsed for metadata,
+  * inflated through the JDK's ImageIO into P6 — lossless, so it stays
+  * inside oracle-gated exactness) and JPEG (DECODE-ONLY: SOF-header
+  * dimensions are deterministic container structure; decoded pixels
+  * are tolerance-checked in MediaSpec but kept out of oracle-gated
+  * paths because JPEG decoder rounding may vary across JDK versions).
+  * MediaSpec proves recovery of synthesized ground truth end-to-end
+  * through the batched path, and a PNG → phash near-dup pipeline with
+  * full recall. Payloads that are none of the four fall back to a
+  * deterministic byte-stats fake, standing in for the codecs the JDK
+  * lacks (FLAC/H.264) — swapping that fallback for a JNI/FFI codec is
+  * the only change a real deployment needs.
   */
 object MediaOps {
 
@@ -263,41 +264,135 @@ object MediaOps {
     private lazy val imageIoNoDiskCache: Unit =
       javax.imageio.ImageIO.setUseCache(false)
 
+    /** BufferedImage → P6 re-encode, shared by the PNG and JPEG decode
+      * paths (one definition of the interchange form).
+      */
+    private def bufferedToPpm(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (im.getWidth, im.getHeight)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     private[graft] def pngToPpm(b: Array[Byte]): Option[Array[Byte]] = {
       imageIoNoDiskCache
       if (parsePng(b).isEmpty) return None
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-        .map { im =>
-          val (w, h) = (im.getWidth, im.getHeight)
-          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
-          val out = new Array[Byte](header.length + w * h * 3)
-          System.arraycopy(header, 0, out, 0, header.length)
-          var o = header.length
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = im.getRGB(x, y)
-              out(o) = ((rgb >> 16) & 0xff).toByte
-              out(o + 1) = ((rgb >> 8) & 0xff).toByte
-              out(o + 2) = (rgb & 0xff).toByte
-              o += 3; x += 1
-            }
-            y += 1
-          }
-          out
+        .map(bufferedToPpm)
+    }
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** REAL JPEG/JFIF header parse (pure bytes, no decoder): SOI, then
+      * walk the marker segments to the first frame header (SOF0..SOF15
+      * minus DHT/JPG/DAC, which reuse the 0xC* range) and read
+      * (width, height) from it. Deterministic — the dimensions are
+      * container structure, independent of any decoder — so it is safe
+      * on metadata paths even though JPEG PIXEL decode stays out of
+      * oracle-gated exactness (decoder output varies across JDKs).
+      */
+    private[graft] def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 4 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        var m = b(i + 1) & 0xff
+        // fill bytes: consecutive 0xFF before a marker are padding
+        while (m == 0xff && i + 5 <= b.length) { i += 1; m = b(i + 1) & 0xff }
+        if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
+        val sz = be16(b, i + 2)
+        if (sz < 2 || i.toLong + 2L + sz.toLong > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (sz < 7) return None // precision(1) + height(2) + width(2)
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          return if (w <= 0 || h <= 0) None else Some((w, h))
         }
+        i += 2 + sz
+      }
+      None
+    }
+
+    /** JPEG decode via ImageIO → P6 — the DECODE-ONLY half of JPEG
+      * support: transcodeImages accepts JPEG payloads, but the decoded
+      * pixels are NOT oracle-gated (JPEG decoders may differ in
+      * rounding across JDK versions; MediaSpec asserts dimensions
+      * exactly and byte stats within tolerance instead). Oracle-gated
+      * exactness stays on PNG/PPM, whose decode is bit-determined.
+      */
+    private[graft] def jpegToPpm(b: Array[Byte]): Option[Array[Byte]] = {
+      imageIoNoDiskCache
+      if (parseJpeg(b).isEmpty) return None
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map(bufferedToPpm)
+    }
+
+    /** Decode any recognized COMPRESSED image payload to P6 (PNG
+      * losslessly; JPEG decode-only, see jpegToPpm) — the sniff order
+      * is cheap-header-first, and a payload neither recognizes returns
+      * None (transcodeImages passes it through untouched).
+      */
+    private[graft] def compressedToPpm(b: Array[Byte]): Option[Array[Byte]] =
+      pngToPpm(b).orElse(jpegToPpm(b))
+
+    /** Encode a P6 payload as real JPEG bytes via ImageIO — synthesis
+      * aid ONLY (lets specs drive the JPEG decode path with real
+      * compressed input); lossy by nature, so unlike ppmToPng there is
+      * no round-trip identity to claim.
+      */
+    private[graft] def ppmToJpeg(ppm: Array[Byte]): Option[Array[Byte]] = {
+      imageIoNoDiskCache
+      parsePpmHeader(ppm).filter(_._3 == 255).map { case (w, h, _, off) =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        var i = off
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            im.setRGB(x, y,
+              ((ppm(i) & 0xff) << 16) | ((ppm(i + 1) & 0xff) << 8) |
+                (ppm(i + 2) & 0xff))
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", baos)
+        baos.toByteArray
+      }
     }
 
     /** Encode a P6 payload as real PNG bytes via ImageIO — the
       * sink-side half of the PNG codec (and the synthesis aid that
       * lets specs drive a true compressed-format pipeline). Samples
-      * are copied as 8-bit channel values; lossless, so
-      * pngToPpm(ppmToPng(p)) == p for maxval-255 images.
+      * are copied as 8-bit channel values, which is only lossless for
+      * maxval = 255 — a maxval < 255 P6 would be semantically darkened
+      * (and pngToPpm would re-declare 255 on the way back, breaking
+      * the round-trip identity), so those inputs return None rather
+      * than encode something the format path cannot represent
+      * losslessly. pngToPpm(ppmToPng(p)) == p for every accepted p.
       */
     private[graft] def ppmToPng(ppm: Array[Byte]): Option[Array[Byte]] = {
       imageIoNoDiskCache
-      parsePpmHeader(ppm).map { case (w, h, _, off) =>
+      parsePpmHeader(ppm).filter(_._3 == 255).map { case (w, h, _, off) =>
         val im = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -332,10 +427,13 @@ object MediaOps {
       val n = bytes.length
       val wav = parseWav(bytes)
       val ppm = if (wav.isEmpty) parsePpm(bytes) else None
-      // PNG: real container parse (header only — no inflate needed for
-      // metadata), third in line after the cheaper sniffs miss
+      // PNG/JPEG: real container parses (header only — no inflate
+      // needed for metadata; JPEG dims come from the SOF segment, a
+      // deterministic container field), after the cheaper sniffs miss
       val png = if (wav.isEmpty && ppm.isEmpty) parsePng(bytes) else None
-      val img = ppm.orElse(png)
+      val jpg =
+        if (wav.isEmpty && ppm.isEmpty && png.isEmpty) parseJpeg(bytes) else None
+      val img = ppm.orElse(png).orElse(jpg)
       MediaFeatures(
         m.media_id, m.kind, n.toLong,
         if (n == 0) 0.0 else sum.toDouble / n,
@@ -398,19 +496,23 @@ object MediaOps {
   }
 
   /** The DECODE stage of the multimodal pipeline with a REAL
-    * compressed codec: image payloads that are PNG are inflated
-    * through the JDK's ImageIO and re-encoded as P6 (the codec's
-    * interchange form every downstream operator speaks); everything
-    * else passes through byte-identical. Pure per-record function,
-    * partition-streaming, no shuffle at any scale — the compressed
-    * bytes never leave the task that decodes them.
+    * compressed codec: image payloads that are PNG or JPEG are
+    * inflated through the JDK's ImageIO and re-encoded as P6 (the
+    * codec's interchange form every downstream operator speaks);
+    * everything else passes through byte-identical. PNG decode is
+    * lossless and oracle-gated; JPEG is DECODE-ONLY support (exact
+    * dimensions, tolerance-checked pixels — see Codec.jpegToPpm).
+    * Pure per-record function, partition-streaming, no shuffle at any
+    * scale — the compressed bytes never leave the task that decodes
+    * them.
     */
   def transcodeImages(ds: Dataset[Media]): Dataset[Media] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.map { m =>
       if (m.kind != "image") m
-      else Codec.pngToPpm(m.payload).map(p => m.copy(payload = p)).getOrElse(m)
+      else Codec.compressedToPpm(m.payload)
+        .map(p => m.copy(payload = p)).getOrElse(m)
     })
   }
 }

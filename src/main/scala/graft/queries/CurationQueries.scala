@@ -153,30 +153,63 @@ object CurationQueries {
       .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
       .filter(size(col("w")) > 0)
       // 0-based positions whose word ends a chunk
-      .withColumn("bpos",
-        filter(
-          transform(col("w"), (wd, i) =>
-            when(substring(md5(wd.cast("binary")), 32, 1) === "0", i)
-              .otherwise(lit(-1))),
-          p => p >= 0))
-      // span k = [starts(k), ends(k)] inclusive; the trailing span
-      // after the last boundary covers the tail (empty when the last
-      // word IS a boundary — filtered below)
-      .withColumn("starts",
-        concat(array(lit(0)), transform(col("bpos"), p => p + 1)))
-      .withColumn("ends", concat(col("bpos"), array(size(col("w")) - 1)))
-      .withColumn("spans",
-        filter(zip_with(col("starts"), col("ends"),
-            (s, e) => struct(s.as("s"), e.as("e"))),
-          c => c("e") >= c("s")))
+      .withColumn("bpos", cdcBoundaryPos(col("w")))
+      .withColumn("spans", cdcSpans(col("w"), col("bpos")))
       .select(col("doc_id"),
-        posexplode(transform(col("spans"), c => struct(
-          (c("e") - c("s") + 1).cast("long").as("n_words"),
-          md5(concat_ws(" ",
-            slice(col("w"), c("s") + 1, c("e") - c("s") + 1)).cast("binary"))
-            .as("chunk_fp")))).as(Seq("cid", "chunk")))
+        posexplode(cdcChunkStructs(col("w"), col("spans")))
+          .as(Seq("cid", "chunk")))
       .select(col("doc_id"), col("cid").cast("long").as("cid"),
         col("chunk.n_words").as("n_words"), col("chunk.chunk_fp").as("chunk_fp"))
+
+  /** CDC stage 1: 0-based positions whose word ends a chunk (the
+    * boundary rule — last md5 hex digit '0', p = 1/16). Shared by
+    * cdcChunkRows and the cdc_chunks SQL function: ONE definition of
+    * the rule.
+    */
+  private[graft] def cdcBoundaryPos(w: Column): Column =
+    filter(
+      transform(w, (wd, i) =>
+        when(substring(md5(wd.cast("binary")), 32, 1) === "0", i)
+          .otherwise(lit(-1))),
+      p => p >= 0)
+
+  /** CDC stage 2: inclusive [s, e] spans from the boundary positions.
+    * span k = [starts(k), ends(k)]; the trailing span after the last
+    * boundary covers the tail (empty when the last word IS a boundary
+    * — filtered here).
+    */
+  private[graft] def cdcSpans(w: Column, bpos: Column): Column =
+    filter(zip_with(
+        concat(array(lit(0)), transform(bpos, p => p + 1)),
+        concat(bpos, array(size(w) - 1)),
+        (s, e) => struct(s.as("s"), e.as("e"))),
+      c => c("e") >= c("s"))
+
+  /** CDC stage 3: per-span struct(n_words, chunk_fp). */
+  private[graft] def cdcChunkStructs(w: Column, spans: Column): Column =
+    transform(spans, c => struct(
+      (c("e") - c("s") + 1).cast("long").as("n_words"),
+      md5(concat_ws(" ",
+        slice(w, c("s") + 1, c("e") - c("s") + 1)).cast("binary"))
+        .as("chunk_fp")))
+
+  /** The whole CDC construction as ONE scalar column —
+    * `array<struct<n_words bigint, chunk_fp string>>` over a text
+    * column — the form behind the `cdc_chunks(text)` SQL function
+    * (GraftExtensions), so the shift-robust chunker is reachable from
+    * the SQL interface. Composes the SAME three stage functions
+    * cdcChunkRows uses (zero drift, spec-pinned equal); the nesting
+    * recomputes `w` inside each lambda that references it (no CSE in
+    * lambda bodies — the repo-wide HOF rule), the price of a scalar
+    * form; plan-shaped pipelines should keep using cdcChunkRows'
+    * staged columns. Empty/whitespace-only text yields an empty array
+    * (natural scalar semantics; the row-generator instead filters
+    * empty docs before exploding).
+    */
+  private[graft] def cdcChunkArray(text: Column): Column = {
+    val w = TextQueries.words(text)
+    cdcChunkStructs(w, cdcSpans(w, cdcBoundaryPos(w)))
+  }
 
   /** The chunks CTEs as a WITH-body fragment over a caller-chosen
     * source relation — the SQL twin of chunkRows, shared by every

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge to the `private[sql]` Column <-> Expression converters so graft
   * can register native Catalyst expressions without forking Spark. This
@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → Expression through the FULL ColumnNode converter: unlike
+    * `expression` (which may hand back a lazy ColumnNodeExpression
+    * wrapper that only Dataset API boundaries unwrap), this eagerly
+    * converts the whole node tree into a genuine Catalyst expression
+    * tree — the form a FunctionRegistry builder must return, since the
+    * analyzer resolves expression children, not column nodes.
+    */
+  def expressionTree(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }

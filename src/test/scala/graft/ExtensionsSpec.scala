@@ -36,6 +36,36 @@ class ExtensionsSpec extends GraftSpec {
     } finally ()
   }
 
+  test("cdc_chunks SQL function equals cdcChunkRows exactly") {
+    // the SQL surface of the content-defined chunker: posexploding
+    // cdc_chunks(text) must reproduce the row-generator's output
+    // row-for-row (one shared definition of the boundary rule — this
+    // spec pins that the composition really is the same function)
+    GraftExtensions.install(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("cdc_sql_docs")
+    val viaSql = spark.sql("""
+        SELECT doc_id, CAST(p AS BIGINT) AS cid,
+               c.n_words AS n_words, c.chunk_fp AS chunk_fp
+        FROM cdc_sql_docs
+        LATERAL VIEW posexplode(cdc_chunks(text)) t AS p, c""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val viaRows = graft.queries.CurationQueries.cdcChunkRows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(viaRows.nonEmpty)
+    assert(viaSql === viaRows)
+    // empty/whitespace-only text yields an empty array (the scalar
+    // form's natural semantics; the row generator filters such docs)
+    assert(spark.sql("SELECT size(cdc_chunks('')) AS n").head().getInt(0) === 0)
+    assert(spark.sql("SELECT size(cdc_chunks('   ')) AS n").head().getInt(0) === 0)
+    // wrong arity fails at analysis, like the other registered forms
+    intercept[Exception] {
+      spark.sql("SELECT cdc_chunks('a', 'b')").head()
+    }
+  }
+
   test("Dataset.observe surfaces job metrics without a second pass") {
     // the ops-monitoring surface (the reference's per-machine logs,
     // SURVEY §5): named aggregates ride along with the job — metrics

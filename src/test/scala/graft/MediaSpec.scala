@@ -335,6 +335,82 @@ class MediaSpec extends GraftSpec {
       s"missing planted twins: ${expected -- pairs}")
   }
 
+  test("JPEG decode-only: header dims exact, transcode within tolerance, non-oracle") {
+    // Synthesize a real JPEG (ImageIO encoder) from a smooth P6 — a
+    // gradient compresses with small per-pixel error, so the tolerance
+    // assertion is meaningful rather than vacuous.
+    val w = 32; val h = 32
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (4 * (p % w) + 4 * (p / w)).toByte // smooth diagonal luma ramp
+    }
+    val ppm = header ++ pixels
+    val jpg = Codec.ppmToJpeg(ppm).get
+    // it IS a JPEG and the SOF header parse recovers exact dimensions
+    // (container structure — deterministic even though pixels aren't)
+    assert(Codec.parseJpeg(jpg) === Some((w, h)))
+    assert(Codec.parseJpeg(ppm) === None)
+    assert(Codec.parseJpeg("not a jpeg".getBytes) === None)
+    assert(Codec.parseJpeg(jpg.take(3)) === None)
+    // decode() fills container metadata from the JPEG header
+    val f = Codec.decode(Media(9L, "image", jpg))
+    assert(f.width === Some(w) && f.height === Some(h) && f.sample_rate === None)
+    // transcodeImages inflates the JPEG to P6: exact dims, lossy pixels
+    // within tolerance of the source (JPEG on a smooth gradient stays
+    // close; the bound is deliberately loose — decoder-version-safe)
+    val out = MediaOps.transcodeImages(Seq(Media(9L, "image", jpg)).toDS())
+      .collect().head.payload
+    val (dw, dh, _, doff) = Codec.parsePpmHeader(out).get
+    assert((dw, dh) === ((w, h)))
+    val srcOff = Codec.parsePpmHeader(ppm).get._4
+    val maxErr = (0 until w * h * 3).map(i =>
+      math.abs((out(doff + i) & 0xff) - (ppm(srcOff + i) & 0xff))).max
+    assert(maxErr <= 24, s"JPEG round-trip error too large: $maxErr")
+    val meanSrc = (0 until w * h * 3).map(i => ppm(srcOff + i) & 0xff).sum.toDouble / (w * h * 3)
+    val meanOut = (0 until w * h * 3).map(i => out(doff + i) & 0xff).sum.toDouble / (w * h * 3)
+    assert(math.abs(meanSrc - meanOut) <= 4.0)
+    // non-image kinds never decode, even with a JPEG payload
+    val audio = MediaOps.transcodeImages(Seq(Media(10L, "audio", jpg)).toDS())
+      .collect().head.payload
+    assert(audio.sameElements(jpg))
+  }
+
+  test("ppmToPng/ppmToJpeg reject maxval != 255 instead of darkening") {
+    // samples are copied as 8-bit channel values, which is only
+    // lossless at maxval 255 — a maxval-100 P6 would be semantically
+    // darkened and the round-trip would re-declare 255; the encoders
+    // must return None rather than encode that
+    val dim = "P6\n2 2\n100\n".getBytes("US-ASCII") ++ Array.fill(12)(50.toByte)
+    assert(Codec.ppmToPng(dim) === None)
+    assert(Codec.ppmToJpeg(dim) === None)
+    val full = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(50.toByte)
+    assert(Codec.ppmToPng(full).isDefined)
+    assert(Codec.ppmToJpeg(full).isDefined)
+  }
+
+  test("PpmPhashBands invalid geometry fails at expression construction, not mid-scan") {
+    // the DataFrame overload constructs the expression at plan time —
+    // a bad (grid, nBands) must throw HERE, before any task runs
+    intercept[IllegalArgumentException] {
+      BinaryFunctions.ppmPhashBands(col("payload"), 16, 3)
+    }
+    intercept[IllegalArgumentException] {
+      BinaryFunctions.ppmPhashBands(col("payload"), 46341, 5)
+    }
+    // and through the SQL surface: analysis-time failure (the function
+    // builder runs during analysis), surfaced as an AnalysisException
+    // wrapping the geometry error — never a task-level error mid-scan
+    GraftExtensions.install(spark)
+    Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .createOrReplaceTempView("phash_geom_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT ppm_phash_bands(payload, 16, 3) FROM phash_geom_bad")
+    }
+    assert(e.getMessage.contains("phash geometry") ||
+      Option(e.getCause).exists(_.getMessage.contains("phash geometry")))
+  }
+
   test("byteStats handles unsigned bytes and empty payloads") {
     val df = Seq(
       (1L, Array(0xff.toByte, 0x00.toByte)),

@@ -37,10 +37,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
+    results = {}   # name -> human-readable status string
+    stages = {}    # name -> per-stage booleans, SET WHERE EACH CHECK RUNS
+    #  (the CHECK_ORACLE_JSON artifact reads these directly instead of
+    #   reverse-engineering stage outcomes from message-string prefixes)
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        st = stages[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False}
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
@@ -52,14 +57,17 @@ def main():
         except Exception as e:
             results[name] = f"ERROR: {e}"
             continue
-        if sorted(got.columns) != sorted(want.columns):
+        st["schema_match"] = sorted(got.columns) == sorted(want.columns)
+        if not st["schema_match"]:
             results[name] = f"SCHEMA-MISMATCH got={sorted(got.columns)} want={sorted(want.columns)}"
             continue
-        if len(got) != len(want):
+        st["rows_match"] = len(got) == len(want)
+        if not st["rows_match"]:
             results[name] = f"ROWCOUNT got={len(got)} want={len(want)}"
             continue
         g, w = canon(got), canon(want)
-        if g.equals(w):
+        st["hash_match"] = g.equals(w)
+        if st["hash_match"]:
             results[name] = "OK"
         else:
             neq = (g != w).any(axis=1)
@@ -77,15 +85,11 @@ def main():
     # CHECK_ORACLE_JSON=/path.json): rows/schema/hash flags per query.
     art = os.environ.get("CHECK_ORACLE_JSON")
     if art:
-        def entry(v):
-            return {
-                "rows_match": v == "OK" or v.startswith("VALUES"),
-                "schema_match": v == "OK" or v.startswith(("VALUES", "ROWCOUNT")),
-                "hash_match": v == "OK",
-                "err": None if v == "OK" else v[:400],
-            }
+        def entry(name, v):
+            return dict(stages[name], err=None if v == "OK" else v[:400])
         with open(art, "w") as f:
-            json.dump({k: entry(v) for k, v in sorted(results.items())}, f, indent=1)
+            json.dump({k: entry(k, v) for k, v in sorted(results.items())},
+                      f, indent=1)
     sys.exit(0 if ok == len(results) else 1)
 
 if __name__ == "__main__":
