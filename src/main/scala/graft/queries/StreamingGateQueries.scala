@@ -504,19 +504,72 @@ object StreamingGateQueries {
     // re-emits the expired majority and batch 3 the complementary set.
     "stream_dedup_events_wm" -> ((s, d) => {
       Tables.load(s, d, "region")
-      // The replay oracle assumes NO no-data micro-batch interleaves
-      // the four planned file batches (one would advance the watermark
-      // — and run evictions — a batch early). AvailableNow is observed
-      // never to interleave one, but observed isn't contractual: pin
-      // the conf for this run so the assumption is enforced by
-      // configuration, not by scheduler happenstance. (The window
-      // gates must NOT get this pin — their Append emission relies on
-      // the trailing no-data batch the default runs.)
-      val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val prevNd = s.conf.get(confKey)
-      s.conf.set(confKey, "false")
-      try runDedupEventsWm(s, d)
-      finally s.conf.set(confKey, prevNd)
+      // Run on an ISOLATED session (same device as
+      // stream_running_count_tws) with two pins:
+      //  - noDataMicroBatches OFF: the replay oracle assumes NO
+      //    no-data micro-batch interleaves the four planned file
+      //    batches (one would advance the watermark — and run
+      //    evictions — a batch early). AvailableNow is observed never
+      //    to interleave one, but observed isn't contractual: the conf
+      //    enforces it. (The window gates must NOT get this pin —
+      //    their Append emission relies on the trailing no-data batch
+      //    the default runs.)
+      //  - RocksDB state store provider: the bounded-state showcase
+      //    runs the backend the 100 TB story names (state off-heap,
+      //    incremental checkpoints), not just the in-memory HDFS
+      //    provider. Eviction semantics are provider-independent
+      //    (StreamingSpec pins HDFS-vs-RocksDB equality); the gate
+      //    proves the oracle replay holds ON the production backend.
+      // newSession(): own SQLConf over the shared SparkContext, so
+      // neither pin can leak into or race with other gates;
+      // builder-time confs (UTC, nanosAsLong) carry over.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      runDedupEventsWm(s2, d)
+    }),
+
+    // ARRIVAL-time watermark-bounded chunk dedup CROSSING EVICTION
+    // BOUNDARIES — closes the evidence gap the *_wm twins leave open
+    // (their single-run oracles reduce to DISTINCT because nothing
+    // evicts inside one run): here the run itself spans two eviction
+    // rounds and the oracle replays them exactly. The documents table
+    // arrives as FIVE micro-batches (doc_id % 5 — deterministic
+    // content split), and the arrival clock is STAGED: batch b's rows
+    // all carry arrival_ts = 2024-03-01 + b days, a pure function of
+    // batch membership — the deterministic stand-in for
+    // current_timestamp() (which IS the batch timestamp in production
+    // but is wall-clock-valued, so no exact oracle could replay it).
+    // Chunk fingerprints dedup through StreamOps.dedupBoundedBy with a
+    // 6-HOUR delay against 1-day batch spacing, so an entry expires
+    // before the NEXT batch's watermark: by the pinned eviction timing
+    // (eviction at the end of batch b uses the watermark in force
+    // DURING b = f(batches < b), so batch b's lookups see evictions by
+    // f(batches < b-1)), the seen-set at batch b holds exactly the
+    // incarnations last EMITTED in batches b-1 and b-2. The emitted
+    // set per batch is therefore E_b = F_b \ (E_{b-1} ∪ E_{b-2})
+    // (F_b = distinct fps in batch b) — two genuine re-emission rounds
+    // at sf0.01 — and each emission carries its batch's arrival_ts,
+    // pinning WHICH batch re-emitted. Same noDataMicroBatches pin as
+    // stream_dedup_events_wm (a no-data batch would advance the
+    // watermark and evict a batch early).
+    "stream_dedup_chunks_wm_evict" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      runFileSinkStream(s2, s"$d/documents.parquet", identity,
+        df => graft.streaming.StreamOps.dedupBoundedBy(
+            CurationQueries.chunkRows(df.select(col("doc_id"), col("text")))
+              .withColumn("arrival_ts",
+                expr("cast('2024-03-01 00:00:00' as timestamp) + " +
+                  "make_interval(0, 0, 0, cast(doc_id % 5 as int), 0, 0, 0)"))
+              .select(col("chunk_fp"), col("arrival_ts")),
+            "arrival_ts", "6 hours", "chunk_fp")
+          .select(col("chunk_fp"),
+            col("arrival_ts").cast("timestamp_ntz").as("arrival_ts")),
+        stageBatchedStream(_, _, _, _,
+          (0 until 5).map(i => col("doc_id") % 5 === i)))
     }),
 
     // ARRIVAL-time watermark-bounded chunk dedup — the bounded twin of
@@ -722,6 +775,34 @@ object StreamingGateQueries {
       UNION ALL SELECT user_id, ts FROM e1
       UNION ALL SELECT user_id, ts FROM e2
       UNION ALL SELECT user_id, ts FROM e3""",
+    // Arrival-time eviction replay: F_b = distinct chunk fps of batch
+    // b (doc_id % 5), E_b = F_b \ (E_{b-1} ∪ E_{b-2}) — the seen-set
+    // at batch b holds exactly the incarnations last emitted in the
+    // two prior batches (6-hour delay, 1-day spacing, pinned eviction
+    // timing: batch b's lookups see evictions by the watermark of two
+    // batches back, under which an incarnation from batch i is live
+    // iff A_{b-2} - A_i <= 2·delay iff i >= b-2). Each emission
+    // carries its batch's staged arrival timestamp.
+    "stream_dedup_chunks_wm_evict" -> s"""
+      ${CurationQueries.chunksSql},
+      ${(0 until 5).map(b =>
+        s"f$b AS (SELECT DISTINCT chunk_fp FROM chunks WHERE doc_id % 5 = $b)")
+        .mkString(",\n      ")},
+      e0 AS (SELECT chunk_fp FROM f0),
+      e1 AS (SELECT chunk_fp FROM f1
+             WHERE chunk_fp NOT IN (SELECT chunk_fp FROM e0)),
+      e2 AS (SELECT chunk_fp FROM f2
+             WHERE chunk_fp NOT IN (SELECT chunk_fp FROM e0
+                                    UNION SELECT chunk_fp FROM e1)),
+      e3 AS (SELECT chunk_fp FROM f3
+             WHERE chunk_fp NOT IN (SELECT chunk_fp FROM e1
+                                    UNION SELECT chunk_fp FROM e2)),
+      e4 AS (SELECT chunk_fp FROM f4
+             WHERE chunk_fp NOT IN (SELECT chunk_fp FROM e2
+                                    UNION SELECT chunk_fp FROM e3))
+      ${(0 until 5).map(b =>
+        s"SELECT chunk_fp, TIMESTAMP '2024-03-0${b + 1} 00:00:00' AS arrival_ts FROM e$b")
+        .mkString("\n      UNION ALL ")}""",
     // Bounded-state twin ≡ DISTINCT within one run: arrivals are
     // monotone and the run spans far less than the 1-day delay, so no
     // entry is evicted mid-run (eviction semantics themselves are the

@@ -493,6 +493,55 @@ class StreamingSpec extends GraftSpec {
       s"bounded state must never exceed the two-batch horizon: $bounded")
   }
 
+  test("dedupBoundedBy on RocksDB: same plateau, provider-attributed state metrics") {
+    // The wm dedup family on the backend the 100 TB story names: the
+    // stream_dedup_events_wm gate now pins the RocksDB provider, and
+    // this spec pins what that run's state looks like — the bounded
+    // plateau holds (eviction semantics are provider-independent) and
+    // the progress metrics are genuinely RocksDB's (rocksdb* custom
+    // metrics present, state rows and memory accounted), so the gate's
+    // provider pin is verified to actually engage the backend.
+    implicit val sql = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, java.sql.Timestamp)]
+      val out = StreamOps.dedupBoundedBy(
+        ms.toDF().toDF("k", "ts"), "ts", "30 minutes", "k")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("wm_rocks").start()
+      try {
+        (0 until 5).foreach { b =>
+          val t = java.sql.Timestamp.valueOf(f"2024-01-01 ${2 * b}%02d:00:00")
+          ms.addData((0 until 10).map(i => (s"k${b}_$i", t)): _*)
+          q.processAllAvailable()
+        }
+        assert(spark.table("wm_rocks").count() === 50L)
+        val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
+        val rows = ops.map(_.numRowsTotal)
+        assert(rows.max <= 20L,
+          s"bounded state must hold only the watermark horizon on RocksDB: $rows")
+        assert(ops.exists(_.memoryUsedBytes > 0L),
+          "state memory must be accounted")
+        // the metrics are the RocksDB provider's, not the HDFS store's
+        val custom = ops.flatMap { op =>
+          val it = op.customMetrics.keySet().iterator()
+          Iterator.continually(if (it.hasNext) it.next() else null)
+            .takeWhile(_ != null)
+        }
+        assert(custom.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb* custom metrics, got: ${custom.distinct}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("dedup seen-set survives restart: duplicates across incarnations stay dropped") {
     // The reference's F5 essence under failure: its processedRecordIDs
     // set is WAL-recovered so a redelivery after a crash is still
