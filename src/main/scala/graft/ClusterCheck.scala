@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.queries.MultimodalQueries
+
+/** MULTI-JVM execution proof: runs a representative slice of the
+  * registry under `local-cluster[2,2,3072]` — two REAL worker processes
+  * with separate executor JVMs, real closure/task serialization, real
+  * cross-process shuffle — the one execution shape `local[*]` (one
+  * shared JVM) structurally cannot exercise. Everything here would
+  * silently pass on local[*] even if it depended on driver-JVM statics;
+  * under local-cluster such a dependency breaks, which is the point.
+  *
+  * The slice covers the risk classes a single-JVM harness hides:
+  *  - native Catalyst expressions evaluated in executor JVMs
+  *    (`mm_dedup_phash` → PpmPhashBands, registered driver-side,
+  *    EXECUTED executor-side);
+  *  - the ImageIO codec path per executor JVM (PNG encode/decode in
+  *    `transcodeImages`; the per-JVM `setUseCache(false)` lazy init
+  *    must fire in EACH executor, not just the driver);
+  *  - the pure-array CDC chunker's HOF pipeline (`dedup_cdc_chunks`);
+  *  - streaming state stores on executors (`stream_count_by_key`), and
+  *    the RocksDB provider's JNI backend in executor JVMs with the
+  *    staged-batch eviction replay (`stream_dedup_events_wm`);
+  *  - the chaos closure transport for real: under a cluster master
+  *    `Chaos.plan` selects `PartitionKills` (RainStorm.scala:99-113),
+  *    the armed count ships inside the task closure, executor-side
+  *    task attempts die, and the scheduler's retry (maxFailures=4,
+  *    honored on a cluster) reproduces the exact no-chaos output —
+  *    the reference's RainStormWithFail demo on multi-JVM execution.
+  *
+  * Oracle-checked queries are dumped exactly like Verify (same parquet
+  * + oracle_sql.json contract), so `tools/check_oracle.py <outDir>
+  * <sfDir>` applies the driver's own correctness standard to the
+  * multi-JVM run. In-main checks (codec equality, chaos equivalence)
+  * use count-based comparisons only — nothing collects.
+  *
+  * Run (the executor launcher resolves Spark jars via SPARK_HOME):
+  * {{{
+  *   SPARK_HOME=/opt/spark sbt -batch \
+  *     "runMain graft.ClusterCheck /root/testdata/sf0.01 /tmp/cluster_check"
+  *   python3 tools/check_oracle.py /tmp/cluster_check /root/testdata/sf0.01
+  * }}}
+  * Prints one JSON line `{"cluster_check": "...", ...}`; exit 0 iff
+  * every in-main check passed (the oracle compare runs separately).
+  */
+object ClusterCheck {
+
+  /** The oracle-gated slice (one per risk class above). */
+  private val Slice = Seq(
+    "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
+    "stream_count_by_key", "stream_dedup_events_wm")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/cluster_check"
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster launches executors via the SPARK_HOME launcher — " +
+        "run with SPARK_HOME=/opt/spark")
+    // Executor JVMs get Spark from SPARK_HOME/jars; graft's own classes
+    // ride along via extraClassPath (resolved from this class's own
+    // code source, so the check runs against exactly what's built).
+    val classes = Paths.get(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val spark = GraftSession.builder("graft-cluster-check")
+      .master("local-cluster[2,2,3072]")
+      .config("spark.executor.memory", "2560m")
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    // Chaos kills fire in EXECUTOR JVMs — the driver-side firedCount
+    // cannot see them (documented in Chaos.firedCount). The scheduler's
+    // task-end events are the cross-JVM evidence channel.
+    val chaosKills = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
+        case ef: org.apache.spark.ExceptionFailure
+            if ef.toErrorString.contains("chaos: injected") =>
+          chaosKills.incrementAndGet()
+        case _ => ()
+      }
+    })
+
+    var failures = List.empty[String]
+    def check(name: String)(body: => Unit): Unit =
+      try body
+      catch {
+        case e: Throwable =>
+          failures ::= s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[cluster-check] $name FAILED: $e")
+      }
+
+    // 1) Oracle-gated slice, dumped in the Verify contract.
+    Slice.foreach { name =>
+      check(name) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+      spark.catalog.clearCache()
+    }
+    Verify.dumpOracleSql(
+      SparkEntry.oracleSql.view.filterKeys(Slice.contains).toMap,
+      s"$outDir/oracle_sql.json")
+
+    // 2) PNG codec per executor JVM: the viaPng synthesis (PNG-encode →
+    // ImageIO-decode in transcodeImages, running in executor tasks)
+    // must be phash-identical to the direct path — losslessness,
+    // proven across JVM boundaries with a join, not a collect.
+    check("png_codec_multi_jvm") {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      def bands(viaPng: Boolean) =
+        MultimodalQueries.imageMediaRows(docs, viaPng = viaPng).toDF()
+          .select(col("media_id"),
+            graft.functions.BinaryFunctions.ppmPhashBands(col("payload")).as("b"))
+      val direct = bands(viaPng = false)
+      val viaPng = bands(viaPng = true)
+      val n = direct.count()
+      require(n > 0, "no synthesized images")
+      val matched = direct.alias("x").join(viaPng.alias("y"), "media_id")
+        .filter(col("x.b") === col("y.b")).count()
+      require(matched == n && viaPng.count() == n,
+        s"phash mismatch across the codec round-trip: $matched of $n")
+    }
+
+    // 3) RainStormWithFail on multi-JVM execution: armed kills ride the
+    // task closure (PartitionKills — the master is not local[*]), two
+    // executor-side attempts die on their first delivery, the
+    // scheduler retries, and the output equals the unchaosed run's.
+    check("rainstorm_with_fail_cluster") {
+      val src = Files.createTempDirectory("cluster-rs-src")
+      (0 until 3).foreach { f =>
+        val lines = (0 until 2000).map { j =>
+          val i = f * 2000 + j
+          s"$i,${if (i % 3 == 0) "keepR" else "drop"},k${i % 50},v$i"
+        }
+        Files.write(src.resolve(s"part$f.csv"),
+          String.join("\n", lines: _*).getBytes("UTF-8"))
+      }
+      val plainDir = Files.createTempDirectory("cluster-rs-plain").toString
+      val chaosDir = Files.createTempDirectory("cluster-rs-chaos").toString
+      RainStorm.run(spark, src.toString, RainStorm.Ops.app1op1,
+        RainStorm.Ops.csvProject(2, 3), Some(plainDir), numTasks = 4, pattern = "R")
+      RainStorm.Chaos.arm(2)
+      RainStorm.run(spark, src.toString, RainStorm.Ops.app1op1,
+        RainStorm.Ops.csvProject(2, 3), Some(chaosDir), numTasks = 4, pattern = "R")
+      def counted(dir: String) =
+        spark.read.schema("key STRING, value STRING").csv(dir)
+          .groupBy("key", "value").count()
+      val diff = counted(plainDir).alias("p")
+        .join(counted(chaosDir).alias("c"), Seq("key", "value"), "full_outer")
+        .filter(col("p.count").isNull || col("c.count").isNull ||
+          col("p.count") =!= col("c.count"))
+        .count()
+      require(diff == 0, s"chaos run diverged from plain run: $diff keys differ")
+      // listener events are posted asynchronously; give the bus a beat
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (chaosKills.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      require(chaosKills.get() >= 1,
+        "no executor task attempt died — the closure transport never fired")
+    }
+
+    val execs = spark.sparkContext.getExecutorMemoryStatus.size
+    val json = s"""{"cluster_check": ${if (failures.isEmpty) "\"PASS\"" else "\"FAIL\""}, """ +
+      s""""master": "local-cluster[2,2,3072]", "block_managers": $execs, """ +
+      s""""chaos_kills_observed": ${chaosKills.get()}, """ +
+      s""""oracle_slice": [${Slice.map("\"" + _ + "\"").mkString(", ")}], """ +
+      s""""failures": [${failures.reverse.map(f =>
+        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString(", ")}]}"""
+    println(json)
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

@@ -23,9 +23,18 @@ object Verify {
         // tables); don't let one query's cache tax the rest of the run
         spark.catalog.clearCache()
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    dumpOracleSql(SparkEntry.oracleSql, s"$outDir/oracle_sql.json")
+    spark.stop()
+  }
+
+  /** Write an oracle-SQL map as the driver's oracle_sql.json (shared
+    * with ClusterCheck's slice dump).
+    *
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private[graft] def dumpOracleSql(oracle: Map[String, String], path: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -35,9 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(path), json)
   }
 }
