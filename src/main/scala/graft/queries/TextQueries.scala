@@ -523,6 +523,21 @@ object TextQueries {
       // composing invocation until someone else cleans up — checkpoint
       // blocks are freed by the ContextCleaner once the frames are
       // unreachable (PartitioningSpec pins the hygiene).
+      //
+      // A CROSS-QUERY shared signature frame (this operator and
+      // dedup_minhash_clusters both build signatures; a session-level
+      // memo could hand the second query the first's checkpoint) was
+      // assessed round 7 and DECLINED with measurement: the shareable
+      // stage is cheap — shingle scan 0.90 s, shingles→signatures
+      // 0.81 s warm medians at sf0.1 — while each query's ~8 s is the
+      // banded candidate self-join + merge-intersect verify, which no
+      // signature reuse removes (verify re-derives the shingle sets
+      // regardless). Ceiling ≈ 1–1.5 s off the pair's ~13 s combined,
+      // and the memo would outlive the queries (pinned blocks) and
+      // turn Bench's per-rep cold medians into memo-hit measurements —
+      // the exact contamination its clearCache-per-rep design exists
+      // to prevent. The within-query sharing below is the honest
+      // extent of reuse.
       val sh = docShingles(s, d).localCheckpoint()
       val sig = signatures(sh).localCheckpoint()
       val bands = Seq(("m1", "m2"), ("m3", "m4"), ("m5", "m6"), ("m7", "m8"))
