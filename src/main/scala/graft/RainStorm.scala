@@ -438,6 +438,13 @@ object RainStorm {
     // BATCH, not per run — map it to NoKills instead (the chaos verb
     // is the reference's single-box batch demo; cluster streaming
     // fault injection belongs to the scheduler's own machinery).
+    // Re-reviewed against the round-7 multi-JVM run (ClusterCheck,
+    // local-cluster[2,2,3072]): the BATCH closure transport fired
+    // exactly its armed count in executor JVMs and the scheduler
+    // recovered to an identical output — confirming the per-task
+    // statelessness that makes the transport honest in batch is
+    // precisely what would make it re-fire per micro-batch here. The
+    // boundary stands.
     val plan = Chaos.plan(runId, spark.sparkContext.master) match {
       case Chaos.PartitionKills(_) => Chaos.NoKills
       case p                       => p
