@@ -172,7 +172,15 @@ object ClusterCheck {
       s""""chaos_kills_observed": ${chaosKills.get()}, """ +
       s""""oracle_slice": [${Slice.map("\"" + _ + "\"").mkString(", ")}], """ +
       s""""failures": [${failures.reverse.map(f =>
-        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString(", ")}]}"""
+        "\"" + f.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\"").mkString(", ")}]}"""
     println(json)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
