@@ -39,9 +39,11 @@ import graft.queries.MultimodalQueries
   * multi-JVM run. In-main checks (codec equality, chaos equivalence)
   * use count-based comparisons only — nothing collects.
   *
-  * Run (the executor launcher resolves Spark jars via SPARK_HOME):
+  * Run (the executor launcher resolves Spark jars via SPARK_HOME and
+  * needs SPARK_SCALA_VERSION — without it it probes for dev build
+  * directories and dies with "Cannot find any build directories"):
   * {{{
-  *   SPARK_HOME=/opt/spark sbt -batch \
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 sbt -batch \
   *     "runMain graft.ClusterCheck /root/testdata/sf0.01 /tmp/cluster_check"
   *   python3 tools/check_oracle.py /tmp/cluster_check /root/testdata/sf0.01
   * }}}
@@ -61,6 +63,19 @@ object ClusterCheck {
     require(sys.env.contains("SPARK_HOME"),
       "local-cluster launches executors via the SPARK_HOME launcher — " +
         "run with SPARK_HOME=/opt/spark")
+    // Fail FAST on the other launcher prerequisite: without it every
+    // executor dies at launch with "Cannot find any build directories"
+    // (the launcher probes for dev build dirs to guess the Scala
+    // version) and the run hangs instead of erroring here.
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "the executor launcher needs the Scala version pinned — " +
+        "run with SPARK_SCALA_VERSION=2.13")
+    // A renamed registry entry must fail loudly, not silently shrink
+    // the slice's oracle coverage (check_oracle only iterates what the
+    // dump contains — it would happily report 4/4 OK).
+    require(Slice.forall(SparkEntry.oracleSql.contains),
+      s"slice names missing from oracleSql: " +
+        Slice.filterNot(SparkEntry.oracleSql.contains).mkString(", "))
     // Executor JVMs get Spark from SPARK_HOME/jars; graft's own classes
     // ride along via extraClassPath (resolved from this class's own
     // code source, so the check runs against exactly what's built).
@@ -118,13 +133,20 @@ object ClusterCheck {
         MultimodalQueries.imageMediaRows(docs, viaPng = viaPng).toDF()
           .select(col("media_id"),
             graft.functions.BinaryFunctions.ppmPhashBands(col("payload")).as("b"))
-      val direct = bands(viaPng = false)
-      val viaPng = bands(viaPng = true)
-      val n = direct.count()
+      // ONE action: a full-outer join catches rows missing from either
+      // side (they surface as unmatched nulls), and the single
+      // aggregate means each synthesis/transcode pipeline runs exactly
+      // once — three separate counts would re-run the ImageIO
+      // round-trip per action.
+      val row = bands(viaPng = false).withColumnRenamed("b", "bd")
+        .join(bands(viaPng = true).withColumnRenamed("b", "bp"),
+          Seq("media_id"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("bd") === col("bp"), 1)).as("matched"))
+        .head()
+      val (n, matched) = (row.getLong(0), row.getLong(1))
       require(n > 0, "no synthesized images")
-      val matched = direct.alias("x").join(viaPng.alias("y"), "media_id")
-        .filter(col("x.b") === col("y.b")).count()
-      require(matched == n && viaPng.count() == n,
+      require(matched == n,
         s"phash mismatch across the codec round-trip: $matched of $n")
     }
 
@@ -171,16 +193,7 @@ object ClusterCheck {
       s""""master": "local-cluster[2,2,3072]", "block_managers": $execs, """ +
       s""""chaos_kills_observed": ${chaosKills.get()}, """ +
       s""""oracle_slice": [${Slice.map("\"" + _ + "\"").mkString(", ")}], """ +
-      s""""failures": [${failures.reverse.map(f =>
-        "\"" + f.flatMap {
-          case '"'  => "\\\""
-          case '\\' => "\\\\"
-          case '\n' => "\\n"
-          case '\r' => "\\r"
-          case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\"").mkString(", ")}]}"""
+      s""""failures": [${failures.reverse.map(Verify.jsonQuote).mkString(", ")}]}"""
     println(json)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -35,16 +35,21 @@ object Verify {
     * driver's json.load fail and silently zero the round's correctness.
     */
   private[graft] def dumpOracleSql(oracle: Map[String, String], path: String): Unit = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = oracle.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(path), json)
   }
+
+  /** The one JSON string escaper (ClusterCheck's status line shares it
+    * — a second copy would drift on the next escape fix).
+    */
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

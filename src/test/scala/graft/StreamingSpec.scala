@@ -526,11 +526,8 @@ class StreamingSpec extends GraftSpec {
         assert(ops.exists(_.memoryUsedBytes > 0L),
           "state memory must be accounted")
         // the metrics are the RocksDB provider's, not the HDFS store's
-        val custom = ops.flatMap { op =>
-          val it = op.customMetrics.keySet().iterator()
-          Iterator.continually(if (it.hasNext) it.next() else null)
-            .takeWhile(_ != null)
-        }
+        import scala.jdk.CollectionConverters._
+        val custom = ops.flatMap(_.customMetrics.keySet().asScala)
         assert(custom.exists(_.startsWith("rocksdb")),
           s"expected rocksdb* custom metrics, got: ${custom.distinct}")
       } finally q.stop()
