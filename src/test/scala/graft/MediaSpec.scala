@@ -411,6 +411,42 @@ class MediaSpec extends GraftSpec {
       Option(e.getCause).exists(_.getMessage.contains("phash geometry")))
   }
 
+  test("header parsers never crash or hang on arbitrary bytes (deterministic fuzz)") {
+    // The parsers run inside executor tasks over untrusted payload
+    // bytes — any crash class (index out of bounds, divide by zero,
+    // negative array size, non-termination in the JPEG marker walk)
+    // would fail tasks at scale. Deterministic seed: failures
+    // reproduce.
+    val rnd = new scala.util.Random(421)
+    def parsersSurvive(b: Array[Byte]): Unit = {
+      Codec.parseWav(b); Codec.parsePpmHeader(b); Codec.parsePng(b)
+      Codec.parseJpeg(b); ()
+    }
+    (0 until 2000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(b)
+      parsersSurvive(b)
+    }
+    // structured prefixes with random tails — exercises deeper walk
+    // paths than pure noise (signatures match, then garbage)
+    val jpegSig = Array(0xff, 0xd8, 0xff).map(_.toByte)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val wavSig = "RIFF????WAVE".getBytes("US-ASCII")
+    val ppmSig = "P6\n".getBytes("US-ASCII")
+    (0 until 500).foreach { _ =>
+      val tail = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(tail)
+      Seq(jpegSig, pngSig, wavSig, ppmSig).foreach(sig =>
+        parsersSurvive(sig ++ tail))
+    }
+    // every truncation of a REAL JPEG: the marker walk must reject,
+    // not overrun (same guarantee the PPM/WAV parsers already pin)
+    val ppm = Codec.ppmFromBytes((0 until 120).map(_.toByte).toArray, 8, 8)
+    val jpg = Codec.ppmToJpeg(ppm).get
+    (0 until jpg.length).foreach(n => parsersSurvive(jpg.take(n)))
+    assert(Codec.parseJpeg(jpg) === Some((8, 8))) // the untruncated one parses
+  }
+
   test("byteStats handles unsigned bytes and empty payloads") {
     val df = Seq(
       (1L, Array(0xff.toByte, 0x00.toByte)),
