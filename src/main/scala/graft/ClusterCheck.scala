@@ -52,10 +52,15 @@ import graft.queries.MultimodalQueries
   */
 object ClusterCheck {
 
-  /** The oracle-gated slice (one per risk class above). */
+  /** The oracle-gated slice (one per risk class above;
+    * stream_dedup_chunks_wm_evict additionally proves the staged
+    * arrival clock and cross-batch watermark EVICTION replay hold
+    * when the state store lives in executor JVMs).
+    */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
-    "stream_count_by_key", "stream_dedup_events_wm")
+    "stream_count_by_key", "stream_dedup_events_wm",
+    "stream_dedup_chunks_wm_evict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
