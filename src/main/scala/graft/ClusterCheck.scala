@@ -173,6 +173,15 @@ object ClusterCheck {
       val chaosDir = Files.createTempDirectory("cluster-rs-chaos").toString
       RainStorm.run(spark, src.toString, RainStorm.Ops.app1op1,
         RainStorm.Ops.csvProject(2, 3), Some(plainDir), numTasks = 4, pattern = "R")
+      // PartitionKills is AT-MOST-n: a partition that receives no
+      // deliveries fires nothing. Pre-assert the partitions we arm are
+      // non-empty, so a kill count of 0 below can only mean a transport
+      // failure — not key skew or a data-shape change.
+      val armable = RainStorm.op1ArmedPartitionsNonEmpty(spark, src.toString,
+        numTasks = 4, n = 2)
+      require(armable == 2,
+        s"op1-stage partitions 0..1 must be non-empty before arming " +
+          s"(PartitionKills is at-most-n): only $armable of 2 are")
       RainStorm.Chaos.arm(2)
       RainStorm.run(spark, src.toString, RainStorm.Ops.app1op1,
         RainStorm.Ops.csvProject(2, 3), Some(chaosDir), numTasks = 4, pattern = "R")
@@ -190,7 +199,9 @@ object ClusterCheck {
       while (chaosKills.get() < 1 && System.nanoTime() < deadline)
         Thread.sleep(100)
       require(chaosKills.get() >= 1,
-        "no executor task attempt died — the closure transport never fired")
+        "no executor task attempt died — the closure transport never fired " +
+          "(partitions 0..1 were pre-checked non-empty above, so this is a " +
+          "transport failure, not the at-most-n caveat)")
     }
 
     val execs = spark.sparkContext.getExecutorMemoryStatus.size

@@ -227,7 +227,7 @@ object RainStorm {
         // stage boundary: the reference hash-exchanges on key between
         // stages (rainstorm/server.go:384-390); numTasks ≈ partitions
         Core.flatMapRecords(
-          df.repartition(numTasks, col("key")),
+          applyOpInput(df, numTasks),
           r => {
             Chaos.tap(plan) // no-op unless THIS run claimed armed kills
             f(r.key, r.value, pattern).map { case (k, v) =>
@@ -380,6 +380,28 @@ object RainStorm {
     * transport — nothing to kill in a pipeline with no user-operator
     * deliveries.)
     */
+  /** How many of the first `n` op1-stage partitions are NON-EMPTY for
+    * (src, numTasks) — probed on the exact frame applyOp hands op1
+    * (sourceBatch repartitioned on key), so the partition ids match
+    * the run's. PartitionKills is at-most-n: a partition receiving no
+    * deliveries fires nothing, so a kill-count gate (ClusterCheck)
+    * must pre-assert the armed partitions are non-empty — otherwise
+    * key skew or a data-shape change would fail the gate spuriously
+    * while the transport behaved exactly as specified.
+    */
+  private[graft] def op1ArmedPartitionsNonEmpty(spark: SparkSession, src: String,
+                                                numTasks: Int, n: Int): Long =
+    applyOpInput(sourceBatch(spark, src), numTasks)
+      .select(spark_partition_id().as("p"))
+      .filter(col("p") < n)
+      .distinct()
+      .count()
+
+  /** The stage boundary applyOp's FlatMap arm applies — factored so the
+    * chaos pre-probe above sees the same partitioning as the real run. */
+  private def applyOpInput(df: DataFrame, numTasks: Int): DataFrame =
+    df.repartition(numTasks, col("key"))
+
   private[graft] def stagePlans(plan: Chaos.KillPlan,
                                 op1: RsOp): (Chaos.KillPlan, Chaos.KillPlan) =
     plan match {

@@ -316,16 +316,23 @@ object MediaOps {
         // fill bytes: consecutive 0xFF before a marker are padding
         while (m == 0xff && i + 5 <= b.length) { i += 1; m = b(i + 1) & 0xff }
         if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
-        val sz = be16(b, i + 2)
-        if (sz < 2 || i.toLong + 2L + sz.toLong > b.length) return None
-        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
-        if (isSof) {
-          if (sz < 7) return None // precision(1) + height(2) + width(2)
-          val h = be16(b, i + 5)
-          val w = be16(b, i + 7)
-          return if (w <= 0 || h <= 0) None else Some((w, h))
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          // TEM / RSTn are standalone markers with NO length field —
+          // reading be16 here would misparse the following bytes as a
+          // segment size and walk off the marker chain
+          i += 2
+        } else {
+          val sz = be16(b, i + 2)
+          if (sz < 2 || i.toLong + 2L + sz.toLong > b.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (sz < 7) return None // precision(1) + height(2) + width(2)
+            val h = be16(b, i + 5)
+            val w = be16(b, i + 7)
+            return if (w <= 0 || h <= 0) None else Some((w, h))
+          }
+          i += 2 + sz
         }
-        i += 2 + sz
       }
       None
     }
@@ -356,6 +363,12 @@ object MediaOps {
       * aid ONLY (lets specs drive the JPEG decode path with real
       * compressed input); lossy by nature, so unlike ppmToPng there is
       * no round-trip identity to claim.
+      *
+      * CONTRACT — None means ONE OF TWO things (same as ppmToPng; do
+      * NOT read None as "not a P6"):
+      *   (a) the payload is not a parseable P6, or
+      *   (b) the payload IS a valid P6 whose maxval != 255 — encodable
+      *       only by darkening, so refused (MediaSpec pins both cases).
       */
     private[graft] def ppmToJpeg(ppm: Array[Byte]): Option[Array[Byte]] = {
       imageIoNoDiskCache
@@ -389,6 +402,15 @@ object MediaOps {
       * the round-trip identity), so those inputs return None rather
       * than encode something the format path cannot represent
       * losslessly. pngToPpm(ppmToPng(p)) == p for every accepted p.
+      *
+      * CONTRACT — None means ONE OF TWO things (do NOT read None as
+      * "not a P6"):
+      *   (a) the payload is not a parseable P6, or
+      *   (b) the payload IS a valid P6 whose maxval != 255 — valid but
+      *       not losslessly encodable here, so refused.
+      * A caller that needs to distinguish the two must parsePpmHeader
+      * first; MediaSpec's rejection test pins case (b) and must stay
+      * co-located with any new caller.
       */
     private[graft] def ppmToPng(ppm: Array[Byte]): Option[Array[Byte]] = {
       imageIoNoDiskCache

@@ -353,23 +353,40 @@ class MediaSpec extends GraftSpec {
     assert(Codec.parseJpeg(ppm) === None)
     assert(Codec.parseJpeg("not a jpeg".getBytes) === None)
     assert(Codec.parseJpeg(jpg.take(3)) === None)
+    // standalone markers (TEM 0x01, RST0-7 0xD0-0xD7) carry NO length
+    // field — the walk must skip them with i += 2 instead of misreading
+    // the following bytes as a segment size (which would walk off the
+    // chain and lose the SOF of a valid-but-unusual JPEG)
+    val standalone = Array(0xff, 0xd8, 0xff, 0x01, 0xff, 0xd0,
+      0xff, 0xc0, 0x00, 0x07, 0x08, 0x00, 0x20, 0x00, 0x20).map(_.toByte)
+    assert(Codec.parseJpeg(standalone) === Some((32, 32)))
+    // truncated right after a standalone marker: clean None, no misparse
+    assert(Codec.parseJpeg(standalone.take(6)) === None)
     // decode() fills container metadata from the JPEG header
     val f = Codec.decode(Media(9L, "image", jpg))
     assert(f.width === Some(w) && f.height === Some(h) && f.sample_rate === None)
-    // transcodeImages inflates the JPEG to P6: exact dims, lossy pixels
-    // within tolerance of the source (JPEG on a smooth gradient stays
-    // close; the bound is deliberately loose — decoder-version-safe)
+    // transcodeImages inflates the JPEG to P6: exact dims, and the
+    // pixels must equal what THIS JVM's own decoder produces for the
+    // same bytes — the tolerance reference is the codec actually in
+    // use, so the assertion cannot flake on a different JDK/ImageIO
+    // plugin's rounding (an absolute bound vs the source would)
     val out = MediaOps.transcodeImages(Seq(Media(9L, "image", jpg)).toDS())
       .collect().head.payload
     val (dw, dh, _, doff) = Codec.parsePpmHeader(out).get
     assert((dw, dh) === ((w, h)))
+    val redecoded = Codec.jpegToPpm(jpg).get
+    assert(out.sameElements(redecoded),
+      "transcodeImages diverged from this JVM's own jpegToPpm decode")
+    // lossy-but-CLOSE sanity vs the source: deliberately loose bounds
+    // (garbage-detection, not a quality floor — quality is the
+    // encoder's business and varies across JDKs)
     val srcOff = Codec.parsePpmHeader(ppm).get._4
     val maxErr = (0 until w * h * 3).map(i =>
       math.abs((out(doff + i) & 0xff) - (ppm(srcOff + i) & 0xff))).max
-    assert(maxErr <= 24, s"JPEG round-trip error too large: $maxErr")
+    assert(maxErr <= 96, s"JPEG round-trip error too large: $maxErr")
     val meanSrc = (0 until w * h * 3).map(i => ppm(srcOff + i) & 0xff).sum.toDouble / (w * h * 3)
     val meanOut = (0 until w * h * 3).map(i => out(doff + i) & 0xff).sum.toDouble / (w * h * 3)
-    assert(math.abs(meanSrc - meanOut) <= 4.0)
+    assert(math.abs(meanSrc - meanOut) <= 16.0)
     // non-image kinds never decode, even with a JPEG payload
     val audio = MediaOps.transcodeImages(Seq(Media(10L, "audio", jpg)).toDS())
       .collect().head.payload

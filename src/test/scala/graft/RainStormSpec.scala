@@ -448,6 +448,24 @@ class RainStormSpec extends GraftSpec {
     assert(err.getMessage.contains("streaming"))
   }
 
+  test("chaos pre-probe: op1ArmedPartitionsNonEmpty counts non-empty armed partitions") {
+    // PartitionKills is at-most-n; ClusterCheck pre-asserts the armed
+    // partitions are non-empty with this probe. One source line → one
+    // occupied op1 partition (keys are file:line, so occupancy is row
+    // count, not key-content skew); many lines → all armed partitions
+    // occupied.
+    val dir = tmpDir("chaos-probe-src")
+    Files.write(Paths.get(dir, "one.csv"), "only,row".getBytes,
+      StandardOpenOption.CREATE)
+    assert(RainStorm.op1ArmedPartitionsNonEmpty(spark, dir, numTasks = 4, n = 4) === 1L)
+    val many = (0 until 200).map(i => s"r$i,v$i").mkString("\n")
+    Files.write(Paths.get(dir, "many.csv"), many.getBytes,
+      StandardOpenOption.CREATE)
+    assert(RainStorm.op1ArmedPartitionsNonEmpty(spark, dir, numTasks = 4, n = 4) === 4L)
+    // n narrower than numTasks: probe scopes to the partitions actually armed
+    assert(RainStorm.op1ArmedPartitionsNonEmpty(spark, dir, numTasks = 4, n = 2) === 2L)
+  }
+
   test("splitCsv matches Go encoding/csv on quoted fields and errors") {
     assert(Ops.splitCsv("a,b,c").get.toSeq === Seq("a", "b", "c"))
     assert(Ops.splitCsv("\"a,b\",c").get.toSeq === Seq("a,b", "c"))
