@@ -569,6 +569,61 @@ object CurationQueries {
           s"(partition by shard order by doc_id " +
           s"rows between unbounded preceding and current row) " +
           s"- n_tokens) div $PackBudget").as("bin"))
+    }),
+
+    // Incremental ingest dedup — the nightly-batch production shape: a
+    // new-arrivals slice is deduplicated AGAINST the historical store
+    // and within itself, without re-deduplicating the store. The store
+    // contributes only its DISTINCT 16-byte fingerprints (never text),
+    // so however large the history grows the anti-join shuffles
+    // fingerprint-width rows, and Spark's runtime bloom filter can
+    // additionally pre-filter the store by the (small) arrivals side.
+    // The arrivals slice is a deterministic doc_id residue so the gate
+    // is reproducible (in production: the new date partition). Within
+    // the batch, first-arrival survives per fingerprint — the
+    // dedup_exact rule, scoped to the delta.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = docs.filter(col("doc_id") % 4L =!= 0L)
+        .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      val arrivals = docs.filter(col("doc_id") % 4L === 0L)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      arrivals.join(store, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .select(col("keep_id"), col("fp"), col("n_batch_copies"))
+    }),
+
+    // One-pass column profiler — the data-quality monitor a pipeline
+    // runs over every new drop: per column, row/null/distinct counts,
+    // min/max, and total rendered length. ONE scan feeds every
+    // statistic (parallel aggregate expressions, not per-column
+    // passes); the multi-column COUNT(DISTINCT)s plan as Spark's
+    // single Expand + one shuffle — the standard exact shape. At
+    // 100 TB you swap the exact distincts for the KMV sketch
+    // q_sketch_approx proves oracle-portable and keep everything else.
+    // The one-row aggregate is unpivoted into a row per column by
+    // exploding a literal struct array — no driver round-trip.
+    "docs_profile" -> ((s, d) => {
+      val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = profiled.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        sum(length(col(c).cast("string"))).as(s"${c}__len")) }
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(profiled.map(c => struct(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"${c}__nn")).as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_val"),
+          col(s"${c}__max").as("max_val"),
+          col(s"${c}__len").as("sum_len"))): _*)).as("p"))
+        .select(col("p.*"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -665,5 +720,25 @@ object CurationQueries {
                 (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - n_tokens) // $PackBudget AS BIGINT) AS bin
-      FROM sharded""")
+      FROM sharded""",
+    "dedup_incremental" -> """
+      WITH store AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 != 0),
+      arrivals AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 0)
+      SELECT MIN(a.doc_id) AS keep_id, a.fp,
+             CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+      FROM arrivals a
+      WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = a.fp)
+      GROUP BY a.fp""",
+    "docs_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c => s"""
+        SELECT '$c' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(MIN($c) AS VARCHAR) AS min_val,
+               CAST(MAX($c) AS VARCHAR) AS max_val,
+               CAST(SUM(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
+        FROM documents""").mkString(" UNION ALL "))
 }

@@ -1,9 +1,10 @@
 package graft
 
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
-import graft.queries.{RelationalQueries => RQ}
+import graft.queries.{CurationQueries => CQ, RelationalQueries => RQ}
 
 /** Physical-plan assertions: the properties that matter at 100 TB are
   * structural (where the exchanges are), not row counts — so test the
@@ -161,6 +162,36 @@ class PartitioningSpec extends GraftSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("incremental dedup: no exchange carries document text, only fingerprints") {
+    // The point of dedup_incremental at scale: however large the
+    // historical store, what shuffles is fingerprint-width rows — the
+    // text payload must die at the scans.
+    withoutAqe {
+      val df = CQ.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      val shuffled = exchanges.flatMap(_.output.map(_.name))
+      assert(!shuffled.contains("text"),
+        s"an exchange carries the text payload: $shuffled")
+    }
+  }
+
+  test("docs_profile is one pass: a single scan feeds every per-column statistic") {
+    // Parallel aggregate expressions (with the multi-distinct Expand)
+    // over ONE scan — a profiler that re-scans per column would read
+    // the corpus five times.
+    withoutAqe {
+      val df = CQ.queries("docs_profile")(spark, "/root/testdata/sf0.001")
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.length === 1,
+        s"expected one documents scan, found ${scans.length}")
     }
   }
 
