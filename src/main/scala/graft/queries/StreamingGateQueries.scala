@@ -424,6 +424,29 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // The incremental-ingest dedup (CurationQueries.dedup_incremental)
+    // on the engine's streaming face — the production shape where the
+    // historical store sits still and only the delta streams: arriving
+    // documents fingerprint and anti-join against the store's DISTINCT
+    // fingerprints as a stream-STATIC join (the static side carries no
+    // streaming state — it is planned per micro-batch, fingerprints
+    // only, never text), then first-arrival dedup WITHIN the delta
+    // runs in the state store, whose size is bounded by the delta's
+    // fingerprint universe, not the store's. Output is the surviving
+    // fingerprint SET (deterministic under any arrival order).
+    "stream_dedup_incremental" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val store = Tables.documents(s, d)
+        .filter(col("doc_id") % 4L =!= 0L)
+        .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      runStream(s, s"$d/documents.parquet", identity,
+        df => df.filter(col("doc_id") % 4L === 0L)
+          .select(md5(col("text").cast("binary")).as("fp"))
+          .join(store, Seq("fp"), "left_anti")
+          .dropDuplicates("fp"),
+        OutputMode.Append())
+    }),
+
     // Chunk-level dedup on the STREAMING face: arriving documents
     // explode into sub-document chunks (CurationQueries.chunkRows — the
     // identical narrow Generate the batch operators use) and each chunk
@@ -695,6 +718,15 @@ object StreamingGateQueries {
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         AS fingerprint
       FROM documents""",
+    // Streaming ≡ batch for the surviving-delta fingerprint set: the
+    // stream-static anti join and the in-stream dedup reduce to the
+    // same set algebra as dedup_incremental's, minus the survivor ids.
+    "stream_dedup_incremental" -> """
+      WITH store AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 != 0)
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % 4 = 0
+        AND NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = md5(documents.text))""",
     "stream_running_count" -> runningCountOracleSql,
     "stream_running_count_tws" -> runningCountOracleSql,
     // Streaming ≡ batch for the chunk-fingerprint set (chunksSql is the

@@ -493,6 +493,33 @@ class StreamingSpec extends GraftSpec {
       s"bounded state must never exceed the two-batch horizon: $bounded")
   }
 
+  test("stream-static incremental dedup: state holds the delta's fingerprints, not the store's") {
+    // stream_dedup_incremental's scale property: the historical store
+    // joins as a STATIC side — planned per micro-batch, never entered
+    // into the state store — so state rows track the DELTA's surviving
+    // fingerprint count. A 1000-fp store against a handful of arriving
+    // docs must leave a handful of state rows, not 1000.
+    implicit val sql = spark.sqlContext
+    val store = (0 until 1000).map(i => s"store_fp_$i").toDF("fp")
+    val ms = MemoryStream[String]
+    val out = ms.toDF().toDF("fp")
+      .join(store, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("inc_dedup").start()
+    try {
+      ms.addData("a", "b", "c", "a", "store_fp_1", "store_fp_2", "d", "e", "f")
+      q.processAllAvailable()
+      ms.addData("a", "g", "store_fp_3") // repeats + one genuinely new
+      q.processAllAvailable()
+      val emitted = spark.table("inc_dedup").as[String].collect().toSet
+      assert(emitted === Set("a", "b", "c", "d", "e", "f", "g"))
+      val rows = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(rows.max === 7L,
+        s"state must hold only the delta's surviving fingerprints: $rows")
+    } finally q.stop()
+  }
+
   test("dedupBoundedBy on RocksDB: same plateau, provider-attributed state metrics") {
     // The wm dedup family on the backend the 100 TB story names: the
     // stream_dedup_events_wm gate now pins the RocksDB provider, and
