@@ -46,7 +46,55 @@ object TimeWindowQueries {
         .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), col("session_window.start").as("sstart"),
-          col("session_window.end").as("send"), col("cnt")))
+          col("session_window.end").as("send"), col("cnt"))),
+
+    // Ordered funnel (view → click → purchase): each step's first
+    // qualifying time must come strictly AFTER the previous step's —
+    // the sequential dependency is inherent (step k's filter needs
+    // step k-1's timestamp), so the plan is one user_id-keyed
+    // aggregation + join per step, state bounded per user, never a
+    // corpus-wide sort or window. The product-analytics shape a
+    // 100 TB event log answers daily.
+    "events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"),
+          (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+            + when(col("purchase_ts").isNotNull, 1L).otherwise(0L))
+            .as("depth"))
+    }),
+
+    // Weekly retention cohorts: cohort = week of first activity,
+    // offset = weeks since cohort, cell = distinct active users. Both
+    // time buckets are epoch-week truncations (Monday-aligned in both
+    // engines), so the offset is an exact day-difference div 7. Two
+    // entity-keyed aggregations (per-user first-activity, per-(user,
+    // week) distinct) then a bounded matrix agg — nothing scales with
+    // the corpus beyond the user dimension.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+        .distinct()
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          expr("datediff(activity_week, cohort_week) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,6 +123,38 @@ object TimeWindowQueries {
         FROM marked)
       SELECT user_id, MIN(ts) AS sstart,
              MAX(ts) + INTERVAL '2 hours' AS send, COUNT(*) AS cnt
-      FROM sessions GROUP BY user_id, sid"""
+      FROM sessions GROUP BY user_id, sid""",
+    "events_funnel" -> """
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+             CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS depth
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "events_retention" -> """
+      WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events)
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.activity_week) // 7
+               AS BIGINT) AS week_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM activity a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2"""
   )
 }
