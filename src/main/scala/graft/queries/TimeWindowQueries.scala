@@ -94,6 +94,37 @@ object TimeWindowQueries {
           expr("datediff(activity_week, cohort_week) div 7").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .select(col("cohort_week"), col("week_offset"), col("n_users"))
+    }),
+
+    // Hourly-volume anomaly detection per event_type: flag hours whose
+    // count exceeds 1.5× the type's (lower) median hourly count. The
+    // median comes from the repo's exact-percentile histogram device
+    // (docs_quality_quantile's): counts histogram per type, cumulative
+    // window over DISTINCT count values — entity-keyed, bounded by the
+    // count-value range, never a corpus-wide sort — and the 1.5×
+    // threshold is the pure-integer form 2·cnt > 3·med, so the whole
+    // operator is FP-free and oracle-exact. Monitoring shape for a
+    // 100 TB event firehose: the hourly rollup is the only corpus-
+    // touching pass; everything after runs on (types × hours) rows.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = hourly.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).as("n"))
+      val byCnt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cnt"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val med = hist
+        .withColumn("cum", sum(col("n")).over(byCnt))
+        .withColumn("tot", sum(col("n")).over(byType))
+        .filter(col("cum") * 2L >= col("tot"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cnt")).as("med"))
+      hourly.join(broadcast(med), "event_type")
+        .filter(col("cnt") * 2L > col("med") * 3L)
+        .select(col("event_type"), col("hour"), col("cnt"), col("med"))
     })
   )
 
@@ -155,6 +186,22 @@ object TimeWindowQueries {
                AS BIGINT) AS week_offset,
              CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
       FROM activity a JOIN cohort c USING (user_id)
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+    "events_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      hist AS (
+        SELECT event_type, cnt, COUNT(*) AS n FROM hourly GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, MIN(cnt) AS med FROM (
+          SELECT event_type, cnt,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY cnt) AS cum,
+                 SUM(n) OVER (PARTITION BY event_type) AS tot
+          FROM hist) cum_hist
+        WHERE cum * 2 >= tot GROUP BY event_type)
+      SELECT h.event_type, h.hour, h.cnt, m.med
+      FROM hourly h JOIN med m USING (event_type)
+      WHERE h.cnt * 2 > m.med * 3"""
   )
 }
