@@ -55,12 +55,15 @@ object ClusterCheck {
   /** The oracle-gated slice (one per risk class above;
     * stream_dedup_chunks_wm_evict additionally proves the staged
     * arrival clock and cross-batch watermark EVICTION replay hold
-    * when the state store lives in executor JVMs).
+    * when the state store lives in executor JVMs;
+    * stream_dedup_incremental adds the stream-STATIC join — the static
+    * side is planned per micro-batch, so under a cluster master its
+    * scan + the anti-join run in executor JVMs every batch).
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
-    "stream_dedup_chunks_wm_evict")
+    "stream_dedup_chunks_wm_evict", "stream_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
