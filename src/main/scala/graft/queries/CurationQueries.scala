@@ -77,6 +77,12 @@ object CurationQueries {
     */
   private val BenchMod = 97L
 
+  /** docs_profile_sketch sizing: KMV buffer (k longs per column) and
+    * the hash domain — 7 hex digits of md5, i.e. [0, 2^28).
+    */
+  private val ProfileK = 256
+  private val ProfileDomain = 268435456L // 2^28
+
   /** Chunking geometry: ChunkWords-token windows every ChunkStride
     * tokens (25% overlap) — the RAG/context-window prep shape.
     */
@@ -624,6 +630,42 @@ object CurationQueries {
           col(s"${c}__max").as("max_val"),
           col(s"${c}__len").as("sum_len"))): _*)).as("p"))
         .select(col("p.*"))
+    }),
+
+    // The profiler's 100 TB distinct-count path, SHIPPED rather than
+    // promised: docs_profile's exact COUNT(DISTINCT)s (an Expand that
+    // multiplies the shuffle by the column count) swap for per-column
+    // KMV sketches — constant state (k=256 longs per column), one
+    // ordinary partial-aggregated pass, NO Expand. The hash is the
+    // first 7 hex digits of md5 over the rendered value (domain 2^28)
+    // — md5 is bit-identical across engines, so unlike
+    // approx_count_distinct's HLL the estimate itself is
+    // oracle-exact (the q_sketch_approx/q_kmv_distinct device, here
+    // over arbitrary-typed columns).
+    "docs_profile_sketch" -> ((s, d) => {
+      val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
+      def h(c: String): Column =
+        conv(substring(md5(col(c).cast("string").cast("binary")), 1, 7),
+          16, 10).cast("long")
+      val aggs = profiled.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        graft.functions.Aggregators.minKDistinct(ProfileK)(h(c))
+          .as(s"${c}__mins")) }
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(profiled.map(c => struct(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"${c}__nn")).as("n_nulls"),
+          when(size(col(s"${c}__mins")) < ProfileK,
+            size(col(s"${c}__mins")).cast("long"))
+            .otherwise(expr(
+              // pre-multiplied in Scala: INT*INT literals overflow
+              // under ANSI; the product is one BIGINT literal
+              s"${(ProfileK - 1) * ProfileDomain} div " +
+                s"element_at(${c}__mins, $ProfileK)"))
+            .as("est_distinct"))): _*)).as("p"))
+        .select(col("p.*"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -740,5 +782,24 @@ object CurationQueries {
                CAST(MIN($c) AS VARCHAR) AS min_val,
                CAST(MAX($c) AS VARCHAR) AS max_val,
                CAST(SUM(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
-        FROM documents""").mkString(" UNION ALL "))
+        FROM documents""").mkString(" UNION ALL "),
+    // The KMV estimate is a pure function of the md5-derived hash set,
+    // so the oracle replays it exactly: distinct hashes, k smallest,
+    // (k-1)·domain // kth-min (the q_kmv_distinct device).
+    "docs_profile_sketch" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c => s"""
+        SELECT '$c' AS col_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+               (SELECT CAST(COUNT(*) - COUNT($c) AS BIGINT) FROM documents)
+                 AS n_nulls,
+               (SELECT CAST(CASE WHEN COUNT(*) < $ProfileK THEN COUNT(*)
+                       ELSE ${(ProfileK - 1) * ProfileDomain} // MAX(h) END
+                  AS BIGINT)
+                FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                      FROM (SELECT DISTINCT
+                              CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 7)
+                                AS BIGINT) AS h
+                            FROM documents WHERE $c IS NOT NULL) hs) ranked
+                WHERE rn <= $ProfileK) AS est_distinct""")
+      .mkString(" UNION ALL "))
 }
