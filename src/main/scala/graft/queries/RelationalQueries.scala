@@ -897,6 +897,95 @@ object RelationalQueries {
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    // join with the o-side filter ON THE JOIN (in a WHERE it would
+    // turn the join inner and silently drop the zero-order customers —
+    // the entire point of Q13), per-customer count of the nullable
+    // join column (no-match rows count 0), then the distribution over
+    // counts. Two entity-keyed aggregations; the second input is
+    // #customers rows of two ints, the output #distinct-counts rows.
+    "q13_custdist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+      c.join(o,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderstatus") =!= "F", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    // revenue "view" is one supplier-keyed lineitem aggregate; its max
+    // is a one-row aggregate broadcast back (scalar-subquery
+    // decorrelation — lineitem scans ONCE), and the tie-keeping
+    // equality compares the EXACT decimals, cast to double only on
+    // output.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+    }),
+
+    // TPC-H Q17 shape — small-quantity revenue for one brand: the
+    // correlated per-part average decorrelates to ONE per-part
+    // aggregate joined back (the spec-pinned decorrelation class —
+    // never a per-row subplan). The threshold is SUM/COUNT, not avg():
+    // quantities are integer-valued doubles, so the sum is
+    // order-independent in IEEE and both engines compute the identical
+    // 0.2× boundary; revenue sums in decimal, one /7.0 in double.
+    "q17_small_qty" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val lp = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"))
+      lp.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 shape — dormant rich customers per country code
+    // (c_nationkey % 10 stands in for the phone prefix): the
+    // positive-balance average threshold compares in PURE INTEGER
+    // CENTS (n_pos·cents(c) > Σcents ⟺ c_acctbal > avg), so the
+    // FP-tie hazard of avg-of-doubles never arises; the no-orders
+    // test is an anti join shuffling ids only; the one-row threshold
+    // broadcasts.
+    "q22_global_sales" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey"),
+        (col("c_nationkey") % 10).as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_cents"),
+          count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("tot_cents"))
+    }),
+
     // ---- unpivot (wide → long), the inverse of q_pivot ---------------------
     // Dataset.unpivot is a zero-shuffle narrow op: each input row emits
     // one row per value column inside the scan stage. At 100 TB this is
@@ -1353,6 +1442,53 @@ object RelationalQueries {
              AND l_quantity BETWEEN 10 AND 20)
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)""",
+    "q13_custdist" -> """
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus != 'F'
+        GROUP BY c_custkey) cc
+      GROUP BY c_count""",
+    "q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+    "q17_small_qty" -> """
+      WITH lp AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'),
+      avgq AS (
+        SELECT l_partkey,
+               SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+        FROM lp GROUP BY l_partkey)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+      FROM lp JOIN avgq USING (l_partkey)
+      WHERE l_quantity < 0.2 * avg_qty""",
+    "q22_global_sales" -> """
+      WITH cust AS (
+        SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer),
+      thr AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+               COUNT(*) AS n_pos
+        FROM cust WHERE bal_cents > 0)
+      SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(bal_cents) AS BIGINT) AS tot_cents
+      FROM cust, thr
+      WHERE bal_cents * n_pos > sum_cents
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY cntrycode""",
     "q_unpivot" -> """
       SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
       FROM part
