@@ -962,6 +962,43 @@ object RelationalQueries {
           .cast("double") / lit(7.0)).as("avg_yearly"))
     }),
 
+    // TPC-H Q21 shape — suppliers who alone held up multi-supplier
+    // orders: the textbook form is a DOUBLE correlation (EXISTS another
+    // supplier in the order, NOT EXISTS another LATE supplier in the
+    // order — the oracle states it exactly that way); at scale the
+    // right plan is ONE per-order aggregate instead — n_supps and
+    // n_late_supps per order (two countDistincts over the same
+    // grouping), then "late AND n_supps > 1 AND n_late_supps = 1".
+    // Late = shipped >90 days after order date (the schema's stand-in
+    // for receipt>commit). Self-correlation becomes a single
+    // order-keyed shuffle; no per-row subplan anywhere.
+    "q21_waiting" -> ((s, d) => {
+      val lo = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("is_late"), col("l_suppkey")))
+            .as("n_late_supps"))
+      lo.filter(col("is_late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, "l_orderkey")
+        .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("numwait")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q22 shape — dormant rich customers per country code
     // (c_nationkey % 10 stands in for the phone prefix): the
     // positive-balance average threshold compares in PURE INTEGER
@@ -1474,6 +1511,32 @@ object RelationalQueries {
                / 7.0 AS avg_yearly
       FROM lp JOIN avgq USING (l_partkey)
       WHERE l_quantity < 0.2 * avg_qty""",
+    // Stated in the textbook double-correlated form on purpose: the
+    // Spark side's per-order aggregate must coincide with the EXISTS /
+    // NOT EXISTS semantics exactly (candidate is late; some OTHER
+    // supplier appears in the order; no OTHER supplier is late in it).
+    "q21_waiting" -> """
+      WITH lo AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_name, CAST(SUM(numwait) AS BIGINT) AS numwait FROM (
+        SELECT l_suppkey, COUNT(*) AS numwait FROM (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lo l1
+          WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+            AND EXISTS (SELECT 1 FROM lo l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey != l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lo l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey != l1.l_suppkey
+                              AND l3.l_shipdate > l3.o_orderdate
+                                    + INTERVAL 90 DAY)) cand
+        GROUP BY l_suppkey) per_supp
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name LIMIT 20""",
     "q22_global_sales" -> """
       WITH cust AS (
         SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
