@@ -32,7 +32,13 @@ object Tables {
       // match the other tables' naive parquet timestamps (UTC session).
       df.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
-    } else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    } else {
+      // µs-resolution parquet (timestamp[us], no tz) reads as TIMESTAMP_NTZ;
+      // unix_micros needs LTZ. The session timezone is UTC, so the NTZ→LTZ
+      // cast is a no-op on the underlying microseconds.
+      df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
