@@ -1023,6 +1023,130 @@ object RelationalQueries {
           sum(col("bal_cents")).as("tot_cents"))
     }),
 
+    // TPC-H Q7 shape — bilateral shipping volume between two nations by
+    // year: both dimension legs (supplier→nation, customer→nation) are
+    // pre-FILTERED to the two nations before touching a fact table, so
+    // the join inputs carry only the ~2/25 slice; the supplier leg
+    // broadcasts. The nation-pair disjunction evaluates post-join on
+    // the two small dictionary columns, never on raw keys.
+    "q7_volume_shipping" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 shape — national market share: NATION_2's fraction of
+    // ECONOMY-part revenue sold into ASIA-region customers per order
+    // year. The share divides two EXACT decimal sums cast to double
+    // (identical operands ⇒ identical IEEE quotient); the conditional
+    // numerator is the null-skipping SUM(CASE) in both engines,
+    // COALESCEd for years with no NATION_2 sales. Part and supplier
+    // legs broadcast; the customer-region restriction is applied
+    // before the orders join.
+    "q8_market_share" -> ((s, d) => {
+      val asia = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg((coalesce(
+          sum(when(col("supp_nation") === "NATION_2", col("rev")))
+            .cast("double"), lit(0.0)) /
+          sum(col("rev")).cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q9 shape — product-line profit by supplier nation and
+    // year. The schema has no partsupp, so supply cost stands in as
+    // 0.5·p_retailprice·l_quantity. That makes profit a TRIPLE
+    // product, where Spark's precision-loss decimal widening and
+    // DuckDB's overflow-to-double rules diverge — so the whole
+    // amount computes in PURE INTEGER 10⁻⁴-dollar units
+    // (cents × cents/100 × integer quantity), summed as BIGINT and
+    // divided by 10⁴ once at output: FP-free, engine-independent,
+    // overflow-safe to sf well beyond the harness. Part (name-filtered)
+    // and supplier+nation legs broadcast.
+    "q9_product_profit" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
+          round(col("l_discount") * 100).cast("long").as("disc_cents"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount_e4",
+          col("ext_cents") * (lit(100L) - col("disc_cents")) -
+            col("retail_cents") * col("qty") * 50L)
+        .groupBy(col("nation"), col("o_year"))
+        .agg((sum(col("amount_e4")).cast("double") / 10000.0)
+          .as("sum_profit"))
+    }),
+
     // ---- unpivot (wide → long), the inverse of q_pivot ---------------------
     // Dataset.unpivot is a zero-shuffle narrow op: each input row emits
     // one row per value column inside the scan stage. At 100 TB this is
@@ -1552,6 +1676,58 @@ object RelationalQueries {
       WHERE bal_cents * n_pos > sum_cents
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY cntrycode""",
+    "q7_volume_shipping" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3""",
+    "q8_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             COALESCE(CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1""",
+    "q9_product_profit" -> """
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT) * 50)
+               AS DOUBLE) / 10000.0 AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2""",
     "q_unpivot" -> """
       SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
       FROM part

@@ -125,6 +125,31 @@ object TimeWindowQueries {
       hourly.join(broadcast(med), "event_type")
         .filter(col("cnt") * 2L > col("med") * 3L)
         .select(col("event_type"), col("hour"), col("cnt"), col("med"))
+    }),
+
+    // Per-EVENT session assignment (vs q_session_window's per-session
+    // aggregates): each event gets its user's running session ordinal —
+    // the form you need when session ids must join back onto the raw
+    // stream (attribution, per-session feature extraction). Classic
+    // gaps-and-islands: break when the gap to the previous event is
+    // >= 30 min (matching Spark's half-open session rule), session id
+    // = running sum of breaks. Both windows are user-keyed — state is
+    // one user's events, never corpus-wide — and the default RANGE
+    // frame makes tied timestamps share one cumulative value, so the
+    // assignment is deterministic under arrival-order ties in both
+    // engines.
+    "events_sessionize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("brk",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) >=
+              expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_seq"))
     })
   )
 
@@ -202,6 +227,18 @@ object TimeWindowQueries {
         WHERE cum * 2 >= tot GROUP BY event_type)
       SELECT h.event_type, h.hour, h.cnt, m.med
       FROM hourly h JOIN med m USING (event_type)
-      WHERE h.cnt * 2 > m.med * 3"""
+      WHERE h.cnt * 2 > m.med * 3""",
+    "events_sessionize" -> """
+      WITH marked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT event_id, user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts)
+               AS BIGINT) AS session_seq
+      FROM marked"""
   )
 }
