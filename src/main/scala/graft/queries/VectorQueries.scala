@@ -58,6 +58,7 @@ object VectorQueries {
   private val NQueries = 100
   private val NProbe = 3             // IVF cells probed per query (of 10)
   private val KnnK = 5               // neighbors kept per node in the kNN graph
+  private val PrIters = 3            // fixed PageRank iterations (unrolled in the oracle)
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -408,6 +409,50 @@ object VectorQueries {
         queries("dedup_embedding")(s, d).select(col("da"), col("db")))
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
 
+    // PageRank over the mutual-kNN graph — the graph-centrality signal
+    // of SemDeDup-style curation: high-rank nodes sit in dense
+    // semantic neighborhoods (cluster representatives), low-rank ones
+    // are outliers. Fixed PrIters power iterations, damping 0.85; the
+    // graph is symmetric (mutual edges both ways), so every node has
+    // out-edges — no dangling-mass term — and in-neighbors exist iff
+    // out-neighbors do (inner joins throughout). FP determinism: each
+    // node's incoming contributions fold in SORTED order (the
+    // playbook's bit-identical left-associated sum); every other term
+    // (1/N, r/outdeg, 0.85·S) has identical operands in both engines.
+    // Scale shape: the expensive kNN subtree materializes ONCE
+    // (localCheckpoint; at 100 TB a reliable checkpoint — same
+    // injectable-strategy rationale as Graphs.connectedComponents);
+    // each iteration is one node-keyed join + one aggregation over
+    // the edge list, state one double per node, loop count fixed —
+    // plan depth grows linearly, never exponentially.
+    "vec_knn_pagerank" -> ((s, d) => {
+      val mutual = queries("vec_knn_graph")(s, d).select(col("da"), col("db"))
+      val edges = mutual
+        .unionAll(mutual.select(col("db").as("da"), col("da").as("db")))
+        .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.select(col("src").as("id"))
+        .crossJoin(broadcast(nn))
+        .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(deg, "src")
+          .join(ranks.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst").as("id"),
+            (col("r") / col("outdeg")).as("contrib"))
+        ranks = contrib.groupBy(col("id"))
+          .agg(aggregate(array_sort(collect_list(col("contrib"))),
+            lit(0.0), (a, x) => a + x).as("s"))
+          .crossJoin(broadcast(nn))
+          .select(col("id"),
+            (lit(0.15) / col("n").cast("double") + lit(0.85) * col("s"))
+              .as("r"))
+      }
+      ranks.select(col("id").as("vec_id"), round(col("r"), 6).as("pr"))
+    }),
+
     // Per-label centroid in long form (label, pos, c, n): grouped double
     // addition is made order-independent by summing FIXED-POINT integers
     // (see CentScale) — associative, partial-aggregating, one long of
@@ -529,6 +574,46 @@ object VectorQueries {
       SELECT f.da, f.db, ROUND(f.cos, 6) AS cos_sim
       FROM topk f JOIN topk b ON b.da = f.db AND b.db = f.da
       WHERE f.da < f.db""",
+    // Same mutual-kNN CTEs as vec_knn_graph, then PrIters unrolled
+    // power iterations; the per-node contribution fold is sorted
+    // (bit-identical to the Spark side's array_sort + aggregate).
+    "vec_knn_pagerank" -> {
+      // MATERIALIZED throughout: without it DuckDB inlines every g /
+      // deg / r_{k-1} reference, re-expanding the whole LSH subtree
+      // per iteration — exponential memory, observed OOM.
+      val iters = (1 to PrIters).map { k =>
+        s"""c$k AS MATERIALIZED (
+        SELECT g.dst AS id, r${k - 1}.r / deg.outdeg AS contrib
+        FROM g JOIN r${k - 1} ON g.src = r${k - 1}.id
+        JOIN deg ON g.src = deg.src),
+      r$k AS MATERIALIZED (
+        SELECT c$k.id,
+               0.15 / CAST(nn.n AS DOUBLE) + 0.85 *
+                 list_reduce(list_prepend(0.0, list_sort(list(contrib))),
+                             (a, x) -> a + x) AS r
+        FROM c$k, nn GROUP BY c$k.id, nn.n)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $dedupScoredCtes,
+      kedges AS (SELECT da, db, cos FROM scored
+                 UNION ALL SELECT db AS da, da AS db, cos FROM scored),
+      kranked AS (
+        SELECT da, db,
+               ROW_NUMBER() OVER (PARTITION BY da ORDER BY cos DESC, db) AS rnk
+        FROM kedges),
+      ktopk AS MATERIALIZED (SELECT da, db FROM kranked WHERE rnk <= $KnnK),
+      mutual AS (
+        SELECT f.da, f.db FROM ktopk f
+        JOIN ktopk b ON b.da = f.db AND b.db = f.da
+        WHERE f.da < f.db),
+      g AS MATERIALIZED (SELECT da AS src, db AS dst FROM mutual
+            UNION ALL SELECT db AS src, da AS dst FROM mutual),
+      deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+      nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+      r0 AS MATERIALIZED (SELECT src AS id, 1.0 / CAST(nn.n AS DOUBLE) AS r FROM deg, nn),
+      $iters
+      SELECT id AS vec_id, ROUND(r, 6) AS pr FROM r$PrIters"""
+    },
     "vec_quantize" -> """
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
              CASE WHEN scale > 0

@@ -175,6 +175,18 @@ class VectorSpec extends GraftSpec {
       s"projected norms uncorrelated with input norms (mean displacement $disp)")
   }
 
+  test("pagerank conserves rank mass and stays positive on the mutual-kNN graph") {
+    val d = "/root/testdata/sf0.001"
+    val pr = graft.queries.VectorQueries.queries("vec_knn_pagerank")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.nonEmpty)
+    assert(pr.values.forall(_ > 0.0), "every node holds positive rank")
+    // symmetric graph, no dangling nodes: total rank mass is invariant
+    // at 1.0 across iterations (up to the output rounding)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3 * pr.size,
+      s"rank mass drifted: ${pr.values.sum} over ${pr.size} nodes")
+  }
+
   test("identical vectors share the full signature (near-dup contract)") {
     val w = Array.tabulate(16, 8)((j, i) => ((j * 31 + i * 7) % 11) - 5)
     val v = Seq.tabulate(8)(i => (i * 0.37f) - 1.1f)
