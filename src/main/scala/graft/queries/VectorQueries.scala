@@ -59,6 +59,9 @@ object VectorQueries {
   private val NProbe = 3             // IVF cells probed per query (of 10)
   private val KnnK = 5               // neighbors kept per node in the kNN graph
   private val PrIters = 3            // fixed PageRank iterations (unrolled in the oracle)
+  private val PqM = 8                // PQ subspaces (Dim/PqM dims each)
+  private val PqK = 16               // PQ codewords per subspace
+  private val PqSub = Dim / PqM      // dims per subspace
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -409,6 +412,51 @@ object VectorQueries {
         queries("dedup_embedding")(s, d).select(col("da"), col("db")))
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))),
 
+    // Product quantization — the billion-scale ANN compression step
+    // (IVF-PQ's second stage): each vector splits into PqM subvectors;
+    // each subvector is assigned its nearest of PqK codewords, so the
+    // vector stores as PqM small codes instead of Dim floats. The
+    // codebook is deterministic (the first PqK vectors' quantized
+    // subvectors — the k-means seeding step; real training would
+    // iterate, the assignment algebra is identical) and the whole
+    // operator runs in EXACT integer arithmetic on the int8-quantized
+    // components: L2² distances are bounded by PqSub·254², argmin ties
+    // break on the smaller code id via the ranked-window device.
+    // Scale shape: one narrow scan, the PqM×PqK codebook broadcast,
+    // the per-(vector, subspace) window holds PqK rows of state —
+    // nothing scales beyond N·PqM rows through one keyed window.
+    "vec_pq_codes" -> ((s, d) => {
+      val scaled = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"),
+        aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double")))).as("scale"))
+      val subs = scaled
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("sub_id"),
+          col("embedding"), col("scale"))
+        .select(col("vec_id"), col("sub_id"),
+          transform(
+            slice(col("embedding"), col("sub_id") * PqSub + 1, lit(PqSub)),
+            v => when(col("scale") > 0.0,
+              floor(v.cast("double") / col("scale") * lit(127.0) + lit(0.5))
+                .cast("long")).otherwise(lit(0L))).as("sq"))
+      val codebook = subs.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code_id"), col("sub_id"),
+          col("sq").as("cq"))
+      val ranked = subs
+        .join(broadcast(codebook), "sub_id")
+        .select(col("vec_id"), col("sub_id"), col("code_id"),
+          aggregate(zip_with(col("sq"), col("cq"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub_id"))
+            .orderBy(col("dist"), col("code_id"))))
+      ranked.filter(col("rnk") === 1)
+        .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+          col("code_id").as("code"), col("dist"))
+    }),
+
     // PageRank over the mutual-kNN graph — the graph-centrality signal
     // of SemDeDup-style curation: high-rank nodes sit in dense
     // semantic neighborhoods (cluster representatives), low-rank ones
@@ -574,6 +622,37 @@ object VectorQueries {
       SELECT f.da, f.db, ROUND(f.cos, 6) AS cos_sim
       FROM topk f JOIN topk b ON b.da = f.db AND b.db = f.da
       WHERE f.da < f.db""",
+    // Same quantization arithmetic as vec_quantize, sliced per
+    // subspace; integer L2² folds left-to-right (exact), argmin via
+    // the ranked window with the identical (dist, code_id) tie-break.
+    "vec_pq_codes" -> s"""
+      WITH scaled AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      q AS MATERIALIZED (
+        SELECT vec_id, sub_id,
+               list_transform(range(1, ${PqSub + 1}), i ->
+                 CASE WHEN scale > 0
+                      THEN CAST(FLOOR(CAST(embedding[sub_id * $PqSub + i] AS DOUBLE)
+                                      / scale * 127.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS sq
+        FROM scaled, (SELECT unnest(range(0, $PqM)) AS sub_id) m),
+      cb AS (SELECT vec_id AS code_id, sub_id, sq AS cq FROM q WHERE vec_id < $PqK),
+      dists AS (
+        SELECT q.vec_id, q.sub_id, cb.code_id,
+               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
+                 i -> (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))),
+                 (a, x) -> a + x) AS BIGINT) AS dist
+        FROM q JOIN cb USING (sub_id)),
+      ranked AS (
+        SELECT vec_id, sub_id, code_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code_id) AS rnk
+        FROM dists)
+      SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, code_id AS code, dist
+      FROM ranked WHERE rnk = 1""",
+
     // Same mutual-kNN CTEs as vec_knn_graph, then PrIters unrolled
     // power iterations; the per-node contribution fold is sorted
     // (bit-identical to the Spark side's array_sort + aggregate).

@@ -187,6 +187,20 @@ class VectorSpec extends GraftSpec {
       s"rank mass drifted: ${pr.values.sum} over ${pr.size} nodes")
   }
 
+  test("PQ codes: codebook vectors self-assign at distance zero, codes stay in range") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.VectorQueries.queries("vec_pq_codes")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, sub, code, dist) =>
+      sub >= 0 && sub < 8 && code >= 0 && code < 16 && dist >= 0 })
+    // a vector that IS a codeword is its own nearest codeword, exactly
+    val self = rows.filter(_._1 < 16)
+    assert(self.nonEmpty)
+    assert(self.forall { case (id, _, code, dist) => code == id && dist == 0L },
+      "codebook vectors must self-assign at distance 0")
+  }
+
   test("identical vectors share the full signature (near-dup contract)") {
     val w = Array.tabulate(16, 8)((j, i) => ((j * 31 + i * 7) % 11) - 5)
     val v = Seq.tabulate(8)(i => (i * 0.37f) - 1.1f)
