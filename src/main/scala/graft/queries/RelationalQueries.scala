@@ -1023,6 +1023,127 @@ object RelationalQueries {
           sum(col("bal_cents")).as("tot_cents"))
     }),
 
+    // TPC-H Q2 shape — min-cost supplier per part in a region. The
+    // schema has no partsupp, so the part↔supplier relation derives
+    // from lineitem (DISTINCT pairs — who actually supplied what) and
+    // s_acctbal stands in for ps_supplycost, compared in EXACT integer
+    // cents. The correlated "cost = (SELECT MIN ...)" decorrelates to
+    // ONE per-part aggregate joined back on equality (ties keep every
+    // min-cost supplier, as in the spec); the final ORDER BY carries
+    // unique keys so the LIMIT is deterministic. Region-filtered
+    // supplier and filtered part legs broadcast.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val euSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("cost_cents"))
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey")).distinct()
+      val parts = Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand"))
+      val cand = ps
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+      val minc = cand.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("min_cents"))
+      cand.join(minc, col("p_partkey") === col("mk") &&
+          col("cost_cents") === col("min_cents"))
+        .select((col("cost_cents").cast("double") / 100.0).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape — important stock values: per-part value held by
+    // one nation's suppliers, kept when it exceeds 1/1000 of that
+    // scope's total. Value computes in integer 10⁻⁴-dollar units
+    // (ext_cents·(100−disc_cents)), the global total is a one-row
+    // aggregate broadcast back (scalar-subquery decorrelation — the
+    // scan runs once), and the fraction test is the pure-integer form
+    // v·1000 > total. partsupp stands in as lineitem rows directly.
+    "q11_important_stock" -> ((s, d) => {
+      val nat3 = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val byPart = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("val_e4"))
+        .join(broadcast(nat3), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(col("val_e4")).as("v"))
+      val tot = byPart.agg(sum(col("v")).as("t"))
+      byPart.crossJoin(broadcast(tot))
+        .filter(col("v") * 1000L > col("t"))
+        .select(col("ps_partkey"),
+          (col("v").cast("double") / 10000.0).as("value"))
+    }),
+
+    // TPC-H Q16 shape — supplier count per (brand, type, size) for
+    // qualifying parts, excluding complained-about suppliers (acctbal
+    // < 0 stands in for the comment filter). The exclusion is the
+    // textbook NOT IN — a broadcast anti join over a tiny filtered
+    // scan — and the count is DISTINCT suppliers per group (the
+    // Expand-based distinct aggregate). The part↔supplier relation
+    // again derives from DISTINCT lineitem pairs.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey")).distinct()
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape — excess-stock suppliers: NATION_4 suppliers
+    // holding more than twice the demand of some 'small%' part —
+    // stock on hand stands in as the pair's 1995 shipments, demand as
+    // its 1996 shipments (avail > 0.5·demand ⟺ 2·q95 > q96, pure
+    // integers; the original's availqty has no derivable superset-free
+    // twin, and a superset would satisfy the inequality vacuously).
+    // The textbook nested IN(IN(...)) decorrelates to one pair-keyed
+    // aggregate and two semi joins; the part filter broadcasts.
+    "q20_excess_stock" -> ((s, d) => {
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+      val pairs = Tables.lineitem(s, d)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1995,
+            round(col("l_quantity")).cast("long")).otherwise(0L)).as("q95"),
+          sum(when(year(col("l_shipdate")) === 1996,
+            round(col("l_quantity")).cast("long")).otherwise(0L)).as("q96"))
+        .filter(col("q95") * 2L > col("q96"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_4").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // TPC-H Q7 shape — bilateral shipping volume between two nations by
     // year: both dimension legs (supplier→nation, customer→nation) are
     // pre-FILTERED to the two nations before touching a fact table, so
@@ -1676,6 +1797,70 @@ object RelationalQueries {
       WHERE bal_cents * n_pos > sum_cents
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY cntrycode""",
+    // Stated in the textbook correlated-MIN form on purpose: the Spark
+    // side's per-part aggregate + equality join must coincide with it.
+    "q2_min_cost_supplier" -> """
+      WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                         l_suppkey AS ps_suppkey FROM lineitem),
+      eu AS (
+        SELECT s_suppkey, s_name, n_name,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cost_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      cand AS (
+        SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+        FROM part JOIN ps ON p_partkey = ps_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'LARGE')
+      SELECT CAST(cost_cents AS DOUBLE) / 100.0 AS s_acctbal,
+             s_name, n_name, p_partkey, p_brand
+      FROM cand c
+      WHERE cost_cents = (SELECT MIN(cost_cents) FROM cand c2
+                          WHERE c2.p_partkey = c.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q11_important_stock" -> """
+      WITH byp AS (
+        SELECT l_partkey AS ps_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS v
+        FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        GROUP BY 1)
+      SELECT ps_partkey, CAST(v AS DOUBLE) / 10000.0 AS value
+      FROM byp
+      WHERE v * 1000 > (SELECT SUM(v) FROM byp)""",
+    "q16_supplier_cnt" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                   l_suppkey AS ps_suppkey FROM lineitem) ps
+      JOIN part ON ps_partkey = p_partkey
+      WHERE p_brand != 'Brand#5' AND p_type != 'MEDIUM'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3""",
+    // Textbook nested-IN form: supplier IN (pairs with excess stock),
+    // part IN (name-filtered parts).
+    "q20_excess_stock" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_4'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CASE WHEN year(l_shipdate) = 1995
+                       THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS q95,
+                   SUM(CASE WHEN year(l_shipdate) = 1996
+                       THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS q96
+            FROM lineitem
+            WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY 1, 2) t
+          WHERE q95 * 2 > q96)""",
     "q7_volume_shipping" -> """
       SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
