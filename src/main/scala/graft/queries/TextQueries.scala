@@ -292,6 +292,53 @@ object TextQueries {
           expr(QualityExpr).as("quality_ppm"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021, §A1.1) adapted to this
+    // corpus's scale: word-count bounds, mean-word-length bounds
+    // (stated as the pure-integer 3n ≤ Σlen ≤ 10n — never a float
+    // mean), minimum alphabetic-word fraction (5·alpha ≥ 4·n), and a
+    // ≥2-distinct-stopword floor. Every signal is an integer computed
+    // in ONE narrow scan over the materialized word array; the pass
+    // verdict is a boolean column so downstream filters compose
+    // without re-deriving signals. The published rule set's repetition
+    // filters live separately in docs_repetition.
+    "text_gopher_rules" -> ((s, d) => {
+      val w = col("w")
+      docWords(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("word_chars"),
+        size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(array_intersect(array_distinct(w),
+          array(StopWords.map(lit): _*))).cast("long").as("stop_hits"))
+        .withColumn("passes",
+          col("n_words") >= 20 && col("n_words") <= 100000 &&
+            col("word_chars") >= col("n_words") * 3L &&
+            col("word_chars") <= col("n_words") * 10L &&
+            col("alpha_words") * 5L >= col("n_words") * 4L &&
+            col("stop_hits") >= 2L)
+    }),
+
+    // Containment near-dup — the asymmetric case Jaccard misses: a
+    // small document embedded in a larger one (boilerplate wrapping,
+    // quote-and-extend) has high containment |A∩B|/min(|A|,|B|) but
+    // low Jaccard. Same DF-capped shingle space and single-pass
+    // pair-count shape as dedup_ngram_jaccard (Σ df² ≤ |vocab|·K²
+    // bound unchanged); the threshold is the pure-integer
+    // 5·inter ≥ 4·min(na, nb) (containment ≥ 0.8 of the smaller set).
+    "dedup_containment" -> ((s, d) => {
+      val sh = cappedShingleIds(s, d).localCheckpoint()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("da"), col("sid"))
+      val b = sh.select(col("doc_id").as("db"), col("sid"))
+      a.join(b, Seq("sid")).filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+        .filter(col("inter") * 5L >= least(col("na"), col("nb")) * 4L)
+        .select(col("da"), col("db"),
+          expr("(1000000 * inter) div least(na, nb)").as("containment_ppm"))
+    }),
+
     // Language ID: marker-word (stopword-list) scoring, argmax with a
     // fixed precedence tie-break — the classic n-gram/stopword heuristic.
     "text_langid" -> ((s, d) => {
@@ -1036,6 +1083,43 @@ object TextQueries {
       SELECT s.doc_id, s.source, s.quality_ppm
       FROM scored s JOIN thr t USING (source)
       WHERE s.quality_ppm >= t.thr""",
+    "text_gopher_rules" -> s"""
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+               AS BIGINT) AS word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS alpha_words,
+             CAST(len(list_intersect(list_distinct(w),
+               [${StopWords.map(w => s"'$w'").mkString(", ")}]))
+               AS BIGINT) AS stop_hits,
+             (len(w) >= 20 AND len(w) <= 100000
+              AND list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                    >= len(w) * 3
+              AND list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                    <= len(w) * 10
+              AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 5
+                    >= len(w) * 4
+              AND len(list_intersect(list_distinct(w),
+                    [${StopWords.map(w => s"'$w'").mkString(", ")}])) >= 2)
+               AS passes
+      FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
+    "dedup_containment" -> s"""
+      WITH $shinglesCte,
+      capped AS (
+        SELECT doc_id, sh FROM shing WHERE sh IN (
+          SELECT sh FROM shing GROUP BY sh HAVING COUNT(*) <= $DfCapK)),
+      sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM capped GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.da, i.db,
+             CAST((1000000 * i.inter) // least(a.nsh, b.nsh) AS BIGINT)
+               AS containment_ppm
+      FROM inter i
+      JOIN sizes a ON a.doc_id = i.da
+      JOIN sizes b ON b.doc_id = i.db
+      WHERE i.inter * 5 >= least(a.nsh, b.nsh) * 4""",
     // Same absolute DfCapK cap as the Spark plan — feature space and
     // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
