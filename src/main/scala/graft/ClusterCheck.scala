@@ -58,12 +58,17 @@ object ClusterCheck {
     * when the state store lives in executor JVMs;
     * stream_dedup_incremental adds the stream-STATIC join — the static
     * side is planned per micro-batch, so under a cluster master its
-    * scan + the anti-join run in executor JVMs every batch).
+    * scan + the anti-join run in executor JVMs every batch;
+    * vec_knn_pagerank adds driver-controlled ITERATION with per-round
+    * localCheckpoint — checkpoint blocks live on executor block
+    * managers under a cluster master, so each round's lineage
+    * truncation and re-read crosses JVM boundaries).
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
-    "stream_dedup_chunks_wm_evict", "stream_dedup_incremental")
+    "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
+    "vec_knn_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
