@@ -20,8 +20,30 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEvents(df) else df
+    if (name == "events") normalizeTemporal(normalizeEvents(df))
+    else normalizeTemporal(df)
   }
+
+  /** Generator-drift armor for the non-events tables (the round-8
+    * lesson generalized): temporal columns normalize to TIMESTAMP_NTZ
+    * whatever storage form they arrive in — DATE (midnight), LTZ
+    * timestamp (micros unchanged under the UTC session), or the NTZ
+    * they carry today — and BINARY text columns decode to STRING (the
+    * corpus is ASCII; byte-identical). Value-preserving by
+    * construction, so oracle parity is unaffected; what it buys is
+    * that a generator type shift can never again fail 20 queries at
+    * analysis. TablesSpec pins each drift form.
+    */
+  private[graft] def normalizeTemporal(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType.typeName match {
+        case "date" | "timestamp" =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case "binary" =>
+          acc.withColumn(f.name, col(f.name).cast("string"))
+        case _ => acc
+      }
+    }
 
   /** events with `ts` as a proper µs TimestampType plus `ts_ns` raw nanos. */
   private[graft] def normalizeEvents(df: DataFrame): DataFrame = {

@@ -54,6 +54,38 @@ class TablesSpec extends GraftSpec {
     assert(row.getLong(1) === micros * 1000L)
   }
 
+  test("temporal armor: DATE and LTZ storage forms normalize to NTZ, binary text to string") {
+    val dir = tmpDir("drift")
+    // a future generator could ship dates as DATE, timestamps as LTZ,
+    // or text as BLOB — all value-preserving forms of today's schema
+    Seq((1L, micros)).toDF("k", "us")
+      .select(col("k"),
+        timestamp_micros(col("us")).cast("date").as("d"),
+        timestamp_micros(col("us")).as("t"),
+        lit("hello world").cast("binary").as("txt"))
+      .write.mode("overwrite").parquet(dir)
+    val out = Tables.normalizeTemporal(spark.read.parquet(dir))
+    assert(out.schema("d").dataType === TimestampNTZType)
+    assert(out.schema("t").dataType === TimestampNTZType)
+    assert(out.schema("txt").dataType.typeName === "string")
+    val row = out.select(
+      unix_micros(col("d").cast("timestamp")),
+      unix_micros(col("t").cast("timestamp")), col("txt")).head()
+    assert(row.getLong(0) === 1709251200000000L) // midnight of that day
+    assert(row.getLong(1) === micros)
+    assert(row.getString(2) === "hello world")
+  }
+
+  test("every shipped table loads free of LTZ/date/binary columns (canonical types)") {
+    for (n <- Tables.names) {
+      val df = Tables.load(spark, "/root/testdata/sf0.001", n)
+      val offenders = df.schema.fields.filter(f =>
+        Set("date", "timestamp", "binary").contains(f.dataType.typeName))
+      assert(offenders.isEmpty,
+        s"$n carries non-canonical columns: ${offenders.map(_.name).mkString(",")}")
+    }
+  }
+
   test("the shipped testdata events table loads and the ts_ns/ts pair agree") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType === TimestampNTZType)
