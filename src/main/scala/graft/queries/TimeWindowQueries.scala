@@ -127,6 +127,41 @@ object TimeWindowQueries {
         .select(col("event_type"), col("hour"), col("cnt"), col("med"))
     }),
 
+    // Count-min-sketch heavy hitters — the bounded-state frequency
+    // sketch (complement of q_kmv_distinct's cardinality sketch): 4
+    // depths × 2048 buckets of pure-integer counters, est(u) = min over
+    // depths of its bucket counter, report users with est ≥ 80. The
+    // sketch is exactly mergeable (counter addition), so the counter
+    // build is ONE partial-aggregating groupBy over ≤ 4·2048 keys —
+    // constant state at any corpus size; the probe side joins the
+    // tiny broadcast sketch. Width 2048 at 1500 bench-scale users:
+    // single-depth collisions occur (the overestimation path is real)
+    // but the min-over-depths rescue keeps the estimate discriminative
+    // — and both engines compute the identical sketch, so the estimate
+    // itself is oracle-exact.
+    "events_heavy_hitters" -> ((s, d) => {
+      val D = 4
+      val A = Seq(31L, 37L, 41L, 43L)
+      val B = Seq(7L, 11L, 13L, 17L)
+      def bkt(u: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column) = {
+        val a = element_at(array(A.map(lit): _*), dd + 1)
+        val b = element_at(array(B.map(lit): _*), dd + 1)
+        ((u * a + b) % 1000000007L) % 2048L
+      }
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val sketch = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
+        .select(col("dd"), bkt(col("user_id"), col("dd")).as("bkt"))
+        .groupBy(col("dd"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      ev.distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
+        .select(col("user_id"), col("dd"),
+          bkt(col("user_id"), col("dd")).as("bkt"))
+        .join(broadcast(sketch), Seq("dd", "bkt"))
+        .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
+        .filter(col("est") >= 80L)
+    }),
+
     // Per-EVENT session assignment (vs q_session_window's per-session
     // aggregates): each event gets its user's running session ordinal —
     // the form you need when session ids must join back onto the raw
@@ -228,6 +263,29 @@ object TimeWindowQueries {
       SELECT h.event_type, h.hour, h.cnt, m.med
       FROM hourly h JOIN med m USING (event_type)
       WHERE h.cnt * 2 > m.med * 3""",
+    "events_heavy_hitters" -> """
+      WITH hashes AS (
+        SELECT user_id, dd,
+               ((user_id * (CASE dd WHEN 0 THEN 31 WHEN 1 THEN 37
+                                    WHEN 2 THEN 41 ELSE 43 END)
+                 + (CASE dd WHEN 0 THEN 7 WHEN 1 THEN 11
+                            WHEN 2 THEN 13 ELSE 17 END))
+                % 1000000007) % 2048 AS bkt
+        FROM events, (SELECT unnest(range(0, 4)) AS dd) t),
+      sketch AS (
+        SELECT dd, bkt, COUNT(*) AS cnt FROM hashes GROUP BY dd, bkt),
+      probes AS (
+        SELECT DISTINCT user_id, dd,
+               ((user_id * (CASE dd WHEN 0 THEN 31 WHEN 1 THEN 37
+                                    WHEN 2 THEN 41 ELSE 43 END)
+                 + (CASE dd WHEN 0 THEN 7 WHEN 1 THEN 11
+                            WHEN 2 THEN 13 ELSE 17 END))
+                % 1000000007) % 2048 AS bkt
+        FROM events, (SELECT unnest(range(0, 4)) AS dd) t)
+      SELECT p.user_id, CAST(MIN(s.cnt) AS BIGINT) AS est
+      FROM probes p JOIN sketch s ON s.dd = p.dd AND s.bkt = p.bkt
+      GROUP BY p.user_id
+      HAVING MIN(s.cnt) >= 80""",
     "events_sessionize" -> """
       WITH marked AS (
         SELECT event_id, user_id, ts,
