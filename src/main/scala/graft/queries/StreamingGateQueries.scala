@@ -298,6 +298,21 @@ object StreamingGateQueries {
           .agg(count(lit(1)).as("cnt")))
     }),
 
+    // Count-min sketch as STREAMING state: the counter matrix is a
+    // plain streaming count aggregation — ≤ 4·2048 keys of state no
+    // matter how many events flow (the sketch IS the bounded-state
+    // design), exactly mergeable across micro-batches because counter
+    // addition is associative. Estimation (probe + min-over-depths +
+    // threshold) is a batch post-pass over the tiny built sketch —
+    // same shared pieces as events_heavy_hitters, same oracle.
+    "stream_events_heavy_hitters" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val sketch = runStream(s, s"$d/events.parquet", Tables.normalizeEvents,
+        df => TimeWindowQueries.cmsCounters(df))
+      TimeWindowQueries.cmsEstimate(sketch,
+        Tables.events(s, d).select(col("user_id")))
+    }),
+
     // The reference's A1 fidelity contract, driver-gated: an emission
     // on EVERY increment (rainstorm/server.go:344-355), not one row per
     // micro-batch — flatMapGroupsWithState in Update mode. Which input
@@ -704,6 +719,11 @@ object StreamingGateQueries {
   val oracle: Map[String, String] = Map(
     "stream_count_by_key" ->
       "SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    // Streaming ≡ batch for the sketch: counter addition is
+    // associative, so the micro-batched build equals the one-pass
+    // batch build — the oracle is events_heavy_hitters' verbatim.
+    "stream_events_heavy_hitters" ->
+      TimeWindowQueries.oracle("events_heavy_hitters"),
     // Streaming ≡ batch for the composite: the emitted (split,
     // chunk_fp) set equals DISTINCT over the batch composition of the
     // same shared stages (curation gate CTEs → chunks over kept docs

@@ -19,6 +19,40 @@ import graft.Tables
   */
 object TimeWindowQueries {
 
+  // Count-min sketch pieces, shared with the streaming gate (the
+  // counter build is the streaming-stateful half; estimation is a
+  // batch post-pass over the tiny sketch).
+  private val CmsD = 4
+  private val CmsA = Seq(31L, 37L, 41L, 43L)
+  private val CmsB = Seq(7L, 11L, 13L, 17L)
+
+  private[queries] def cmsBkt(u: org.apache.spark.sql.Column,
+                              dd: org.apache.spark.sql.Column) = {
+    val a = element_at(array(CmsA.map(lit): _*), dd + 1)
+    val b = element_at(array(CmsB.map(lit): _*), dd + 1)
+    ((u * a + b) % 1000000007L) % 2048L
+  }
+
+  /** (dd, bkt, cnt) counter matrix — ≤ CmsD·2048 rows; the groupBy is
+    * streaming-legal (plain count, no window, no distinct).
+    */
+  private[queries] def cmsCounters(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("dd"))
+      .select(col("dd"), cmsBkt(col("user_id"), col("dd")).as("bkt"))
+      .groupBy(col("dd"), col("bkt")).agg(count(lit(1)).as("cnt"))
+
+  /** Probe + min-over-depths + threshold over a built counter matrix. */
+  private[queries] def cmsEstimate(sketch: DataFrame, ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("dd"))
+      .select(col("user_id"), col("dd"),
+        cmsBkt(col("user_id"), col("dd")).as("bkt"))
+      .join(broadcast(sketch), Seq("dd", "bkt"))
+      .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
+      .filter(col("est") >= 80L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour windows per event_type: partial-aggregated hash
@@ -140,26 +174,8 @@ object TimeWindowQueries {
     // — and both engines compute the identical sketch, so the estimate
     // itself is oracle-exact.
     "events_heavy_hitters" -> ((s, d) => {
-      val D = 4
-      val A = Seq(31L, 37L, 41L, 43L)
-      val B = Seq(7L, 11L, 13L, 17L)
-      def bkt(u: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column) = {
-        val a = element_at(array(A.map(lit): _*), dd + 1)
-        val b = element_at(array(B.map(lit): _*), dd + 1)
-        ((u * a + b) % 1000000007L) % 2048L
-      }
       val ev = Tables.events(s, d).select(col("user_id"))
-      val sketch = ev
-        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
-        .select(col("dd"), bkt(col("user_id"), col("dd")).as("bkt"))
-        .groupBy(col("dd"), col("bkt")).agg(count(lit(1)).as("cnt"))
-      ev.distinct()
-        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("dd"))
-        .select(col("user_id"), col("dd"),
-          bkt(col("user_id"), col("dd")).as("bkt"))
-        .join(broadcast(sketch), Seq("dd", "bkt"))
-        .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
-        .filter(col("est") >= 80L)
+      cmsEstimate(cmsCounters(ev), ev)
     }),
 
     // Per-EVENT session assignment (vs q_session_window's per-session
