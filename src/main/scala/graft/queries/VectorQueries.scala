@@ -157,16 +157,8 @@ object VectorQueries {
     * (VectorSpec pins the improvement).
     */
   private def pqCodebook(subs: DataFrame): DataFrame = {
-    val cb0 = pqSeedCodebook(subs)
-    val assign0 = subs
-      .join(broadcast(cb0), "sub_id")
-      .select(col("vec_id"), col("sub_id"), col("code_id"),
-        pqL2(col("sq"), col("cq")).as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub_id"))
-          .orderBy(col("dist"), col("code_id"))))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("sub_id"), col("code_id"))
+    val assign0 = pqAssign(subs, pqSeedCodebook(subs))
+      .select(col("vec_id"), col("sub_id"), col("code").as("code_id"))
     assign0.join(subs, Seq("vec_id", "sub_id"))
       .select(col("sub_id"), col("code_id"),
         posexplode(col("sq")).as(Seq("pos", "v")))
@@ -182,6 +174,20 @@ object VectorQueries {
   private[graft] def pqL2(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-codeword assignment: (vec_id, sub_id, code, dist), ties
+    * to the smaller code id via the ranked window.
+    */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub_id")
+      .select(col("vec_id"), col("sub_id"), col("code_id"),
+        pqL2(col("sq"), col("cq")).as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub_id"))
+          .orderBy(col("dist"), col("code_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("sub_id"), col("code_id").as("code"),
+        col("dist"))
 
   /** Multi-probe ANN candidate pairs (qid, nn_id), distinct.
     *
@@ -538,17 +544,10 @@ object VectorQueries {
     // the per-(vector, subspace) window holds PqK rows of state —
     // nothing scales beyond N·PqM rows through one keyed window.
     "vec_pq_codes" -> ((s, d) => {
-      val subs = pqSubs(s, d)
-      val ranked = subs
-        .join(broadcast(pqCodebook(subs)), "sub_id")
-        .select(col("vec_id"), col("sub_id"), col("code_id"),
-          pqL2(col("sq"), col("cq")).as("dist"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub_id"))
-            .orderBy(col("dist"), col("code_id"))))
-      ranked.filter(col("rnk") === 1)
+      val subs = pqSubs(s, d).localCheckpoint()
+      pqAssign(subs, pqCodebook(subs))
         .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
-          col("code_id").as("code"), col("dist"))
+          col("code"), col("dist"))
     }),
 
     // ADC search over the PQ codes — the query shape of billion-scale
@@ -564,12 +563,19 @@ object VectorQueries {
     // error relative to true distances is inherent to PQ, not to the
     // engines, so the result is oracle-exact.
     "ann_pq_adc_topk" -> ((s, d) => {
-      val subs = pqSubs(s, d)
-      val codes = queries("vec_pq_codes")(s, d)
+      // ONE materialized subvector scan feeds the code assignment, the
+      // codebook training, and the query LUT (five references
+      // otherwise — at 100 TB each re-reads the embeddings table).
+      // localCheckpoint, not cache(): freed by the ContextCleaner when
+      // the frame goes out of scope (the established jaccard/minhash
+      // hygiene).
+      val subs = pqSubs(s, d).localCheckpoint()
+      val cb = pqCodebook(subs).localCheckpoint()
+      val codes = pqAssign(subs, cb)
         .select(col("vec_id"), col("sub_id"), col("code"))
       val lut = subs.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
-        .join(broadcast(pqCodebook(subs)), "sub_id")
+        .join(broadcast(cb), "sub_id")
         .select(col("qid"), col("sub_id"), col("code_id").as("code"),
           pqL2(col("sq"), col("cq")).as("d2"))
       codes.join(broadcast(lut), Seq("sub_id", "code"))
