@@ -62,13 +62,18 @@ object ClusterCheck {
     * vec_knn_pagerank adds driver-controlled ITERATION with per-round
     * localCheckpoint — checkpoint blocks live on executor block
     * managers under a cluster master, so each round's lineage
-    * truncation and re-read crosses JVM boundaries).
+    * truncation and re-read crosses JVM boundaries;
+    * ann_pq_adc_topk adds the shared-subtree shape: two chained
+    * localCheckpoints (subvectors, trained codebook) each read by
+    * multiple downstream joins plus a broadcast LUT built FROM a
+    * checkpointed frame — block re-reads and broadcast construction
+    * both cross JVM boundaries).
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
-    "vec_knn_pagerank")
+    "vec_knn_pagerank", "ann_pq_adc_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
