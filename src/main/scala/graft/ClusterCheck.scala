@@ -59,10 +59,11 @@ object ClusterCheck {
     * stream_dedup_incremental adds the stream-STATIC join — the static
     * side is planned per micro-batch, so under a cluster master its
     * scan + the anti-join run in executor JVMs every batch;
-    * vec_knn_pagerank adds driver-controlled ITERATION with per-round
-    * localCheckpoint — checkpoint blocks live on executor block
-    * managers under a cluster master, so each round's lineage
-    * truncation and re-read crosses JVM boundaries;
+    * vec_knn_pagerank adds driver-controlled ITERATION over a
+    * checkpointed edge list — the edges localCheckpoint ONCE before
+    * the loop and every round re-reads those blocks, which live on
+    * executor block managers under a cluster master, so each round's
+    * block re-read crosses JVM boundaries;
     * ann_pq_adc_topk adds the shared-subtree shape: two chained
     * localCheckpoints (subvectors, trained codebook) each read by
     * multiple downstream joins plus a broadcast LUT built FROM a

@@ -30,9 +30,16 @@ object Tables {
     * timestamp (micros unchanged under the UTC session), or the NTZ
     * they carry today — and BINARY text columns decode to STRING (the
     * corpus is ASCII; byte-identical). Value-preserving by
-    * construction, so oracle parity is unaffected; what it buys is
-    * that a generator type shift can never again fail 20 queries at
-    * analysis. TablesSpec pins each drift form.
+    * construction, so oracle parity is unaffected FOR TODAY'S
+    * already-canonical data; what it buys is that a generator type
+    * shift can never again fail 20 queries at analysis.
+    * Scope note: this armor is Spark-side only. The DuckDB oracle
+    * reads the raw parquet, so an actual future storage shift would
+    * surface as an oracle-side type/schema mismatch — LOUDLY, as
+    * per-query errors in the correctness artifact, not as the silent
+    * analysis-failure shrink this closes (and tools/check_oracle.py
+    * applies the matching canonicalization on its side). TablesSpec
+    * pins each drift form.
     */
   private[graft] def normalizeTemporal(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>

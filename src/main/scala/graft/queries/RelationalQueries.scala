@@ -1116,7 +1116,7 @@ object RelationalQueries {
     }),
 
     // TPC-H Q20 shape — excess-stock suppliers: NATION_4 suppliers
-    // holding more than twice the demand of some 'small%' part —
+    // holding more than half the demand of some 'small%' part —
     // stock on hand stands in as the pair's 1995 shipments, demand as
     // its 1996 shipments (avail > 0.5·demand ⟺ 2·q95 > q96, pure
     // integers; the original's availqty has no derivable superset-free

@@ -62,6 +62,23 @@ object VectorQueries {
   private val PqM = 8                // PQ subspaces (Dim/PqM dims each)
   private val PqK = 16               // PQ codewords per subspace
   private val PqSub = Dim / PqM      // dims per subspace
+  /** Lloyd training rounds for the PQ codebook — the training knob
+    * (constructor default here, mirrored into the oracle by
+    * `pqCtesSql(rounds)`, so both engines always train identically).
+    * Measured on the sf0.01 corpus (recorded round 10): total assigned
+    * distortion falls monotonically with rounds (59.2M seed → 47.8M →
+    * 45.7M → 44.7M; non-increase spec-pinned), but ADC recall@3 vs the
+    * exact quantized-L2 ranking does NOT improve past one round
+    * (rounds 0..3 → 0.107, 0.130, 0.113, 0.113): with PqK=16
+    * codewords over 8-dim subspaces the family is recall-bound by
+    * CODEBOOK SIZE, not by training convergence — extra rounds move
+    * centroids toward cluster means without changing which coarse
+    * cells confusable neighbors land in. So 1 round stays the
+    * default; the knob exists for larger-codebook configs (real
+    * systems train PqK=256 to convergence offline) and for the
+    * monotonicity spec to exercise.
+    */
+  private[graft] val PqRounds = 1
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -144,30 +161,48 @@ object VectorQueries {
     subs.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("code_id"), col("sub_id"), col("sq").as("cq"))
 
-  /** One Lloyd refinement round over the seed codebook — assign every
-    * subvector to its nearest seed codeword, recompute each codeword
-    * as the integer-floored per-dimension mean of its members. All
-    * exact: the mean floors via FLOOR(double-sum / n) on BOTH engines
-    * (long `div` truncates toward zero while DuckDB `//` floors, so
-    * negative sums would diverge under native integer division — the
-    * double detour is exact for these magnitudes and floors
-    * identically). No cluster empties: each seed self-assigns at
-    * distance 0, so every codeword keeps ≥ 1 member. Measured on the
-    * shipped corpus: total assigned distortion falls ~18%
-    * (VectorSpec pins the improvement).
+  /** Lloyd-trained codebook: `rounds` refinement rounds over the seed
+    * codebook — each round assigns every subvector to its nearest
+    * codeword, then recomputes each codeword as the integer-floored
+    * per-dimension mean of its members. All exact: the mean floors via
+    * FLOOR(double-sum / n) on BOTH engines (long `div` truncates
+    * toward zero while DuckDB `//` floors, so negative sums would
+    * diverge under native integer division — the double detour is
+    * exact for these magnitudes and floors identically).
+    * EMPTY CODEWORDS ARE PRESERVED: a codeword that attracts no
+    * members (possible from round 2 on — the updated codebook no
+    * longer self-assigns its seeds at distance 0 — and in round 1 iff
+    * two seed subvectors are identical in a subspace) keeps its
+    * previous centroid via the left-join + coalesce, so the codebook
+    * shape is PqM×PqK invariant at any round count. Each round's
+    * 128-row codebook localCheckpoints — plan depth stays linear in
+    * `rounds` and the corpus-side assignment subtree is never
+    * re-derived transitively. Measured on the shipped corpus: one
+    * round drops total assigned distortion ~18%; VectorSpec pins
+    * non-increase per round through rounds=3.
     */
-  private def pqCodebook(subs: DataFrame): DataFrame = {
-    val assign0 = pqAssign(subs, pqSeedCodebook(subs))
-      .select(col("vec_id"), col("sub_id"), col("code").as("code_id"))
-    assign0.join(subs, Seq("vec_id", "sub_id"))
-      .select(col("sub_id"), col("code_id"),
-        posexplode(col("sq")).as(Seq("pos", "v")))
-      .groupBy(col("sub_id"), col("code_id"), col("pos"))
-      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long")
-        .as("c"))
-      .groupBy(col("sub_id"), col("code_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        e => e.getField("c")).as("cq"))
+  private[graft] def pqCodebook(subs: DataFrame,
+                                rounds: Int = PqRounds): DataFrame = {
+    var cb = pqSeedCodebook(subs)
+    for (_ <- 1 to rounds) {
+      val assign = pqAssign(subs, cb)
+        .select(col("vec_id"), col("sub_id"), col("code").as("code_id"))
+      val means = assign.join(subs, Seq("vec_id", "sub_id"))
+        .select(col("sub_id"), col("code_id"),
+          posexplode(col("sq")).as(Seq("pos", "v")))
+        .groupBy(col("sub_id"), col("code_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long")
+          .as("c"))
+        .groupBy(col("sub_id"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("mq"))
+      cb = cb.select(col("sub_id"), col("code_id"), col("cq").as("prev_cq"))
+        .join(means, Seq("sub_id", "code_id"), "left")
+        .select(col("sub_id"), col("code_id"),
+          coalesce(col("mq"), col("prev_cq")).as("cq"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** Exact integer subspace L2² — left-to-right fold, engine-portable. */
@@ -188,6 +223,48 @@ object VectorQueries {
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("sub_id"), col("code_id").as("code"),
         col("dist"))
+
+  /** The IVF coarse quantizer's centroid table (clabel, carr) — exact
+    * per-label mean vectors via fixed-point integer sums (CentScale).
+    * Centroid build: ONE groupBy(label) with 64 bounded-state sum
+    * columns — no explode (no 64x row blow-up), no per-group buffer;
+    * per-group state is 64 longs + a count regardless of corpus size.
+    * localCheckpointed: the 10-row centroid table — the corpus
+    * aggregate behind it runs ONCE even though multiple consumers
+    * broadcast it. (A 10-row materialization is free at any scale; a
+    * corpus-sized one is not.) localCheckpoint rather than cache()
+    * keeps the repo's cache-hygiene invariant — NO bare cache() in any
+    * query path — so long-lived sessions never accumulate CacheManager
+    * entries; the ContextCleaner frees the blocks once the frame is
+    * unreachable.
+    */
+  private def ivfCentroids(e: DataFrame): DataFrame = {
+    val sums = e.groupBy(col("label")).agg(
+      count(lit(1)).as("n"),
+      (0 until Dim).map(i =>
+        sum(floor(element_at(col("embedding"), i + 1).cast("double")
+          * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
+    sums.select(col("label").as("clabel"),
+      array((0 until Dim).map(i =>
+        col(s"c$i").cast("double")
+          / (col("n") * lit(CentScale)).cast("double")): _*).as("carr"))
+      .localCheckpoint()
+  }
+
+  /** Index-ordered centroid-dot: fold of carr[i] * (double)v[i] —
+    * engine-portable (mirrored in the oracle's list_reduce).
+    */
+  private def cdot(c: Column, v: Column): Column =
+    aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
+      lit(0.0), (a, x) => a + x)
+
+  /** Every (vector, cell) centroid score — a narrow scan × broadcast
+    * with no exchange; consumers derive cell assignment (bounded-state
+    * max_by) and query probe lists (post-filter rank window) from it.
+    */
+  private def ivfScoredCells(e: DataFrame, carr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(carr))
+      .withColumn("adot", cdot(col("carr"), col("embedding")))
 
   /** Multi-probe ANN candidate pairs (qid, nn_id), distinct.
     *
@@ -216,11 +293,43 @@ object VectorQueries {
 
   // ---- Oracle-side SQL generators (same constants, same order) ----
 
-  /** Shared PQ CTEs: quantized subvectors (q), codebook (cb), all
-    * codeword distances (pqdists), ranked assignment (pqranked) —
-    * vec_pq_codes and ann_pq_adc_topk both close over these.
+  /** One oracle Lloyd round: distances vs cb{k-1}, ranked assignment,
+    * integer-floored per-dim means, and the empty-codeword-preserving
+    * left join + COALESCE — mirroring pqCodebook's loop body
+    * statement-for-statement.
     */
-  private lazy val pqCtesSql = s"""scaled AS (
+  private def pqRoundSql(k: Int): String = s"""d$k AS (
+        SELECT q.vec_id, q.sub_id, cb${k - 1}.code_id,
+               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
+                 i -> (q.sq[i] - cb${k - 1}.cq[i]) * (q.sq[i] - cb${k - 1}.cq[i]))),
+                 (a, x) -> a + x) AS BIGINT) AS dist
+        FROM q JOIN cb${k - 1} USING (sub_id)),
+      a$k AS MATERIALIZED (
+        SELECT vec_id, sub_id, code_id FROM (
+          SELECT vec_id, sub_id, code_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                    ORDER BY dist, code_id) AS rnk
+          FROM d$k) r WHERE rnk = 1),
+      cbt$k AS (
+        SELECT a$k.sub_id, a$k.code_id, i,
+               CAST(FLOOR(CAST(SUM(q.sq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM a$k JOIN q USING (vec_id, sub_id),
+             (SELECT unnest(range(1, ${PqSub + 1})) AS i) dims$k
+        GROUP BY 1, 2, 3),
+      cb$k AS MATERIALIZED (
+        SELECT p.sub_id, p.code_id, COALESCE(m.cq, p.cq) AS cq
+        FROM cb${k - 1} p LEFT JOIN (
+          SELECT sub_id, code_id, list(c ORDER BY i) AS cq
+          FROM cbt$k GROUP BY 1, 2) m
+        ON m.sub_id = p.sub_id AND m.code_id = p.code_id)"""
+
+  /** Shared PQ CTEs: quantized subvectors (q), the `rounds`-times
+    * Lloyd-trained codebook (cb), all codeword distances (pqdists),
+    * ranked assignment (pqranked) — vec_pq_codes, ann_pq_adc_topk and
+    * ann_ivfpq_topk all close over these. `rounds` must match the
+    * Spark side's pqCodebook call (both default to PqRounds).
+    */
+  private def pqCtesSql(rounds: Int = PqRounds): String = s"""scaled AS (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
         FROM embeddings),
@@ -233,27 +342,8 @@ object VectorQueries {
                       ELSE 0 END) AS sq
         FROM scaled, (SELECT unnest(range(0, $PqM)) AS sub_id) m),
       cb0 AS (SELECT vec_id AS code_id, sub_id, sq AS cq FROM q WHERE vec_id < $PqK),
-      d0 AS (
-        SELECT q.vec_id, q.sub_id, cb0.code_id,
-               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
-                 i -> (q.sq[i] - cb0.cq[i]) * (q.sq[i] - cb0.cq[i]))),
-                 (a, x) -> a + x) AS BIGINT) AS dist
-        FROM q JOIN cb0 USING (sub_id)),
-      a0 AS MATERIALIZED (
-        SELECT vec_id, sub_id, code_id FROM (
-          SELECT vec_id, sub_id, code_id,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                                    ORDER BY dist, code_id) AS rnk
-          FROM d0) r WHERE rnk = 1),
-      cbt AS (
-        SELECT a0.sub_id, a0.code_id, i,
-               CAST(FLOOR(CAST(SUM(q.sq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-        FROM a0 JOIN q USING (vec_id, sub_id),
-             (SELECT unnest(range(1, ${PqSub + 1})) AS i) dims
-        GROUP BY 1, 2, 3),
-      cb AS MATERIALIZED (
-        SELECT sub_id, code_id, list(c ORDER BY i) AS cq
-        FROM cbt GROUP BY 1, 2),
+      ${(1 to rounds).map(pqRoundSql).mkString(",\n      ")},
+      cb AS (SELECT * FROM cb$rounds),
       pqdists AS (
         SELECT q.vec_id, q.sub_id, cb.code_id,
                CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
@@ -265,6 +355,32 @@ object VectorQueries {
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
                                   ORDER BY dist, code_id) AS rnk
         FROM pqdists)"""
+
+  /** Shared IVF coarse-quantizer CTEs (csum → carr → scored_cells →
+    * ranked_cells), mirroring ivfCentroids/ivfScoredCells
+    * constant-for-constant — ann_ivf_topk and ann_ivfpq_topk close
+    * over these and derive their own assignment/probe selections.
+    */
+  private lazy val ivfCellCtesSql = s"""csum AS (
+        SELECT label, COUNT(*) AS n,
+               ${(0 until Dim).map(i =>
+                 s"SUM(CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS c$i")
+                .mkString(",\n               ")}
+        FROM embeddings GROUP BY label),
+      carr AS (SELECT label AS clabel,
+               [${(0 until Dim).map(i =>
+                  s"CAST(c$i AS DOUBLE) / CAST(n * $CentScale AS DOUBLE)")
+                 .mkString(", ")}] AS carr
+               FROM csum),
+      scored_cells AS (
+        SELECT e.vec_id, c.clabel,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                  i -> c.carr[i] * CAST(e.embedding[i] AS DOUBLE))), (a, x) -> a + x) AS adot
+        FROM embeddings e CROSS JOIN carr c),
+      ranked_cells AS (
+        SELECT vec_id, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot DESC, clabel) AS crn
+        FROM scored_cells)"""
 
   private def dotSql(x: String, y: String): String =
     (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)")
@@ -353,35 +469,10 @@ object VectorQueries {
     // zip_with+aggregate — both mirrored exactly in the oracle SQL.
     "ann_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // Centroid build: ONE groupBy(label) with 64 bounded-state sum
-      // columns — no explode (no 64x row blow-up), no per-group buffer;
-      // per-group state is 64 longs + a count regardless of corpus size.
-      val sums = e.groupBy(col("label")).agg(
-        count(lit(1)).as("n"),
-        (0 until Dim).map(i =>
-          sum(floor(element_at(col("embedding"), i + 1).cast("double")
-            * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
-      // materialized: the 10-row centroid table — the corpus aggregate
-      // behind it runs ONCE even though two consumers broadcast it. (The
-      // old shape cached corpus×10 scored rows instead; a 10-row
-      // materialization is free at any scale, a corpus-sized one is
-      // not.) localCheckpoint keeps the repo's cache-hygiene invariant —
-      // NO bare cache() in any query path — so long-lived sessions never
-      // accumulate CacheManager entries; the ContextCleaner frees the
-      // blocks once the frame is unreachable.
-      val carr = sums.select(col("label").as("clabel"),
-        array((0 until Dim).map(i =>
-          col(s"c$i").cast("double")
-            / (col("n") * lit(CentScale)).cast("double")): _*).as("carr"))
-        .localCheckpoint()
-      // index-ordered centroid-dot: fold of carr[i] * (double)v[i]
-      def cdot(c: Column, v: Column): Column =
-        aggregate(zip_with(c, v, (a, b) => a * b.cast("double")),
-          lit(0.0), (a, x) => a + x)
+      val carr = ivfCentroids(e)
       // narrow (scan × broadcast, no exchange) — cheap to recompute for
       // its two consumers, so it is deliberately NOT cached
-      def scoredCells = e.crossJoin(broadcast(carr))
-        .withColumn("adot", cdot(col("carr"), col("embedding")))
+      def scoredCells = ivfScoredCells(e, carr)
       // corpus assignment: nearest cell via a bounded-state max_by
       // aggregate — partial aggregation collapses the ×NCells rows
       // map-side and nothing is ever sorted (the old row_number window
@@ -535,8 +626,8 @@ object VectorQueries {
     // each subvector is assigned its nearest of PqK codewords, so the
     // vector stores as PqM small codes instead of Dim floats. The
     // codebook is deterministically TRAINED: first-PqK-vector seeds
-    // refined by one integer-exact Lloyd round (pqCodebook — measured
-    // ~18% distortion drop, spec-pinned), and the whole operator runs
+    // refined by PqRounds integer-exact Lloyd rounds (pqCodebook —
+    // distortion non-increase per round spec-pinned), and the whole operator runs
     // in EXACT integer arithmetic on the int8-quantized components:
     // L2² distances are bounded by PqSub·254², argmin ties break on
     // the smaller code id via the ranked-window device.
@@ -551,7 +642,8 @@ object VectorQueries {
     }),
 
     // ADC search over the PQ codes — the query shape of billion-scale
-    // ANN (Jégou et al.'s IVFADC without the cell filter): a query
+    // ANN (Jégou et al.'s ADC; the EXHAUSTIVE variant — ann_ivfpq_topk
+    // below composes it with the IVF cell filter): a query
     // never touches raw vectors; it builds a PqM×PqK lookup table of
     // integer subspace distances to every codeword (12.8k rows for
     // 100 queries — broadcast), scans the COMPRESSED code table, and
@@ -580,6 +672,64 @@ object VectorQueries {
           pqL2(col("sq"), col("cq")).as("d2"))
       codes.join(broadcast(lut), Seq("sub_id", "code"))
         .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2")).as("adist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          col("rnk").cast("long").as("rnk"), col("adist"))
+    }),
+
+    // True IVFADC (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI'11) — the billion-scale composition the
+    // two halves above exist for: the IVF coarse quantizer assigns
+    // every vector to a cell; vectors store as PQ codes; a query
+    // probes only its NProbe nearest cells and runs the ADC scan over
+    // THOSE cells' codes — per-query cost O(N·NProbe/NCells) code
+    // rows instead of ann_pq_adc_topk's exhaustive O(N). This is the
+    // no-residual variant (PQ trained on the raw vectors, not on
+    // x − centroid — FAISS's IVFPQ with by_residual=false); residual
+    // encoding buys accuracy, not a different plan shape.
+    // Plan shape, in the order the rows flow: the code table joins its
+    // cell assignment (one co-partitioned vec_id join — at 100 TB the
+    // codes are STORED partitioned by cell as the inverted lists, and
+    // this join disappears into partition pruning), the broadcast
+    // (qid, cell) probe list filters codes to probed cells BEFORE any
+    // LUT work, then the broadcast LUT join + (qid, vec_id) keyed sum
+    // + ranked top-3 proceed exactly as in ann_pq_adc_topk. Recall vs
+    // the exact baseline is the product of the two stages' losses
+    // (cell pruning × PQ distortion) — floor-pinned in VectorSpec.
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val carr = ivfCentroids(e)
+      def scoredCells = ivfScoredCells(e, carr)
+      // nearest cell per vector: bounded-state max_by (one struct per
+      // vector), tie-break (adot DESC, clabel ASC) as in ann_ivf_topk
+      val cells = scoredCells
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
+          .as("cell"))
+      val probed = scoredCells
+        .filter(col("vec_id") < NQueries)
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("adot").desc, col("clabel"))))
+        .filter(col("crn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val subs = pqSubs(s, d).localCheckpoint()
+      val cb = pqCodebook(subs).localCheckpoint()
+      val codes = pqAssign(subs, cb)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+        .join(cells, "vec_id")
+      val lut = subs.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
+        .join(broadcast(cb), "sub_id")
+        .select(col("qid"), col("sub_id"), col("code_id").as("code"),
+          pqL2(col("sq"), col("cq")).as("d2"))
+      codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(lut), Seq("qid", "sub_id", "code"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d2")).as("adist"))
         .withColumn("rnk", row_number().over(
@@ -689,26 +839,7 @@ object VectorQueries {
     // Mirrors the Spark plan constant-for-constant: fixed-point integer
     // centroid sums, index-ordered centroid-dot folds, same tie-breaks.
     "ann_ivf_topk" -> s"""
-      WITH csum AS (
-        SELECT label, COUNT(*) AS n,
-               ${(0 until Dim).map(i =>
-                 s"SUM(CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS c$i")
-                .mkString(",\n               ")}
-        FROM embeddings GROUP BY label),
-      carr AS (SELECT label AS clabel,
-               [${(0 until Dim).map(i =>
-                  s"CAST(c$i AS DOUBLE) / CAST(n * $CentScale AS DOUBLE)")
-                 .mkString(", ")}] AS carr
-               FROM csum),
-      scored_cells AS (
-        SELECT e.vec_id, c.clabel,
-               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
-                  i -> c.carr[i] * CAST(e.embedding[i] AS DOUBLE))), (a, x) -> a + x) AS adot
-        FROM embeddings e CROSS JOIN carr c),
-      ranked_cells AS (
-        SELECT vec_id, clabel,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot DESC, clabel) AS crn
-        FROM scored_cells),
+      WITH $ivfCellCtesSql,
       assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
       probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
                  WHERE vec_id < $NQueries AND crn <= $NProbe),
@@ -758,14 +889,14 @@ object VectorQueries {
     // subspace; integer L2² folds left-to-right (exact), argmin via
     // the ranked window with the identical (dist, code_id) tie-break.
     "vec_pq_codes" -> s"""
-      WITH $pqCtesSql
+      WITH ${pqCtesSql()}
       SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, code_id AS code, dist
       FROM pqranked WHERE rnk = 1""",
     // Same PQ CTEs; the LUT is the q-side × codebook distance matrix,
     // the scan side is the assigned codes, ADC = per-(qid, vec) sum of
     // looked-up terms, top-3 by (adist, vec_id).
     "ann_pq_adc_topk" -> s"""
-      WITH $pqCtesSql,
+      WITH ${pqCtesSql()},
       codes AS MATERIALIZED (
         SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
       lut AS MATERIALIZED (
@@ -778,6 +909,40 @@ object VectorQueries {
         SELECT l.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
         FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code = c.code
         WHERE c.vec_id != l.qid
+        GROUP BY 1, 2),
+      rankedq AS (
+        SELECT qid, vec_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rnk
+        FROM adist)
+      SELECT qid, vec_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, adist
+      FROM rankedq WHERE rnk <= 3""",
+    // IVFADC: the PQ CTEs compose with the IVF cell CTEs — codes of
+    // vectors in a query's probed cells flow through the same LUT sum
+    // and ranked top-3 as ann_pq_adc_topk; everything else is pruned
+    // by the probed-cell join before any distance work.
+    "ann_ivfpq_topk" -> s"""
+      WITH ${pqCtesSql()},
+      $ivfCellCtesSql,
+      ivf_assigned AS (
+        SELECT vec_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
+      ivf_probed AS (
+        SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
+        WHERE vec_id < $NQueries AND crn <= $NProbe),
+      codes AS MATERIALIZED (
+        SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
+      lut AS MATERIALIZED (
+        SELECT q.vec_id AS qid, q.sub_id, cb.code_id AS code,
+               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
+                 i -> (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))),
+                 (a, x) -> a + x) AS BIGINT) AS d2
+        FROM q JOIN cb USING (sub_id) WHERE q.vec_id < $NQueries),
+      adist AS (
+        SELECT p.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        FROM ivf_probed p
+        JOIN ivf_assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.qid = p.qid AND l.sub_id = c.sub_id AND l.code = c.code
         GROUP BY 1, 2),
       rankedq AS (
         SELECT qid, vec_id, adist,

@@ -210,6 +210,66 @@ class VectorSpec extends GraftSpec {
     assert(trained <= seed, s"trained distortion $trained exceeds seed $seed")
   }
 
+  test("PQ training: distortion non-increasing across Lloyd rounds 0..3") {
+    // The training knob's contract (and the reason the knob defaults to
+    // rounds=1 anyway): each round's assign+update must not increase
+    // total assigned distortion — integer-floored means shift each
+    // centroid < 1 per dim from the true minimizer, not enough to
+    // regress the objective on this corpus (measured at sf0.01:
+    // 59.2M → 47.8M → 45.7M → 44.7M). Recall@3, separately measured,
+    // does NOT improve past round 1 (0.130 → 0.113): a PqK=16 codebook
+    // is recall-bound by its size, which is why more training is not
+    // shipped as the default.
+    val d = "/root/testdata/sf0.001"
+    val subs = graft.queries.VectorQueries.pqSubs(spark, d).localCheckpoint()
+    val dist = (0 to 3).map { r =>
+      graft.queries.VectorQueries
+        .pqAssign(subs, graft.queries.VectorQueries.pqCodebook(subs, r))
+        .agg(sum(col("dist"))).head.getLong(0)
+    }
+    info(s"distortion by rounds: ${dist.mkString(" -> ")}")
+    dist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"distortion increased across a Lloyd round: $dist")
+    }
+  }
+
+  test("PQ codebook shape is PqM x PqK invariant (empty codewords preserved)") {
+    // From round 2 on, codewords can legitimately attract no members
+    // (the updated codebook no longer self-assigns its seeds at
+    // distance 0); the left-join + coalesce must keep them at their
+    // previous centroid rather than dropping them from the trained
+    // codebook.
+    val d = "/root/testdata/sf0.001"
+    val subs = graft.queries.VectorQueries.pqSubs(spark, d).localCheckpoint()
+    (0 to 3).foreach { r =>
+      val n = graft.queries.VectorQueries.pqCodebook(subs, r).count()
+      assert(n === 8L * 16L, s"codebook at rounds=$r has $n rows, want 128")
+    }
+  }
+
+  test("IVFADC: recall floor vs brute force; exactly top-3 per query") {
+    // The composed query (cell filter -> ADC) loses recall at BOTH
+    // stages — cell pruning and PQ distortion — so its floor sits
+    // under both parents' (measured 0.13 at sf0.01 vs brute; adc
+    // alone 0.157, ivf alone ~0.30). The floor catches a broken
+    // composition (e.g. the cell join filtering everything, or the
+    // LUT joining on the wrong key), not quality drift.
+    val d = "/root/testdata/sf0.01"
+    val brute = annPairs("ann_brute_topk", d)
+    val rows = graft.queries.VectorQueries.queries("ann_ivfpq_topk")(spark, d)
+      .collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.size === 100, s"expected 100 queries, got ${perQuery.size}")
+    perQuery.foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L),
+        s"query $qid ranks malformed")
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pairs.intersect(brute).size.toDouble / brute.size
+    info(s"ivfpq recall@3 vs brute: $recall")
+    assert(recall >= 0.08, s"IVFADC recall@3 $recall below floor")
+  }
+
   test("identical vectors share the full signature (near-dup contract)") {
     val w = Array.tabulate(16, 8)((j, i) => ((j * 31 + i * 7) % 11) - 5)
     val v = Seq.tabulate(8)(i => (i * 0.37f) - 1.1f)

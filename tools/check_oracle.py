@@ -32,10 +32,31 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # Mirror Tables.normalizeTemporal's generator-drift armor on
+            # the oracle side: whatever storage form a temporal column
+            # arrives in (DATE, tz-aware TIMESTAMP, ns-resolution), the
+            # view exposes a naive microsecond TIMESTAMP, and BLOB text
+            # columns decode to VARCHAR — so a future generator type
+            # shift keeps BOTH engines on canonical types. Casts are
+            # no-ops for today's already-canonical data (UTC session).
+            cols = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()
+            sel = []
+            for cname, ctype, *_ in cols:
+                u = ctype.upper()
+                if u in ("DATE", "TIMESTAMP_NS", "TIMESTAMP_S", "TIMESTAMP_MS") \
+                        or "WITH TIME ZONE" in u:
+                    sel.append(f'CAST("{cname}" AS TIMESTAMP) AS "{cname}"')
+                elif u == "BLOB":
+                    sel.append(f'CAST("{cname}" AS VARCHAR) AS "{cname}"')
+                else:
+                    sel.append(f'"{cname}"')
+            con.execute(f"CREATE VIEW {t} AS SELECT {', '.join(sel)} "
+                        f"FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}   # name -> human-readable status string
     stages = {}    # name -> per-stage booleans, SET WHERE EACH CHECK RUNS
