@@ -21,37 +21,57 @@ object TimeWindowQueries {
 
   // Count-min sketch pieces, shared with the streaming gate (the
   // counter build is the streaming-stateful half; estimation is a
-  // batch post-pass over the tiny sketch).
-  private val CmsD = 4
-  private val CmsA = Seq(31L, 37L, 41L, 43L)
-  private val CmsB = Seq(7L, 11L, 13L, 17L)
+  // batch post-pass over the tiny sketch). GEOMETRY IS A KNOB:
+  // (depth, width) default 4×2048, sized for the ~1500-user bench
+  // corpus; the published guarantee (Cormode & Muthukrishnan '05) is
+  // overestimation-only error with P[err > ε·N] ≤ δ at
+  // width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉ — so a 100 TB event log picks
+  // width ~ e/ε for its target absolute error and keeps depth small.
+  // Up to 8 depths of (a, b) hash constants are provided; the knob is
+  // spec-exercised at a second and third geometry (SketchSpec), with
+  // the pointwise est ≥ true guarantee asserted at each.
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 2048L
+  private val CmsA = Seq(31L, 37L, 41L, 43L, 53L, 59L, 61L, 67L)
+  private val CmsB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 47L)
 
   private[queries] def cmsBkt(u: org.apache.spark.sql.Column,
-                              dd: org.apache.spark.sql.Column) = {
+                              dd: org.apache.spark.sql.Column,
+                              width: Long = CmsWidth) = {
     val a = element_at(array(CmsA.map(lit): _*), dd + 1)
     val b = element_at(array(CmsB.map(lit): _*), dd + 1)
-    ((u * a + b) % 1000000007L) % 2048L
+    ((u * a + b) % 1000000007L) % width
   }
 
-  /** (dd, bkt, cnt) counter matrix — ≤ CmsD·2048 rows; the groupBy is
+  /** (dd, bkt, cnt) counter matrix — ≤ depth·width rows; the groupBy is
     * streaming-legal (plain count, no window, no distinct).
     */
-  private[queries] def cmsCounters(ev: DataFrame): DataFrame =
+  private[queries] def cmsCounters(ev: DataFrame, depth: Int = CmsDepth,
+                                   width: Long = CmsWidth): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"cms depth must be in [1, ${CmsA.length}], got $depth")
     ev.select(col("user_id"),
-        explode(sequence(lit(0), lit(CmsD - 1))).as("dd"))
-      .select(col("dd"), cmsBkt(col("user_id"), col("dd")).as("bkt"))
+        explode(sequence(lit(0), lit(depth - 1))).as("dd"))
+      .select(col("dd"), cmsBkt(col("user_id"), col("dd"), width).as("bkt"))
       .groupBy(col("dd"), col("bkt")).agg(count(lit(1)).as("cnt"))
+  }
 
-  /** Probe + min-over-depths + threshold over a built counter matrix. */
-  private[queries] def cmsEstimate(sketch: DataFrame, ev: DataFrame): DataFrame =
+  /** Probe + min-over-depths + threshold over a built counter matrix
+    * (geometry must match the matrix's build; threshold 0 reports
+    * every key's estimate).
+    */
+  private[queries] def cmsEstimate(sketch: DataFrame, ev: DataFrame,
+                                   depth: Int = CmsDepth,
+                                   width: Long = CmsWidth,
+                                   threshold: Long = 80L): DataFrame =
     ev.select(col("user_id")).distinct()
       .select(col("user_id"),
-        explode(sequence(lit(0), lit(CmsD - 1))).as("dd"))
+        explode(sequence(lit(0), lit(depth - 1))).as("dd"))
       .select(col("user_id"), col("dd"),
-        cmsBkt(col("user_id"), col("dd")).as("bkt"))
+        cmsBkt(col("user_id"), col("dd"), width).as("bkt"))
       .join(broadcast(sketch), Seq("dd", "bkt"))
       .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
-      .filter(col("est") >= 80L)
+      .filter(col("est") >= threshold)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
