@@ -1,0 +1,74 @@
+package graft
+
+/** Multi-JVM sibling of Bench for the expensive tail: every BENCH_r*
+  * number is single-JVM `local[32]`, where closure/task serialization
+  * and shuffle I/O between executors are invisible (shuffles are
+  * in-process memory copies). This main times the bench's top queries
+  * once under `local-cluster[2,2,3072]` — two separate executor JVMs,
+  * real serialized tasks, real cross-process shuffle fetches — so a
+  * plan that only performs because it never leaves one JVM shows up as
+  * an outlier cluster/local ratio. One rep per query (the artifact
+  * records a SHAPE signal — is anything pathologically serialization-
+  * bound — not a tuned number; local-cluster startup noise is a few
+  * hundred ms per stage retry anyway).
+  *
+  * Run:
+  * {{{
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 sbt -batch \
+  *     "runMain graft.ClusterBench /root/testdata/sf0.1"
+  * }}}
+  * Prints ONE JSON line {"cluster_bench": ..., "queries": {...}}.
+  */
+object ClusterBench {
+
+  /** The top-10 of BENCH_DETAIL_r09 by local[32] median — the dedup
+    * pair generators (shuffle-heaviest plans in the repo), the
+    * bounded-state streaming gates (RocksDB/state-store commit over
+    * executor JVMs), the ADC scan, and the deliberate skew demo.
+    */
+  private val Top = Seq(
+    "dedup_e2e_pipeline", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_minhash_clusters", "dedup_minhash_lsh",
+    "stream_dedup_chunks_wm_evict", "stream_dedup_events_wm",
+    "stream_join", "stream_late_data", "ann_pq_adc_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    require(sys.env.contains("SPARK_HOME") && sys.env.contains("SPARK_SCALA_VERSION"),
+      "local-cluster needs SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13")
+    require(Top.forall(SparkEntry.queries.contains),
+      "stale bench slice: " + Top.filterNot(SparkEntry.queries.contains).mkString(", "))
+    val classes = java.nio.file.Paths.get(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val spark = GraftSession.builder("graft-cluster-bench")
+      .master("local-cluster[2,2,3072]")
+      .config("spark.executor.memory", "2560m")
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup contract as Bench: file listing + codegen startup
+    // out of the first timed query
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
+    val results = Top.map { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"cluster_bench":"local-cluster[2,2,3072]","value":$total,""" +
+      s""""unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -110,13 +110,18 @@ object ClusterCheck {
 
     // Chaos kills fire in EXECUTOR JVMs — the driver-side firedCount
     // cannot see them (documented in Chaos.firedCount). The scheduler's
-    // task-end events are the cross-JVM evidence channel.
+    // task-end events are the cross-JVM evidence channel. Streaming
+    // (epoch-transport) kills are counted separately: their message
+    // carries the armed micro-batch id.
     val chaosKills = new java.util.concurrent.atomic.AtomicInteger(0)
+    val streamingChaosKills = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
         case ef: org.apache.spark.ExceptionFailure
             if ef.toErrorString.contains("chaos: injected") =>
           chaosKills.incrementAndGet()
+          if (ef.toErrorString.contains("micro-batch"))
+            streamingChaosKills.incrementAndGet()
         case _ => ()
       }
     })
@@ -218,10 +223,68 @@ object ClusterCheck {
           "transport failure, not the at-most-n caveat)")
     }
 
+    // 4) Streaming × cluster chaos — the quadrant that degraded to
+    // NoKills through round 9: runStreaming under a cluster master now
+    // takes the EPOCH-AWARE closure transport (EpochPartitionKills,
+    // armed against micro-batch 0), so executor-side STREAMING task
+    // attempts die, the scheduler retries them within the same
+    // micro-batch, and the drained output must equal the unchaosed
+    // run's — the reference's kill-two-workers equivalence on the
+    // streaming path, across real JVM boundaries.
+    check("rainstorm_streaming_chaos_cluster") {
+      val src = Files.createTempDirectory("cluster-rss-src")
+      (0 until 3).foreach { f =>
+        val lines = (0 until 2000).map { j =>
+          val i = f * 2000 + j
+          s"$i,${if (i % 3 == 0) "keepR" else "drop"},k${i % 50},v$i"
+        }
+        Files.write(src.resolve(s"part$f.csv"),
+          String.join("\n", lines: _*).getBytes("UTF-8"))
+      }
+      // Same at-most-n pre-assertion as the batch gate, against the
+      // STREAMING key formula (content-hash keys partition differently
+      // than the batch source's line-identity keys).
+      val armable = RainStorm.streamingArmedPartitionsNonEmpty(
+        spark, src.toString, numTasks = 4, n = 2)
+      require(armable == 2,
+        s"streaming op1-stage partitions 0..1 must be non-empty before " +
+          s"arming (EpochPartitionKills is at-most-n): only $armable of 2 are")
+      def drain(name: String, arm: Int): org.apache.spark.sql.DataFrame = {
+        if (arm > 0) RainStorm.Chaos.arm(arm)
+        val q = RainStorm.runStreaming(spark, src.toString,
+          RainStorm.Ops.app1op1, RainStorm.Ops.csvProject(2, 3),
+          queryName = name,
+          checkpoint = Files.createTempDirectory(s"cluster-rss-ckpt-$name").toString,
+          numTasks = 4, pattern = "R")
+        q.awaitTermination()
+        spark.table(name)
+      }
+      val plain = drain("rss_plain", 0)
+      val beforeStreamKills = streamingChaosKills.get()
+      val chaos = drain("rss_chaos", 2)
+      def counted(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("key", "value").count()
+      val diff = counted(plain).alias("p")
+        .join(counted(chaos).alias("c"), Seq("key", "value"), "full_outer")
+        .filter(col("p.count").isNull || col("c.count").isNull ||
+          col("p.count") =!= col("c.count"))
+        .count()
+      require(diff == 0,
+        s"streaming chaos run diverged from plain run: $diff keys differ")
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (streamingChaosKills.get() < beforeStreamKills + 1 &&
+             System.nanoTime() < deadline)
+        Thread.sleep(100)
+      require(streamingChaosKills.get() >= beforeStreamKills + 1,
+        "no executor streaming task attempt died — the epoch transport " +
+          "never fired (partitions 0..1 pre-checked non-empty above)")
+    }
+
     val execs = spark.sparkContext.getExecutorMemoryStatus.size
     val json = s"""{"cluster_check": ${if (failures.isEmpty) "\"PASS\"" else "\"FAIL\""}, """ +
       s""""master": "local-cluster[2,2,3072]", "block_managers": $execs, """ +
       s""""chaos_kills_observed": ${chaosKills.get()}, """ +
+      s""""streaming_chaos_kills_observed": ${streamingChaosKills.get()}, """ +
       s""""oracle_slice": [${Slice.map("\"" + _ + "\"").mkString(", ")}], """ +
       s""""failures": [${failures.reverse.map(Verify.jsonQuote).mkString(", ")}]}"""
     println(json)

@@ -52,6 +52,14 @@ object RainStorm {
     * cross-JVM state this transport exists to avoid. At-most-n is
     * still as honest as the reference's "kill two live workers": up to
     * n distinct task attempts die, the scheduler recovers.
+    *
+    * STREAMING under a cluster master takes the epoch-aware variant
+    * (EpochPartitionKills): per-task statelessness would otherwise
+    * re-fire the closure's kills on every micro-batch's fresh
+    * attempt-0 tasks, so the kill decision additionally requires the
+    * task's micro-batch id (the scheduler's `streaming.sql.batchId`
+    * local property) to equal the armed epoch — run-scoped again,
+    * still a pure function of TaskContext.
     */
   object Chaos {
     /** A run's injection plan, embedded in its task closures. */
@@ -72,6 +80,18 @@ object RainStorm {
       * Chaos scaladoc.
       */
     final case class PartitionKills(n: Int) extends KillPlan
+    /** Cluster transport for STREAMING runs: like PartitionKills, but
+      * additionally epoch-scoped — a kill fires only in tasks of ONE
+      * micro-batch (the scheduler's `streaming.sql.batchId` local
+      * property, stamped into every streaming task's context, must
+      * equal `epoch`). Without the epoch gate the per-task-stateless
+      * transport would re-fire on every micro-batch's attempt-0 tasks
+      * (n kills per BATCH, not per run — the reason this quadrant
+      * used to degrade to NoKills). Still at-most-n, same as the
+      * batch transport: an armed partition that receives no
+      * deliveries in that micro-batch absorbs its kill.
+      */
+    final case class EpochPartitionKills(n: Int, epoch: Long = 0L) extends KillPlan
 
     /** Kills armed but not yet claimed by a run. */
     private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -148,6 +168,15 @@ object RainStorm {
           fired.incrementAndGet()
           throw new RuntimeException(
             s"chaos: injected task-attempt kill (partition ${tc.partitionId()}, attempt 0)")
+        }
+      case EpochPartitionKills(n, epoch) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() < n && tc.attemptNumber() == 0 &&
+            tc.getLocalProperty("streaming.sql.batchId") == epoch.toString) {
+          fired.incrementAndGet()
+          throw new RuntimeException(
+            s"chaos: injected task-attempt kill (partition ${tc.partitionId()}, " +
+              s"micro-batch $epoch, attempt 0)")
         }
     }
   }
@@ -397,6 +426,25 @@ object RainStorm {
       .distinct()
       .count()
 
+  /** Streaming twin of the probe above, for the epoch transport: the
+    * STREAMING source keys by content hash (`srcDir:md5(value)`), so
+    * the armed partitions are a different function of the data than
+    * the batch source's line-identity keys. Probed with a batch read
+    * of the same files — identical values → identical keys →
+    * identical hash partitioning as micro-batch 0's op1 stage.
+    */
+  private[graft] def streamingArmedPartitionsNonEmpty(
+      spark: SparkSession, srcDir: String, numTasks: Int, n: Int): Long =
+    applyOpInput(
+      spark.read.text(srcDir)
+        .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
+          col("value")),
+      numTasks)
+      .select(spark_partition_id().as("p"))
+      .filter(col("p") < n)
+      .distinct()
+      .count()
+
   /** The stage boundary applyOp's FlatMap arm applies — factored so the
     * chaos pre-probe above sees the same partitioning as the real run. */
   private def applyOpInput(df: DataFrame, numTasks: Int): DataFrame =
@@ -405,7 +453,7 @@ object RainStorm {
   private[graft] def stagePlans(plan: Chaos.KillPlan,
                                 op1: RsOp): (Chaos.KillPlan, Chaos.KillPlan) =
     plan match {
-      case k @ Chaos.PartitionKills(_) =>
+      case k @ (Chaos.PartitionKills(_) | Chaos.EpochPartitionKills(_, _)) =>
         if (op1.isInstanceOf[FlatMap]) (k, Chaos.NoKills) else (Chaos.NoKills, k)
       case p => (p, p)
     }
@@ -454,29 +502,31 @@ object RainStorm {
         "in this output mode. Run this combination in batch (RainStorm.run).")
     val runId = java.util.UUID.randomUUID().toString
     // Run-scoped, like the batch path. Streaming + CLUSTER master is
-    // the one combination the closure transport cannot express
-    // honestly: every micro-batch re-executes the closure with fresh
+    // the combination the plain closure transport cannot express
+    // honestly — every micro-batch re-executes the closure with fresh
     // attempt-0 tasks, so PartitionKills(n) would fire n kills per
-    // BATCH, not per run — map it to NoKills instead (the chaos verb
-    // is the reference's single-box batch demo; cluster streaming
-    // fault injection belongs to the scheduler's own machinery).
-    // Re-reviewed against the round-7 multi-JVM run (ClusterCheck,
-    // local-cluster[2,2,3072]): the BATCH closure transport fired
-    // exactly its armed count in executor JVMs and the scheduler
-    // recovered to an identical output — confirming the per-task
-    // statelessness that makes the transport honest in batch is
-    // precisely what would make it re-fire per micro-batch here. The
-    // boundary stands.
+    // BATCH, not per run (observed contract since r6; the quadrant
+    // degraded to NoKills through r9). The epoch-aware transport
+    // closes it: the kill decision additionally requires the task's
+    // `streaming.sql.batchId` local property to equal the armed epoch
+    // (micro-batch 0 — with AvailableNow and no file cap, the batch
+    // that carries the data), restoring the run-scoped at-most-n
+    // semantics with still no cross-JVM state. Proven under
+    // local-cluster[2,2,3072] in ClusterCheck's streaming chaos gate.
     val plan = Chaos.plan(runId, spark.sparkContext.master) match {
-      case Chaos.PartitionKills(_) => Chaos.NoKills
+      case Chaos.PartitionKills(n) => Chaos.EpochPartitionKills(n, epoch = 0L)
       case p                       => p
     }
+    // the registry transport counts down globally across both stages
+    // (stagePlans hands it back unchanged for both); the epoch
+    // transport is stage-scoped like the batch closure one
+    val (op1Plan, op2Plan) = stagePlans(plan, op1)
     val src = spark.readStream.text(srcDir)
       .select(concat(lit(srcDir), lit(":"), md5(col("value"))).as("key"),
         col("value"))
       .withColumn("id", expr("uuid()"))
-    val out = applyOp(applyOp(src, op1, pattern, numTasks, plan),
-      op2, pattern, numTasks, plan)
+    val out = applyOp(applyOp(src, op1, pattern, numTasks, op1Plan),
+      op2, pattern, numTasks, op2Plan)
       .select(col("key"), col("value"))
     val mode =
       if (op2 == CountByKey || op1 == CountByKey) OutputMode.Complete()

@@ -199,6 +199,54 @@ class RainStormSpec extends GraftSpec {
       "first attempts of the first two non-empty partitions must die")
   }
 
+  test("EpochPartitionKills: fires only in the armed micro-batch's tasks") {
+    // The streaming × cluster transport (degraded to NoKills through
+    // r9): per-task statelessness would re-fire plain PartitionKills
+    // on every micro-batch's fresh attempt-0 tasks, so the epoch
+    // variant additionally gates on the scheduler's
+    // `streaming.sql.batchId` task-local property. Exercised here by
+    // stamping the property on the submitting thread (tasks inherit
+    // local properties — the same channel MicroBatchExecution uses);
+    // the real multi-JVM streaming drain is ClusterCheck's gate.
+    import spark.implicits._
+    val before = RainStorm.Chaos.firedCount
+    val plan: RainStorm.Chaos.KillPlan =
+      RainStorm.Chaos.EpochPartitionKills(2, epoch = 0L)
+    def runWith(batchId: String): Long = {
+      spark.sparkContext.setLocalProperty("streaming.sql.batchId", batchId)
+      try {
+        val recs = (1 to 40)
+          .map(i => graft.operators.Core.Record(s"id$i", s"k${i % 4}", s"v$i"))
+        val ds = spark.createDataset(recs).repartition(4)
+        graft.operators.Core.flatMapRecords(ds.toDF(), r => {
+          RainStorm.Chaos.tap(plan)
+          Seq(r)
+        }).count()
+      } finally spark.sparkContext.setLocalProperty("streaming.sql.batchId", null)
+    }
+    // a later micro-batch's tasks pass the tap untouched
+    assert(runWith("1") === 40L)
+    assert(RainStorm.Chaos.firedCount === before,
+      "a non-armed micro-batch must not fire kills")
+    // the armed micro-batch: first attempts of partitions 0 and 1 die,
+    // rescheduled attempts recover every record
+    assert(runWith("0") === 40L)
+    assert(RainStorm.Chaos.firedCount === before + 2,
+      "the armed micro-batch's attempt-0 tasks must die")
+    // a task with NO batchId property (a plain batch job sharing the
+    // closure) never matches the armed epoch
+    val recs = (1 to 8)
+      .map(i => graft.operators.Core.Record(s"id$i", s"k$i", s"v$i"))
+    val n = graft.operators.Core.flatMapRecords(
+      spark.createDataset(recs).repartition(4).toDF(), r => {
+        RainStorm.Chaos.tap(plan)
+        Seq(r)
+      }).count()
+    assert(n === 8L)
+    assert(RainStorm.Chaos.firedCount === before + 2,
+      "tasks without a streaming batchId must never fire epoch kills")
+  }
+
   test("record keys DECODE percent-encoded metadata paths (space in filename)") {
     // _metadata.file_path arrives percent-encoded (Spark renders it
     // via Path.toUri.toString): a file named "my file.csv" shows up as
