@@ -34,18 +34,9 @@ object ClusterBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    require(sys.env.contains("SPARK_HOME") && sys.env.contains("SPARK_SCALA_VERSION"),
-      "local-cluster needs SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13")
     require(Top.forall(SparkEntry.queries.contains),
       "stale bench slice: " + Top.filterNot(SparkEntry.queries.contains).mkString(", "))
-    val classes = java.nio.file.Paths.get(
-      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
-    val spark = GraftSession.builder("graft-cluster-bench")
-      .master("local-cluster[2,2,3072]")
-      .config("spark.executor.memory", "2560m")
-      .config("spark.executor.extraClassPath", classes)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.localCluster("graft-cluster-bench")
     // same warmup contract as Bench: file listing + codegen startup
     // out of the first timed query
     Tables.names.foreach { n =>

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
@@ -79,33 +79,13 @@ object ClusterCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/cluster_check"
-    require(sys.env.contains("SPARK_HOME"),
-      "local-cluster launches executors via the SPARK_HOME launcher — " +
-        "run with SPARK_HOME=/opt/spark")
-    // Fail FAST on the other launcher prerequisite: without it every
-    // executor dies at launch with "Cannot find any build directories"
-    // (the launcher probes for dev build dirs to guess the Scala
-    // version) and the run hangs instead of erroring here.
-    require(sys.env.contains("SPARK_SCALA_VERSION"),
-      "the executor launcher needs the Scala version pinned — " +
-        "run with SPARK_SCALA_VERSION=2.13")
     // A renamed registry entry must fail loudly, not silently shrink
     // the slice's oracle coverage (check_oracle only iterates what the
     // dump contains — it would happily report 4/4 OK).
     require(Slice.forall(SparkEntry.oracleSql.contains),
       s"slice names missing from oracleSql: " +
         Slice.filterNot(SparkEntry.oracleSql.contains).mkString(", "))
-    // Executor JVMs get Spark from SPARK_HOME/jars; graft's own classes
-    // ride along via extraClassPath (resolved from this class's own
-    // code source, so the check runs against exactly what's built).
-    val classes = Paths.get(
-      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
-    val spark = GraftSession.builder("graft-cluster-check")
-      .master("local-cluster[2,2,3072]")
-      .config("spark.executor.memory", "2560m")
-      .config("spark.executor.extraClassPath", classes)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.localCluster("graft-cluster-check")
     new java.io.File(outDir).mkdirs()
 
     // Chaos kills fire in EXECUTOR JVMs — the driver-side firedCount

@@ -54,6 +54,35 @@ object GraftSession {
     s
   }
 
+  /** The multi-JVM harness session, shared by ClusterCheck and
+    * ClusterBench so both mains always run the SAME cluster shape:
+    * `local-cluster[2,2,3072]` — two real worker processes with
+    * separate executor JVMs — with graft's classes shipped via
+    * extraClassPath (resolved from this class's own code source, so
+    * the run is against exactly what's built). Fails fast on the two
+    * launcher prerequisites: executors resolve Spark via SPARK_HOME,
+    * and without SPARK_SCALA_VERSION the launcher probes for dev
+    * build directories and dies with "Cannot find any build
+    * directories" (hanging the run instead of erroring here).
+    */
+  def localCluster(appName: String): SparkSession = {
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster launches executors via the SPARK_HOME launcher — " +
+        "run with SPARK_HOME=/opt/spark")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "the executor launcher needs the Scala version pinned — " +
+        "run with SPARK_SCALA_VERSION=2.13")
+    val classes = java.nio.file.Paths.get(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val s = builder(appName)
+      .master("local-cluster[2,2,3072]")
+      .config("spark.executor.memory", "2560m")
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   /** Apply graft runtime confs to an externally created session (e.g. the
     * driver's Verify/Bench session). Static confs (shuffle partitions
     * default) can still be set per-query via repartition hints.

@@ -13,7 +13,11 @@ import graft.queries.{AdvancedJoinQueries, CurationQueries, MultimodalQueries, R
   */
 object SparkEntry {
 
-  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  /** private[graft]: RegistrySpec derives both the union size and the
+    * per-area sum from THIS list, so a new area object registers in
+    * exactly one place and the overlap check can never drift from it.
+    */
+  private[graft] val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),

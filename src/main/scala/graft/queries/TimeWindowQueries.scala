@@ -63,7 +63,14 @@ object TimeWindowQueries {
   private[queries] def cmsEstimate(sketch: DataFrame, ev: DataFrame,
                                    depth: Int = CmsDepth,
                                    width: Long = CmsWidth,
-                                   threshold: Long = 80L): DataFrame =
+                                   threshold: Long = 80L): DataFrame = {
+    // same bound as cmsCounters — without it a depth past the constant
+    // tables dies mid-job with ANSI INVALID_ARRAY_INDEX instead of
+    // this message ((depth, width) must also MATCH the sketch's build
+    // geometry: probes at a different depth would silently inner-join
+    // away the unmatched counter rows)
+    require(depth >= 1 && depth <= CmsA.length,
+      s"cms depth must be in [1, ${CmsA.length}], got $depth")
     ev.select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(sequence(lit(0), lit(depth - 1))).as("dd"))
@@ -72,6 +79,38 @@ object TimeWindowQueries {
       .join(broadcast(sketch), Seq("dd", "bkt"))
       .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
       .filter(col("est") >= threshold)
+  }
+
+  /** dd-dispatched (a, b) bucket hash in SQL, generated from the SAME
+    * constant tables as cmsBkt — so turning the geometry knob moves
+    * both engines together (the PQ family's pqCtesSql(rounds)
+    * discipline applied here).
+    */
+  private def cmsBktSql(depth: Int, width: Long): String = {
+    val a = (0 until depth).map(i => s"WHEN $i THEN ${CmsA(i)}").mkString(" ")
+    val b = (0 until depth).map(i => s"WHEN $i THEN ${CmsB(i)}").mkString(" ")
+    s"((user_id * (CASE dd $a END) + (CASE dd $b END)) % 1000000007) % $width"
+  }
+
+  /** The heavy-hitters oracle at any geometry (default = the Spark
+    * side's defaults; events_heavy_hitters and its streaming twin both
+    * register this).
+    */
+  private[queries] def heavyHittersOracleSql(depth: Int = CmsDepth,
+                                             width: Long = CmsWidth,
+                                             threshold: Long = 80L): String = s"""
+      WITH hashes AS (
+        SELECT user_id, dd, ${cmsBktSql(depth, width)} AS bkt
+        FROM events, (SELECT unnest(range(0, $depth)) AS dd) t),
+      sketch AS (
+        SELECT dd, bkt, COUNT(*) AS cnt FROM hashes GROUP BY dd, bkt),
+      probes AS (
+        SELECT DISTINCT user_id, dd, ${cmsBktSql(depth, width)} AS bkt
+        FROM events, (SELECT unnest(range(0, $depth)) AS dd) t)
+      SELECT p.user_id, CAST(MIN(s.cnt) AS BIGINT) AS est
+      FROM probes p JOIN sketch s ON s.dd = p.dd AND s.bkt = p.bkt
+      GROUP BY p.user_id
+      HAVING MIN(s.cnt) >= $threshold"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -299,29 +338,7 @@ object TimeWindowQueries {
       SELECT h.event_type, h.hour, h.cnt, m.med
       FROM hourly h JOIN med m USING (event_type)
       WHERE h.cnt * 2 > m.med * 3""",
-    "events_heavy_hitters" -> """
-      WITH hashes AS (
-        SELECT user_id, dd,
-               ((user_id * (CASE dd WHEN 0 THEN 31 WHEN 1 THEN 37
-                                    WHEN 2 THEN 41 ELSE 43 END)
-                 + (CASE dd WHEN 0 THEN 7 WHEN 1 THEN 11
-                            WHEN 2 THEN 13 ELSE 17 END))
-                % 1000000007) % 2048 AS bkt
-        FROM events, (SELECT unnest(range(0, 4)) AS dd) t),
-      sketch AS (
-        SELECT dd, bkt, COUNT(*) AS cnt FROM hashes GROUP BY dd, bkt),
-      probes AS (
-        SELECT DISTINCT user_id, dd,
-               ((user_id * (CASE dd WHEN 0 THEN 31 WHEN 1 THEN 37
-                                    WHEN 2 THEN 41 ELSE 43 END)
-                 + (CASE dd WHEN 0 THEN 7 WHEN 1 THEN 11
-                            WHEN 2 THEN 13 ELSE 17 END))
-                % 1000000007) % 2048 AS bkt
-        FROM events, (SELECT unnest(range(0, 4)) AS dd) t)
-      SELECT p.user_id, CAST(MIN(s.cnt) AS BIGINT) AS est
-      FROM probes p JOIN sketch s ON s.dd = p.dd AND s.bkt = p.bkt
-      GROUP BY p.user_id
-      HAVING MIN(s.cnt) >= 80""",
+    "events_heavy_hitters" -> heavyHittersOracleSql(),
     "events_sessionize" -> """
       WITH marked AS (
         SELECT event_id, user_id, ts,

@@ -266,6 +266,24 @@ object VectorQueries {
     e.crossJoin(broadcast(carr))
       .withColumn("adot", cdot(col("carr"), col("embedding")))
 
+  /** The two ADC queries' shared pieces over a (subs, trained-codebook)
+    * pair: the assigned code table, and the per-query LUT of integer
+    * subspace distances to every codeword (PqM×PqK rows per query —
+    * broadcastable at any corpus size). One definition so the
+    * exact-parity arithmetic can never diverge between the exhaustive
+    * and the IVF-filtered query.
+    */
+  private def adcCodesAndLut(subs: DataFrame, cb: DataFrame): (DataFrame, DataFrame) = {
+    val codes = pqAssign(subs, cb)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+    val lut = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
+      .join(broadcast(cb), "sub_id")
+      .select(col("qid"), col("sub_id"), col("code_id").as("code"),
+        pqL2(col("sq"), col("cq")).as("d2"))
+    (codes, lut)
+  }
+
   /** Multi-probe ANN candidate pairs (qid, nn_id), distinct.
     *
     * Scale shape: the probe table is |queries| × 137 × 4 rows — tiny —
@@ -342,8 +360,7 @@ object VectorQueries {
                       ELSE 0 END) AS sq
         FROM scaled, (SELECT unnest(range(0, $PqM)) AS sub_id) m),
       cb0 AS (SELECT vec_id AS code_id, sub_id, sq AS cq FROM q WHERE vec_id < $PqK),
-      ${(1 to rounds).map(pqRoundSql).mkString(",\n      ")},
-      cb AS (SELECT * FROM cb$rounds),
+      ${(1 to rounds).map(pqRoundSql(_) + ",\n      ").mkString}cb AS (SELECT * FROM cb$rounds),
       pqdists AS (
         SELECT q.vec_id, q.sub_id, cb.code_id,
                CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
@@ -381,6 +398,18 @@ object VectorQueries {
         SELECT vec_id, clabel,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot DESC, clabel) AS crn
         FROM scored_cells)"""
+
+  /** Oracle twin of adcCodesAndLut, closing over the PQ CTEs: the
+    * assigned code table, and the query LUT as pqdists RESTRICTED to
+    * the query rows — the identical q×cb integer distance the
+    * assignment ranking used, so the parity-critical arithmetic lives
+    * in exactly one CTE (pqCtesSql's pqdists) for both ADC queries.
+    */
+  private lazy val adcCodesLutSql = s"""codes AS MATERIALIZED (
+        SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
+      lut AS MATERIALIZED (
+        SELECT vec_id AS qid, sub_id, code_id AS code, dist AS d2
+        FROM pqdists WHERE vec_id < $NQueries)"""
 
   private def dotSql(x: String, y: String): String =
     (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)")
@@ -660,16 +689,11 @@ object VectorQueries {
       // otherwise — at 100 TB each re-reads the embeddings table).
       // localCheckpoint, not cache(): freed by the ContextCleaner when
       // the frame goes out of scope (the established jaccard/minhash
-      // hygiene).
+      // hygiene). The trained codebook is checkpointed INSIDE
+      // pqCodebook (once per Lloyd round), so its broadcasts read
+      // materialized blocks with no extra call-site checkpoint.
       val subs = pqSubs(s, d).localCheckpoint()
-      val cb = pqCodebook(subs).localCheckpoint()
-      val codes = pqAssign(subs, cb)
-        .select(col("vec_id"), col("sub_id"), col("code"))
-      val lut = subs.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
-        .join(broadcast(cb), "sub_id")
-        .select(col("qid"), col("sub_id"), col("code_id").as("code"),
-          pqL2(col("sq"), col("cq")).as("d2"))
+      val (codes, lut) = adcCodesAndLut(subs, pqCodebook(subs))
       codes.join(broadcast(lut), Seq("sub_id", "code"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("vec_id"))
@@ -718,15 +742,8 @@ object VectorQueries {
         .filter(col("crn") <= NProbe)
         .select(col("vec_id").as("qid"), col("clabel").as("cell"))
       val subs = pqSubs(s, d).localCheckpoint()
-      val cb = pqCodebook(subs).localCheckpoint()
-      val codes = pqAssign(subs, cb)
-        .select(col("vec_id"), col("sub_id"), col("code"))
-        .join(cells, "vec_id")
-      val lut = subs.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
-        .join(broadcast(cb), "sub_id")
-        .select(col("qid"), col("sub_id"), col("code_id").as("code"),
-          pqL2(col("sq"), col("cq")).as("d2"))
+      val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs))
+      val codes = rawCodes.join(cells, "vec_id")
       codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
         .filter(col("vec_id") =!= col("qid"))
         .join(broadcast(lut), Seq("qid", "sub_id", "code"))
@@ -897,14 +914,7 @@ object VectorQueries {
     // looked-up terms, top-3 by (adist, vec_id).
     "ann_pq_adc_topk" -> s"""
       WITH ${pqCtesSql()},
-      codes AS MATERIALIZED (
-        SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
-      lut AS MATERIALIZED (
-        SELECT q.vec_id AS qid, q.sub_id, cb.code_id AS code,
-               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
-                 i -> (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))),
-                 (a, x) -> a + x) AS BIGINT) AS d2
-        FROM q JOIN cb USING (sub_id) WHERE q.vec_id < $NQueries),
+      $adcCodesLutSql,
       adist AS (
         SELECT l.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
         FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code = c.code
@@ -929,14 +939,7 @@ object VectorQueries {
       ivf_probed AS (
         SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
         WHERE vec_id < $NQueries AND crn <= $NProbe),
-      codes AS MATERIALIZED (
-        SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
-      lut AS MATERIALIZED (
-        SELECT q.vec_id AS qid, q.sub_id, cb.code_id AS code,
-               CAST(list_reduce(list_prepend(0, list_transform(range(1, ${PqSub + 1}),
-                 i -> (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))),
-                 (a, x) -> a + x) AS BIGINT) AS d2
-        FROM q JOIN cb USING (sub_id) WHERE q.vec_id < $NQueries),
+      $adcCodesLutSql,
       adist AS (
         SELECT p.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
         FROM ivf_probed p

@@ -27,17 +27,14 @@ class RegistrySpec extends GraftSpec {
   private val PinnedSize = 168
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
-    val totalAcrossAreas = Seq(
-      queries.ReferenceQueries.queries, queries.RelationalQueries.queries,
-      queries.TextQueries.queries, queries.CurationQueries.queries,
-      queries.VectorQueries.queries, queries.TimeWindowQueries.queries,
-      queries.MultimodalQueries.queries, queries.AdvancedJoinQueries.queries,
-      queries.StreamingGateQueries.queries).map(_.size).sum
+    // both numbers derive from SparkEntry.groups itself, so adding an
+    // area object cannot desynchronize this check from the registry
+    val totalAcrossAreas = SparkEntry.groups.map(_._1.size).sum
     assert(SparkEntry.queries.size === PinnedSize,
       "registry size drifted — update PinnedSize only for a deliberate add/remove")
     // a duplicate name across area maps would survive the ++ union with
     // one implementation silently shadowing the other
-    assert(totalAcrossAreas === PinnedSize,
+    assert(totalAcrossAreas === SparkEntry.queries.size,
       "area maps overlap: a query name is registered twice and one " +
         "implementation is silently shadowed")
   }
