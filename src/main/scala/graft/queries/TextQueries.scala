@@ -232,28 +232,49 @@ object TextQueries {
     * docsets side is tiny relative to cand, so AQE broadcasts it;
     * SortedIntersectCount keeps the per-pair kernel allocation-free.
     */
-  private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
-    // Size-ratio prefilter — LOSSLESS for the J >= 1/2 threshold:
-    // inter <= min(na,nb) and the final 3·inter >= na+nb together force
-    // max(na,nb) <= 2·min(na,nb). Runs on two broadcast-attached ints
-    // BEFORE the array attach, so pairs that cannot pass never carry
-    // their shingle arrays through the plan.
+  /** Shared candidate-verification plumbing: attach each candidate
+    * pair's (na, nb) sizes (broadcast — the per-doc size dim is tiny
+    * relative to cand) and sorted shingle-id arrays, then merge-count
+    * the exact intersection. `sizePrefilter` runs AFTER the two-int
+    * size attach but BEFORE the array attach, so pairs it rejects
+    * never carry their shingle arrays through the plan. Returns
+    * (da, db, na, nb, inter) for the caller's threshold.
+    */
+  private def exactIntersect(cand: DataFrame, sh: DataFrame,
+                             sizePrefilter: DataFrame => DataFrame = identity): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val sets = sh.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sid"))).as("shs"))
-    cand
+    sizePrefilter(cand
       .join(broadcast(sizes.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
-      .filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+      .join(broadcast(sizes.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db"))
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
-      .withColumn("inter",
-        ArrayFunctions.sortedIntersectCount(col("sa"), col("sb")).cast("long"))
-      .withColumn("union_", size(col("sa")).cast("long") + size(col("sb")) - col("inter"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        ArrayFunctions.sortedIntersectCount(col("sa"), col("sb"))
+          .cast("long").as("inter"))
+  }
+
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame =
+    exactIntersect(cand, sh,
+      // Size-ratio prefilter — LOSSLESS for the J >= 1/2 threshold:
+      // inter <= min(na,nb) and the final 3·inter >= na+nb together
+      // force max(na,nb) <= 2·min(na,nb).
+      _.filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2))
+      .withColumn("union_", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("union_"))
       .select(col("da"), col("db"),
         expr("(1000000 * inter) div union_").as("jaccard_ppm"))
-  }
+
+  /** Containment threshold over exact per-candidate intersections —
+    * no size-ratio prefilter (containment deliberately admits any
+    * size ratio; that asymmetry is the operator's point).
+    */
+  private def containmentVerify(cand: DataFrame, sh: DataFrame): DataFrame =
+    exactIntersect(cand, sh)
+      .filter(col("inter") * 5L >= least(col("na"), col("nb")) * 4L)
+      .select(col("da"), col("db"),
+        expr("(1000000 * inter) div least(na, nb)").as("containment_ppm"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -337,6 +358,47 @@ object TextQueries {
         .filter(col("inter") * 5L >= least(col("na"), col("nb")) * 4L)
         .select(col("da"), col("db"),
           expr("(1000000 * inter) div least(na, nb)").as("containment_ppm"))
+    }),
+
+    // Prefix-filtered containment — the asymmetric prefix trick: for
+    // C = |A∩B| / min(|A|,|B|) >= 0.8 the overlap bound ⌈0.8·min⌉
+    // depends only on the SMALLER doc, so the globally-smallest shared
+    // shingle w of any qualifying pair must sit in the smaller doc's
+    // ⌊n/5⌋+1-prefix (pigeonhole over its ⌈0.8n⌉ shared shingles)
+    // while for the larger doc w ∈ B trivially. Candidates therefore
+    // come from joining SMALL-role prefixes (rank ≤ n − ⌈0.8n⌉ + 1,
+    // i.e. 5·(rk−1) ≤ n, under the same global (df, sid) order as
+    // dedup_prefix_jaccard) against FULL postings restricted to
+    // (nsh, doc_id)-lexicographically LARGER docs — Σ df_pref·df join
+    // rows instead of dedup_containment's Σ df², and df_pref is the
+    // ~0.2 tail of each doc's rarest shingles. Measured at sf0.1:
+    // 11.7M vs 59.0M candidate-join rows (5.0×) and a 2.1× wall-clock
+    // win (4.7 s vs 9.7 s TimeOne medians, same host window) — on the
+    // near-UNIFORM synthetic corpus; a Zipfian corpus concentrates
+    // df² on exactly the stop-shingles prefixes exclude, so the
+    // reduction grows with skew. Verification re-counts
+    // the exact intersection per candidate with the merge-intersect
+    // kernel; result spec-pinned identical to dedup_containment.
+    // (A symmetric per-set prefix is UNSOUND here — the partner's size,
+    // hence the overlap bound, is unknown at prefix time; the
+    // small-role/large-role split is what makes the filter lossless.)
+    "dedup_prefix_containment" -> ((s, d) => {
+      val sh = cappedShingleIds(s, d).localCheckpoint()
+      val dfs = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      val ranked = sh.join(dfs, "sid")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val pref = ranked.filter((col("rk") - 1L) * 5L <= col("nsh"))
+        .select(col("doc_id").as("ds"), col("nsh").as("ns"), col("sid"))
+      val full = ranked.select(col("doc_id").as("dl"), col("nsh").as("nl"), col("sid"))
+      val cand = pref.join(full, Seq("sid"))
+        .filter(col("ns") < col("nl") ||
+          (col("ns") === col("nl") && col("ds") < col("dl")))
+        .select(least(col("ds"), col("dl")).as("da"),
+          greatest(col("ds"), col("dl")).as("db"))
+        .distinct()
+      containmentVerify(cand, sh)
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -550,6 +612,53 @@ object TextQueries {
     // before the pair phase.
     "dedup_ngram_jaccard" -> ((s, d) =>
       jaccardDirect(cappedShingleIds(s, d).localCheckpoint())),
+
+    // Prefix-filtered exact Jaccard — the EXACT similarity-join scale
+    // path (AllPairs, Bayardo et al. WWW'07; prefix principle of
+    // Chaudhuri et al. ICDE'06; refined in PPJoin, Xiao et al.
+    // WWW'08): same result as dedup_ngram_jaccard (same capped space,
+    // same J >= 1/2 threshold — PrefixSpec pins pair-set equality),
+    // but candidates come only from each document's PREFIX — its
+    // ⌊n/2⌋+1 RAREST shingles under a global (df, sid) total order —
+    // instead of from every shared shingle.
+    //
+    // Losslessness: J(a,b) >= t implies |a∩b| >= t·|a∪b| >= t·|x| for
+    // both x ∈ {a,b}, so |a∩b| >= ⌈t·|x|⌉ (integer). Let w be the
+    // globally SMALLEST shared shingle: every shared shingle sits at
+    // or after w's rank in each doc, so w's rank in x is at most
+    // |x| − ⌈t·|x|⌉ + 1 — w lies in BOTH prefixes (t = 1/2:
+    // rank ≤ ⌊n/2⌋+1), and the prefix equi-join emits the pair.
+    //
+    // Why it scales where the direct pair join cannot: the direct
+    // shape pays Σ df² over ALL capped shingles — frequent shingles
+    // (df near the cap) dominate that sum, and under the df-ASCENDING
+    // prefix order they are exactly the shingles prefixes exclude.
+    // Candidate volume drops to Σ df_pref² over prefix postings —
+    // measured at sf0.1: 27.0M vs 59.0M candidate-join rows, 2.2× on
+    // this deliberately near-UNIFORM synthetic corpus; on a Zipfian
+    // real-world corpus the df² sum concentrates on exactly the
+    // stop-shingles prefixes exclude, so the reduction grows with
+    // skew. Surviving candidates are verified by the same O(|cand|·doc_len)
+    // merge-intersect kernel as the LSH path — no approximation, no
+    // signature tuning, recall exactly 1 by construction. The per-doc
+    // rank is a doc_id-partitioned window (bounded state, never
+    // corpus-wide); df attach is one sid-keyed shuffle join.
+    "dedup_prefix_jaccard" -> ((s, d) => {
+      val sh = cappedShingleIds(s, d).localCheckpoint()
+      val dfs = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      val pref = sh.join(dfs, "sid")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+        // rk ≤ ⌊nsh/2⌋+1 ⟺ 2·(rk−1) ≤ nsh, with nsh = per-doc count.
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter((col("rk") - 1L) * 2L <= col("nsh"))
+        .select(col("doc_id"), col("sid"))
+      val cand = pref.select(col("doc_id").as("da"), col("sid"))
+        .join(pref.select(col("doc_id").as("db"), col("sid")), Seq("sid"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      jaccardVerify(cand, sh)
+    }),
 
     // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
     // candidates from per-band equi-joins, then exact-Jaccard
@@ -836,6 +945,28 @@ object TextQueries {
       + ascii(substring(rpad(sh, 4, '_'), 3, 1)) * 128
       + ascii(substring(rpad(sh, 4, '_'), 4, 1)))"""
 
+  /** Threshold-containment SQL over the capped shingle space — ONE
+    * definition serving both dedup_containment and its prefix-filtered
+    * twin (the filter is lossless, so WHAT is identical).
+    */
+  private val containmentSql = s"""
+      WITH $shinglesCte,
+      capped AS (
+        SELECT doc_id, sh FROM shing WHERE sh IN (
+          SELECT sh FROM shing GROUP BY sh HAVING COUNT(*) <= $DfCapK)),
+      sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM capped GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.da, i.db,
+             CAST((1000000 * i.inter) // least(a.nsh, b.nsh) AS BIGINT)
+               AS containment_ppm
+      FROM inter i
+      JOIN sizes a ON a.doc_id = i.da
+      JOIN sizes b ON b.doc_id = i.db
+      WHERE i.inter * 5 >= least(a.nsh, b.nsh) * 4"""
+
   /** Threshold-Jaccard SQL over shingle set `set` (a CTE named in
     * `extraCte` when it isn't the shared `shing`).
     */
@@ -1103,26 +1234,28 @@ object TextQueries {
                     [${StopWords.map(w => s"'$w'").mkString(", ")}])) >= 2)
                AS passes
       FROM (SELECT doc_id, $wordsSql AS w FROM documents)""",
-    "dedup_containment" -> s"""
-      WITH $shinglesCte,
-      capped AS (
-        SELECT doc_id, sh FROM shing WHERE sh IN (
-          SELECT sh FROM shing GROUP BY sh HAVING COUNT(*) <= $DfCapK)),
-      sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM capped GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT i.da, i.db,
-             CAST((1000000 * i.inter) // least(a.nsh, b.nsh) AS BIGINT)
-               AS containment_ppm
-      FROM inter i
-      JOIN sizes a ON a.doc_id = i.da
-      JOIN sizes b ON b.doc_id = i.db
-      WHERE i.inter * 5 >= least(a.nsh, b.nsh) * 4""",
+    "dedup_containment" -> containmentSql,
+    // Lossless prefix filter (see the query's proof comment) — the
+    // oracle is the SAME full threshold-containment definition; only
+    // Spark-side candidate generation differs.
+    "dedup_prefix_containment" -> containmentSql,
     // Same absolute DfCapK cap as the Spark plan — feature space and
     // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
+      """cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id)""",
+      set = "capped",
+      extraCte = s"""
+        capped AS (
+          SELECT doc_id, sh FROM shing WHERE sh IN (
+            SELECT sh FROM shing GROUP BY sh
+            HAVING COUNT(*) <= $DfCapK)),"""),
+    // The prefix filter is lossless (see the query's proof comment), so
+    // the oracle is the SAME full threshold-Jaccard definition as
+    // dedup_ngram_jaccard — DuckDB states WHAT the result is; only the
+    // Spark-side candidate generation differs.
+    "dedup_prefix_jaccard" -> jaccardSql(
       """cand AS (
            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id)""",

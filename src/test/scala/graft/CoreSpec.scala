@@ -232,4 +232,35 @@ class CoreSpec extends GraftSpec {
       .agg(countDistinct(col("sh"))).head().getLong(0)
     assert(stats === shingles)
   }
+
+  test("prefix-filtered Jaccard is lossless: pair set identical to the direct join") {
+    // The AllPairs prefix filter prunes candidate GENERATION only; the
+    // final thresholded pair set must equal dedup_ngram_jaccard's exactly
+    // (same capped space, same J >= 1/2 threshold). sf0.01 so the corpus
+    // has real near-dup pairs (25 at this scale).
+    val d = "/root/testdata/sf0.01"
+    val q = graft.queries.TextQueries.queries
+    def pairs(name: String): Set[(Long, Long, Long)] =
+      q(name)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = pairs("dedup_ngram_jaccard")
+    val prefixed = pairs("dedup_prefix_jaccard")
+    assert(prefixed === direct)
+    assert(direct.nonEmpty, "gate corpus lost its planted near-dups")
+  }
+
+  test("prefix-filtered containment is lossless: pair set identical to the direct join") {
+    // The asymmetric small-role-prefix / large-role-full filter must not
+    // drop any C >= 0.8 pair (the proof needs the SMALLER doc's overlap
+    // bound only — a symmetric prefix would be unsound here).
+    val d = "/root/testdata/sf0.01"
+    val q = graft.queries.TextQueries.queries
+    def pairs(name: String): Set[(Long, Long, Long)] =
+      q(name)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = pairs("dedup_containment")
+    val prefixed = pairs("dedup_prefix_containment")
+    assert(prefixed === direct)
+    assert(direct.nonEmpty, "gate corpus lost its planted containment pairs")
+  }
 }

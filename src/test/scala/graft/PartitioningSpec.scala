@@ -206,6 +206,18 @@ class PartitioningSpec extends GraftSpec {
       assert(!plan.contains("Window"), s"$q plan must not contain a Window")
       spark.catalog.clearCache()
     }
+    // The prefix-filtered twins DO use a Window (the per-doc rarity
+    // rank) — pin that every one of them is doc_id-PARTITIONED; an
+    // unpartitioned rank would serialize the corpus through one task.
+    for (q <- Seq("dedup_prefix_jaccard", "dedup_prefix_containment")) {
+      val plan = graft.queries.TextQueries.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      val globalWindow = plan.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("doc_id"))
+      assert(!globalWindow,
+        s"$q: every Window must be partitioned by doc_id")
+      spark.catalog.clearCache()
+    }
   }
 
   test("LSH candidate generation is a broadcast join of probes, corpus unshuffled") {
