@@ -253,6 +253,30 @@ class VectorSpec extends GraftSpec {
     }
   }
 
+  test("PQ codebook size is the recall knob: k=64 beats the k=16 default") {
+    // The Lloyd-rounds measurement showed recall is bound by CODEBOOK
+    // SIZE, not training convergence — this is the other half of that
+    // claim, measured: the same exhaustive-ADC query shape over a
+    // 4x-larger trained codebook (k=64, rounds=1) must recover more of
+    // the true top-3 than the registered k=16 default. Registered
+    // queries keep k=16 (oracle CTEs are generated from the constant);
+    // k is where a production deployment buys recall (typically 256).
+    val d = "/root/testdata/sf0.01"
+    val vq = graft.queries.VectorQueries
+    val subs = vq.pqSubs(spark, d).localCheckpoint()
+    val brute = annPairs("ann_brute_topk", d)
+    def recallAt(k: Int): Double = {
+      val pairs = vq.adcTopk(subs, vq.pqCodebook(subs, k = k))
+        .select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.intersect(brute).size.toDouble / brute.size
+    }
+    val r16 = recallAt(16)
+    val r64 = recallAt(64)
+    info(s"adc recall@3 vs brute: k=16 -> $r16, k=64 -> $r64")
+    assert(r64 > r16, s"k=64 recall $r64 not above k=16 recall $r16")
+  }
+
   test("IVFADC: recall floor vs brute force; exactly top-3 per query") {
     // The composed query (cell filter -> ADC) loses recall at BOTH
     // stages — cell pruning and PQ distortion — so its floor sits
