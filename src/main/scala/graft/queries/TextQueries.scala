@@ -183,6 +183,13 @@ object TextQueries {
     */
   private val DfCapK = 300
 
+  /** Duplicated-substring window length in words (dedup_substring_spans):
+    * the ExactSubstr threshold, scaled from the paper's 50 BPE tokens to
+    * this corpus's ~50-word documents. Below ~6 the tiny synthetic
+    * vocabulary produces chance collisions (measured at sf0.1).
+    */
+  private val SubstrL = 8
+
   /** df-capped shingle space: shingles seen in more than DfCapK
     * documents are dropped BEFORE the pair join, bounding the O(Σ df²)
     * pair blow-up that stop-shingles cause (one bigram shared by 10⁶
@@ -399,6 +406,74 @@ object TextQueries {
           greatest(col("ds"), col("dl")).as("db"))
         .distinct()
       containmentVerify(cand, sh)
+    }),
+
+    // Exact duplicated-substring spans — the ExactSubstr regime of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better" (ACL 2022): any L-token word sequence occurring ≥ 2
+    // times ANYWHERE in the corpus (another document, or another
+    // position of the same document) marks each of its occurrences as
+    // duplicated, and overlapping-or-adjacent marked windows merge
+    // into maximal spans per document — the span inventory a training
+    // pipeline either cuts out or uses to drop the document. The
+    // published implementation builds one corpus-wide suffix array; a
+    // suffix array is exactly the machinery a SINGLE MACHINE needs to
+    // avoid materializing every length-L window, while a shuffle
+    // engine does the opposite trade: materialize the narrow
+    // (gram-hash, doc, start) stream and let map-side combine + one
+    // hash exchange count occurrences. The result is LINEAR in corpus
+    // size — no pair join anywhere, so this is the one dedup family
+    // member whose cost is independent of duplicate density (Jaccard/
+    // containment/LSH all pay for the pairs they find); the span
+    // merge is the events_sessionize gaps-and-islands shape under a
+    // doc-keyed window (bounded state, never corpus-wide). L = 8 at
+    // word granularity (the paper's 50 BPE tokens, scaled to these
+    // ~50-word documents; at L < 6 the tiny synthetic vocabulary
+    // starts colliding by chance — measured 2,064 flagged docs at
+    // L=5 vs 477 at L=8 on sf0.1, the latter the planted duplicates).
+    // Grams intern to xxhash64 like the shingle space (collision note
+    // at docShingleIds; the oracle keys the raw gram string, so a
+    // test-scale collision would surface as a hash mismatch). The
+    // duplicated-gram set is itself corpus-scale on a boilerplate-heavy
+    // real corpus — the semi join is gid-keyed either way (AQE
+    // broadcasts it at test scale, shuffle-joins it at 100 TB); nothing
+    // assumes the dup set fits anywhere.
+    "dedup_substring_spans" -> ((s, d) => {
+      val L = SubstrL
+      // The gram stream feeds BOTH the occurrence-count subtree and the
+      // span side; localCheckpoint materializes the window explode +
+      // xxhash64 once instead of per subtree (measured 1.72 → 1.29 s
+      // TimeOne median at sf0.1; blocks freed by the ContextCleaner —
+      // the cache() hygiene note at dedup_minhash_lsh applies).
+      val g = docWords(s, d).filter(size(col("w")) >= L)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          posexplode(transform(
+            sequence(lit(1), size(col("w")) - (L - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(L)))))))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1L).as("s"), (col("pos") + lit(L.toLong)).as("e"),
+          col("col").as("gid"))
+        .localCheckpoint()
+      val dup = g.groupBy(col("gid")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2L).select(col("gid"))
+      // (doc_id, s) is unique by construction — one gram per position —
+      // so the running-max window below is deterministic without a
+      // tie-break column.
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val isl = g.join(dup, Seq("gid"), "left_semi")
+        .withColumn("new_isl",
+          when(col("s") > coalesce(
+            max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)) + 1L, 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_isl")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy(col("doc_id"), col("n_tokens"), col("island"))
+        .agg((max(col("e")) - min(col("s")) + 1L).as("covered"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("dup_tokens"),
+          expr("(1000000 * dup_tokens) div n_tokens").as("dup_ppm"))
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -1239,6 +1314,39 @@ object TextQueries {
     // oracle is the SAME full threshold-containment definition; only
     // Spark-side candidate generation differs.
     "dedup_prefix_containment" -> containmentSql,
+    // ExactSubstr spans: the oracle keys RAW gram strings (no interning)
+    // — a Spark-side xxhash64 collision would surface as a mismatch.
+    // DuckDB list slicing w[i:j] is 1-based inclusive; CASTs pin BIGINT
+    // against DuckDB's HUGEINT sum.
+    "dedup_substring_spans" -> s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      grams AS (
+        SELECT doc_id, len(w) AS n_tokens, i AS s, i + ${SubstrL - 1} AS e,
+               array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
+        FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
+        WHERE len(w) >= $SubstrL),
+      dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      occ AS (SELECT doc_id, n_tokens, s, e FROM grams SEMI JOIN dup USING (gram)),
+      isl AS (
+        SELECT doc_id, n_tokens, s, e,
+          CASE WHEN s > coalesce(max(e) OVER (
+              PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+            THEN 1 ELSE 0 END AS new_isl
+        FROM occ),
+      isl2 AS (
+        SELECT doc_id, n_tokens, s, e,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, n_tokens, island, max(e) - min(s) + 1 AS covered
+        FROM isl2 GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens,
+             (1000000 * CAST(sum(covered) AS BIGINT)) // n_tokens AS dup_ppm
+      FROM spans GROUP BY doc_id, n_tokens""",
     // Same absolute DfCapK cap as the Spark plan — feature space and
     // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(

@@ -263,4 +263,44 @@ class CoreSpec extends GraftSpec {
     assert(prefixed === direct)
     assert(direct.nonEmpty, "gate corpus lost its planted containment pairs")
   }
+
+  test("ExactSubstr spans match a driver-side reimplementation on the sf0.001 corpus") {
+    // Independent ground truth: re-derive the whole operator in plain
+    // Scala over the collected corpus (50 docs at sf0.001) — tokenize,
+    // enumerate L-windows, count RAW GRAM STRINGS globally (no
+    // interning, so this doubles as a collision check on the Spark
+    // side's xxhash64 keys), merge overlapping-or-adjacent duplicated
+    // windows, and compare every output column.
+    val d = "/root/testdata/sf0.001"
+    val L = 8
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val occCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- docs; i <- 0 to w.length - L)
+      occCount.updateWith(w.slice(i, i + L).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = docs.flatMap { case (id, w) =>
+      val marked = (0 to w.length - L)
+        .filter(i => occCount(w.slice(i, i + L).mkString(" ")) >= 2)
+        .map(i => (i + 1, i + L)) // 1-based inclusive token spans
+      if (marked.isEmpty) None
+      else {
+        // merge overlapping-or-adjacent into maximal spans
+        val spans = marked.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: tl, (s, e)) if s <= e0 + 1 =>
+            (s0, math.max(e0, e)) :: tl
+          case (acc, span) => span :: acc
+        }
+        val dup = spans.map { case (s, e) => e - s + 1 }.sum.toLong
+        Some(id -> (w.length.toLong, spans.length.toLong, dup,
+          1000000L * dup / w.length))
+      }
+    }
+    val out = graft.queries.TextQueries.queries("dedup_substring_spans")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty, "gate corpus lost its planted duplicates")
+    assert(out === expected)
+  }
 }
