@@ -40,10 +40,13 @@ object StreamingGateQueries {
   private def runStream(s: SparkSession, path: String,
                         normalize: DataFrame => DataFrame,
                         agg: DataFrame => DataFrame,
-                        mode: OutputMode = OutputMode.Complete()): DataFrame =
+                        mode: OutputMode = OutputMode.Complete(),
+                        stager: (SparkSession, String, String,
+                          DataFrame => DataFrame) => (DataFrame, String)
+                          = stageStream): DataFrame =
     withGateParts(s) {
       val name = s"gate_stream_${runId.incrementAndGet()}"
-      val (src, ckpt) = stageStream(s, path, name, normalize)
+      val (src, ckpt) = stager(s, path, name, normalize)
       val q = agg(src).writeStream
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
@@ -439,6 +442,37 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // The ExactSubstr duplicated-gram inventory (what
+    // dedup_substring_spans' span phase is driven by) built AS
+    // STREAMING STATE: documents arrive as three deterministic
+    // micro-batches (doc_id % 3), each arriving doc explodes through
+    // the SAME substrGramRows window generator the batch operator uses
+    // (stateless and window-free — exactly what makes it legal over a
+    // streaming frame), and per-gram occurrence counts accumulate in
+    // the state store across batches. The cross-batch substance is
+    // real: a gram whose two occurrences arrive in DIFFERENT batches
+    // reaches occ >= 2 only because the count state persisted between
+    // them. Complete mode emits the final inventory, and the
+    // (gram, occ) >= 2 SET is deterministic under any arrival order
+    // (running counts per batch are not — same emit-the-SET reasoning
+    // as stream_dedup_docs). State is the full gram-count inventory —
+    // the unbounded regime, like stream_dedup_docs/chunks; the
+    // watermark-bounded machinery these need at 100 TB is proven by
+    // stream_dedup_events_wm and stream_dedup_chunks_wm_evict. The
+    // gate keys state by the raw gram string so the oracle can state
+    // the inventory portably; production (and the batch plan) keys the
+    // fixed-width xxhash64 of it.
+    "stream_dedup_substring" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => TextQueries.substrGramRows(df.select(col("doc_id"), col("text")))
+          .groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2L),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 3).map(i => col("doc_id") % 3 === i)))
+    }),
+
     // The incremental-ingest dedup (CurationQueries.dedup_incremental)
     // on the engine's streaming face — the production shape where the
     // historical store sits still and only the delta streams: arriving
@@ -738,6 +772,10 @@ object StreamingGateQueries {
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         AS fingerprint
       FROM documents""",
+    // Streaming ≡ batch for the duplicated-gram inventory: the final
+    // Complete-mode counts equal the batch GROUP BY whatever the
+    // batch split (shared definition in TextQueries.substrDupSql).
+    "stream_dedup_substring" -> TextQueries.substrDupSql,
     // Streaming ≡ batch for the surviving-delta fingerprint set: the
     // stream-static anti join and the in-stream dedup reduce to the
     // same set algebra as dedup_incremental's, minus the survivor ids.

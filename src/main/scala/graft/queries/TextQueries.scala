@@ -190,6 +190,40 @@ object TextQueries {
     */
   private val SubstrL = 8
 
+  /** One row per length-SubstrL token window: (doc_id, n_tokens, s, e,
+    * gram) with 1-based inclusive token span [s, e] and the raw gram
+    * STRING — shared by dedup_substring_spans and its streaming twin
+    * (one definition, zero drift; the chunkRows device). Stateless and
+    * window-free, so it is legal over a streaming frame. Callers that
+    * only key on gram identity hash it (xxhash64) to a fixed-width
+    * shuffle key.
+    */
+  private[graft] def substrGramRows(docs: DataFrame): DataFrame = {
+    val L = SubstrL
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("w")) - (L - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(L))))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1L).as("s"), (col("pos") + lit(L.toLong)).as("e"),
+        col("col").as("gram"))
+  }
+
+  /** The duplicated-gram inventory dedup_substring_spans is driven by,
+    * stated over raw gram strings (engine-portable — both sides can
+    * compute it; the streaming twin's oracle). A def, not a val:
+    * `wordsSql` initializes later in this object. */
+  private[queries] def substrDupSql: String = s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      grams AS (
+        SELECT array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
+        FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
+        WHERE len(w) >= $SubstrL)
+      SELECT gram, CAST(count(*) AS BIGINT) AS occ
+      FROM grams GROUP BY gram HAVING count(*) >= 2"""
+
   /** df-capped shingle space: shingles seen in more than DfCapK
     * documents are dropped BEFORE the pair join, bounding the O(Σ df²)
     * pair blow-up that stop-shingles cause (one bigram shared by 10⁶
@@ -439,20 +473,15 @@ object TextQueries {
     // broadcasts it at test scale, shuffle-joins it at 100 TB); nothing
     // assumes the dup set fits anywhere.
     "dedup_substring_spans" -> ((s, d) => {
-      val L = SubstrL
       // The gram stream feeds BOTH the occurrence-count subtree and the
       // span side; localCheckpoint materializes the window explode +
       // xxhash64 once instead of per subtree (measured 1.72 → 1.29 s
       // TimeOne median at sf0.1; blocks freed by the ContextCleaner —
       // the cache() hygiene note at dedup_minhash_lsh applies).
-      val g = docWords(s, d).filter(size(col("w")) >= L)
-        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-          posexplode(transform(
-            sequence(lit(1), size(col("w")) - (L - 1)),
-            i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(L)))))))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("pos") + 1L).as("s"), (col("pos") + lit(L.toLong)).as("e"),
-          col("col").as("gid"))
+      val g = substrGramRows(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("s"), col("e"),
+          xxhash64(col("gram")).as("gid"))
         .localCheckpoint()
       val dup = g.groupBy(col("gid")).agg(count(lit(1)).as("occ"))
         .filter(col("occ") >= 2L).select(col("gid"))

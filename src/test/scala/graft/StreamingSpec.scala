@@ -289,6 +289,35 @@ class StreamingSpec extends GraftSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
+    // stream_dedup_substring's claim is that per-gram occurrence
+    // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
+    // both halves: (a) the streamed duplicated-gram inventory equals
+    // the batch GROUP BY, and (b) the corpus genuinely has duplicated
+    // grams whose occurrences span >= 2 different batches (751 at
+    // sf0.001) — without (b) a state store that dropped counts at
+    // every batch boundary would still pass (a).
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.StreamingGateQueries
+      .queries("stream_dedup_substring")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val grams = graft.queries.TextQueries.substrGramRows(
+      spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    val batch = grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    val crossBatch = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id") % 3).as("nb"), count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2L && col("nb") >= 2L)
+      .count()
+    assert(crossBatch > 0L,
+      "no duplicated gram spans two staged batches — the gate no longer exercises cross-batch state")
+  }
+
   test("streaming dedup drops redelivered ids (F5)") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[(String, java.sql.Timestamp, String)]
