@@ -248,6 +248,41 @@ object TextQueries {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash LSH with the BANDING GEOMETRY as a knob: the 8-hash
+    * signature partitions into `bands` bands of `rows` consecutive
+    * hashes (bands·rows = 8 — same signature, different slicing, so
+    * the knob changes CANDIDATE GENERATION only). The banding theorem
+    * (Leskovec/Rajaraman/Ullman, MMDS §3.4): a pair with Jaccard s
+    * becomes a candidate with probability 1 − (1 − s^rows)^bands — an
+    * s-curve whose threshold ≈ (1/bands)^(1/rows). rows=1 catches any
+    * single matching hash (recall-heavy, candidate-heavy); rows=8
+    * demands the full signature match (precision-heavy). Because a
+    * coarser banding's band is a concatenation of a finer banding's
+    * bands, candidate sets NEST: (8,1) ⊇ (4,2) ⊇ (2,4) ⊇ (1,8) — and
+    * the exact-Jaccard verification applies the same threshold to
+    * each, so the VERIFIED pair sets nest too (CoreSpec pins both
+    * directions at two geometry steps). The registered query pins the
+    * (4,2) default; at 100 TB the knob trades shuffle volume
+    * (candidate pairs) against recall with the published curve.
+    */
+  private[graft] def minhashPairs(s: SparkSession, d: String,
+                                  bands: Int = 4, rows: Int = 2): DataFrame = {
+    require(bands * rows == minhashCoef.length,
+      s"banding must tile the ${minhashCoef.length}-hash signature")
+    val sh = docShingles(s, d).localCheckpoint()
+    val sig = signatures(sh).localCheckpoint()
+    val cand = (0 until bands).map { b =>
+      val ms = (b * rows until (b + 1) * rows).map(i => s"m${i + 1}")
+      val keys = ms.indices.map(j => s"k$j")
+      def side(as: String) = sig.select(
+        (col("doc_id").as(as) +: ms.zip(keys).map { case (m, k) => col(m).as(k) }): _*)
+      side("da").join(side("db"), keys).filter(col("da") < col("db"))
+        .select(col("da"), col("db"))
+    }.reduce(_ unionAll _)
+    jaccardVerify(cand.distinct(),
+      sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
+  }
+
   /** Exact Jaccard over ALL pairs sharing ≥1 shingle, in one pass: the
     * shingle self-join feeds a (da,db) count aggregate directly — no
     * candidate materialization, no re-expansion. The join output is
@@ -764,7 +799,9 @@ object TextQueries {
       jaccardVerify(cand, sh)
     }),
 
-    // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows;
+    // MinHash + LSH: 8 portable hash functions, 4 bands × 2 rows (the
+    // banding geometry is a knob — minhashPairs — with the s-curve
+    // nesting spec-pinned; this registers the (4,2) default);
     // candidates from per-band equi-joins, then exact-Jaccard
     // verification. Candidates ARE deduplicated before verification
     // (measured ~17% faster at sf0.1): on this dense corpus cross-band
@@ -798,17 +835,7 @@ object TextQueries {
       // the exact contamination its clearCache-per-rep design exists
       // to prevent. The within-query sharing below is the honest
       // extent of reuse.
-      val sh = docShingles(s, d).localCheckpoint()
-      val sig = signatures(sh).localCheckpoint()
-      val bands = Seq(("m1", "m2"), ("m3", "m4"), ("m5", "m6"), ("m7", "m8"))
-      val cand = bands.map { case (x, y) =>
-        val l = sig.select(col("doc_id").as("da"), col(x).as("bx"), col(y).as("by"))
-        val r = sig.select(col("doc_id").as("db"), col(x).as("bx"), col(y).as("by"))
-        l.join(r, Seq("bx", "by")).filter(col("da") < col("db"))
-          .select(col("da"), col("db"))
-      }.reduce(_ unionAll _)
-      jaccardVerify(cand.distinct(),
-        sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
+      minhashPairs(s, d)
     }),
 
     // Transitive clustering of the TEXT near-dup pairs — the MinHash

@@ -264,6 +264,35 @@ class CoreSpec extends GraftSpec {
     assert(direct.nonEmpty, "gate corpus lost its planted containment pairs")
   }
 
+  test("MinHash banding geometry: verified pair sets nest (8,1) ⊇ (4,2) ⊇ (2,4); default pinned") {
+    // Same 8-hash signature, different banding: a coarser banding's
+    // band is a concatenation of a finer one's, so candidates — and,
+    // under the same exact-Jaccard verification threshold, verified
+    // pairs — can only shrink as rows grow (MMDS §3.4 s-curve:
+    // threshold ≈ (1/b)^(1/r)). Also pins that the registered query
+    // IS the (4,2) geometry and that the recall-heavy (8,1) end
+    // reaches the full direct-join pair set on the gate corpus.
+    val d = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p81 = pairs(graft.queries.TextQueries.minhashPairs(spark, d, 8, 1))
+    val p42 = pairs(graft.queries.TextQueries.minhashPairs(spark, d, 4, 2))
+    val p24 = pairs(graft.queries.TextQueries.minhashPairs(spark, d, 2, 4))
+    assert(p42.subsetOf(p81) && p24.subsetOf(p42))
+    assert(p42 === pairs(
+      graft.queries.TextQueries.queries("dedup_minhash_lsh")(spark, d)
+        .select(col("da"), col("db"))))
+    assert(p42.nonEmpty, "gate corpus lost its planted near-dups")
+    // rows=1 candidates need only ONE matching hash (per-pair candidate
+    // probability 1 − (1−s)^8 ≥ 0.996 at s = 0.5) — on this gate corpus
+    // that recovers every direct-Jaccard pair (recall 1 at the
+    // recall-heavy end of the curve; 25 pairs at sf0.01).
+    val direct = pairs(graft.queries.TextQueries
+      .queries("dedup_ngram_jaccard")(spark, d).select(col("da"), col("db")))
+    assert((direct -- p81).isEmpty,
+      s"(8,1) banding missed direct pairs: ${(direct -- p81).take(5)}")
+  }
+
   test("ExactSubstr spans match a driver-side reimplementation on the sf0.001 corpus") {
     // Independent ground truth: re-derive the whole operator in plain
     // Scala over the collected corpus (50 docs at sf0.001) — tokenize,
