@@ -224,6 +224,39 @@ object TextQueries {
       SELECT gram, CAST(count(*) AS BIGINT) AS occ
       FROM grams GROUP BY gram HAVING count(*) >= 2"""
 
+  /** The full ExactSubstr span result as SQL — dedup_substring_spans'
+    * oracle, also embedded as a CTE by dedup_substring_budget's (a
+    * def: `wordsSql` initializes later in this object). */
+  private[queries] def substrSpansSql: String = s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      grams AS (
+        SELECT doc_id, len(w) AS n_tokens, i AS s, i + ${SubstrL - 1} AS e,
+               array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
+        FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
+        WHERE len(w) >= $SubstrL),
+      dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+      occ AS (SELECT doc_id, n_tokens, s, e FROM grams SEMI JOIN dup USING (gram)),
+      isl AS (
+        SELECT doc_id, n_tokens, s, e,
+          CASE WHEN s > coalesce(max(e) OVER (
+              PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+            THEN 1 ELSE 0 END AS new_isl
+        FROM occ),
+      isl2 AS (
+        SELECT doc_id, n_tokens, s, e,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, n_tokens, island, max(e) - min(s) + 1 AS covered
+        FROM isl2 GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens,
+             (1000000 * CAST(sum(covered) AS BIGINT)) // n_tokens AS dup_ppm
+      FROM spans GROUP BY doc_id, n_tokens"""
+
   /** df-capped shingle space: shingles seen in more than DfCapK
     * documents are dropped BEFORE the pair join, bounding the O(Σ df²)
     * pair blow-up that stop-shingles cause (one bigram shared by 10⁶
@@ -538,6 +571,31 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           col("dup_tokens"),
           expr("(1000000 * dup_tokens) div n_tokens").as("dup_ppm"))
+    }),
+
+    // The span inventory composed into the number a training run is
+    // actually provisioned from: per-source document count, raw token
+    // count, tokens inside duplicated spans, and the surviving budget
+    // after ExactSubstr cutting (Lee et al. cut the spans, not the
+    // documents — so the budget is token-level, unlike
+    // dedup_e2e_pipeline's doc-level keep/drop). One narrow corpus
+    // scan left-joined with the span inventory on doc_id (docs with
+    // no duplicated span contribute zero cut tokens), then one
+    // source-keyed aggregate — at 100 TB the join carries
+    // (doc_id, dup_tokens) only, never text.
+    "dedup_substring_budget" -> ((s, d) => {
+      val spans = queries("dedup_substring_spans")(s, d)
+        .select(col("doc_id"), col("dup_tokens"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+          (sum(col("n_tokens")) - sum(coalesce(col("dup_tokens"), lit(0L))))
+            .as("kept_tokens"))
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -1374,35 +1432,22 @@ object TextQueries {
     // — a Spark-side xxhash64 collision would surface as a mismatch.
     // DuckDB list slicing w[i:j] is 1-based inclusive; CASTs pin BIGINT
     // against DuckDB's HUGEINT sum.
-    "dedup_substring_spans" -> s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      grams AS (
-        SELECT doc_id, len(w) AS n_tokens, i AS s, i + ${SubstrL - 1} AS e,
-               array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
-        FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
-        WHERE len(w) >= $SubstrL),
-      dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-      occ AS (SELECT doc_id, n_tokens, s, e FROM grams SEMI JOIN dup USING (gram)),
-      isl AS (
-        SELECT doc_id, n_tokens, s, e,
-          CASE WHEN s > coalesce(max(e) OVER (
-              PARTITION BY doc_id ORDER BY s
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
-            THEN 1 ELSE 0 END AS new_isl
-        FROM occ),
-      isl2 AS (
-        SELECT doc_id, n_tokens, s, e,
-          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        FROM isl),
-      spans AS (
-        SELECT doc_id, n_tokens, island, max(e) - min(s) + 1 AS covered
-        FROM isl2 GROUP BY doc_id, n_tokens, island)
-      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             CAST(count(*) AS BIGINT) AS n_spans,
-             CAST(sum(covered) AS BIGINT) AS dup_tokens,
-             (1000000 * CAST(sum(covered) AS BIGINT)) // n_tokens AS dup_ppm
-      FROM spans GROUP BY doc_id, n_tokens""",
+    "dedup_substring_spans" -> substrSpansSql,
+    // The span inventory joined back to the corpus as a per-source
+    // token budget (the shared substrSpansSql CTE states the spans).
+    "dedup_substring_budget" -> s"""
+      WITH spans AS ($substrSpansSql),
+      toks AS (
+        SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(s.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+             CAST(sum(t.n_tokens) - sum(coalesce(s.dup_tokens, 0)) AS BIGINT)
+               AS kept_tokens
+      FROM toks t LEFT JOIN spans s USING (doc_id)
+      GROUP BY t.source""",
     // Same absolute DfCapK cap as the Spark plan — feature space and
     // result are defined over the capped shingle set on BOTH engines.
     "dedup_ngram_jaccard" -> jaccardSql(
