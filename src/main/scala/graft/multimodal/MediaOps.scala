@@ -168,6 +168,36 @@ object MediaOps {
       out
     }
 
+    /** Deterministic RIFF/WAV synthesis — the audio twin of
+      * ppmFromBytes: 16-bit PCM, one sample per source byte
+      * (value (b − 128)·256), truncated to a whole number of
+      * per-channel frames so `data` splits evenly across channels.
+      * Every container field is a pure function of (src.length, rate,
+      * channels), which is what lets the DuckDB oracle state the
+      * parse-back result without a binary parser (mm_audio_meta).
+      */
+    private[graft] def wavFromBytes(src: Array[Byte], rate: Int,
+                                    channels: Int): Array[Byte] = {
+      require(rate > 0 && channels > 0, "wavFromBytes needs positive params")
+      val nUsable = src.length - src.length % channels
+      val dataLen = 2 * nUsable
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var j = 0
+      while (j < nUsable) {
+        bb.putShort((((src(j) & 0xff) - 128) * 256).toShort)
+        j += 1
+      }
+      bb.array()
+    }
+
     /** PERCEPTUAL HASH of a P6 payload with a PARAMETERIZED geometry,
       * returned as `nBands` bands of grid²/nBands bits each (band k =
       * hash bits [k·bandBits, (k+1)·bandBits)): nearest-neighbor

@@ -79,6 +79,27 @@ object MultimodalQueries {
   private def imageMedia(s: SparkSession, d: String): Dataset[MediaOps.Media] =
     imageMediaRows(Tables.documents(s, d))
 
+  /** Synthesized audio corpus: every audio-kind document becomes a REAL
+    * RIFF/WAV PCM payload (MediaOps.Codec.wavFromBytes) whose container
+    * parameters are pure functions of doc_id — sample rate cycles
+    * {8000, 12000, 16000} Hz over doc_id%9 and channel count mono/
+    * stereo over doc_id%2 — and whose samples come from the text bytes.
+    * Same ASCII-only enforcement (and reason) as imageMediaRows.
+    */
+  private[graft] def audioMediaRows(docs: DataFrame): Dataset[MediaOps.Media] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaOps.Media(id, "audio",
+          MediaOps.Codec.wavFromBytes(text.getBytes("US-ASCII"),
+            8000 + 4000 * ((id % 9) / 3).toInt, 1 + (id % 2).toInt))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Typed metadata extraction: one narrow projection over the scan.
@@ -157,6 +178,31 @@ object MultimodalQueries {
         queries("mm_dedup_phash")(s, d).select(col("da"), col("db")))
         .select(col("id").as("media_id"), col("comp").as("cluster_id"))),
 
+    // AUDIO metadata round-trip — the modality's driver gate (images
+    // have phash/resize/transcode; this closes audio): synthesized
+    // REAL WAV containers are parsed BACK by the real chunk-walking
+    // parser (MediaOps.Codec.parseWav) in executor JVMs, and the gate
+    // holds because the oracle states what the parse must recover —
+    // every container field is a pure function of (doc_id,
+    // byte-length), so DuckDB needs arithmetic, not a binary parser.
+    // A synthesis/parse disagreement on any field (rate, channels,
+    // per-channel sample count, byte size, floor-divided duration)
+    // breaks the hash match. Fail-loud: a payload the parser rejects
+    // is a task error, not a dropped row — the query's contract is
+    // that everything it synthesizes parses.
+    "mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      audioMediaRows(Tables.documents(s, d))
+        .map { m =>
+          val (rate, ch, n) = MediaOps.Codec.parseWav(m.payload)
+            .getOrElse(sys.error(s"synthesized WAV failed to parse: ${m.media_id}"))
+          (m.media_id, m.payload.length.toLong, rate.toLong, ch.toLong,
+            n.toLong, 1000L * n / rate)
+        }
+        .toDF("media_id", "n_bytes", "sample_rate", "channels",
+          "n_samples", "duration_ms")
+    }),
+
     // Frame sampling: fixed 16-byte frames, every 4th frame fingerprinted
     // — the video-pipeline shape (decode → sample → per-frame feature),
     // all inside one generate + projection, no shuffle.
@@ -194,6 +240,25 @@ object MultimodalQueries {
              list_max(bs) AS max_byte,
              CAST((1000000 * CAST(list_sum(bs) AS BIGINT)) // len(bs) AS BIGINT) AS mean_byte_ppm
       FROM b""",
+    // The parse-back result stated as arithmetic over the synthesis
+    // formula: usable sample bytes truncate to a whole per-channel
+    // frame count, 2 bytes per 16-bit sample, 44-byte header.
+    "mm_audio_meta" -> """
+      WITH a AS (
+        SELECT doc_id AS media_id,
+               1 + doc_id % 2 AS ch,
+               8000 + 4000 * ((doc_id % 9) // 3) AS rate,
+               length(text) - length(text) % (1 + doc_id % 2) AS usable
+        FROM documents
+        WHERE doc_id % 3 = 1 AND length(text) > 0
+          AND strlen(text) = length(text))
+      SELECT media_id,
+             CAST(44 + 2 * usable AS BIGINT) AS n_bytes,
+             CAST(rate AS BIGINT) AS sample_rate,
+             CAST(ch AS BIGINT) AS channels,
+             CAST(usable // ch AS BIGINT) AS n_samples,
+             CAST((1000 * (usable // ch)) // rate AS BIGINT) AS duration_ms
+      FROM a""",
     "mm_frame_sample" -> """
       SELECT doc_id AS media_id, k AS frame_idx,
              md5(substring(text, CAST(k * 16 + 1 AS INT), 16)) AS frame_md5

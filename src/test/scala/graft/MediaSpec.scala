@@ -73,6 +73,20 @@ class MediaSpec extends GraftSpec {
     assert(f.width === None && f.height === None)
   }
 
+  test("wavFromBytes synthesis parses back exactly, stereo truncates to whole frames") {
+    // mm_audio_meta's contract in miniature: every container field the
+    // parser recovers equals the synthesis arithmetic — including the
+    // edge the corpus gate may not hit on every run, an odd byte count
+    // at 2 channels (7 bytes -> 6 usable -> 3 samples per channel).
+    val src = Array.tabulate(7)(_.toByte)
+    val stereo = Codec.wavFromBytes(src, 12000, 2)
+    assert(Codec.parseWav(stereo) === Some((12000, 2, 3)))
+    assert(stereo.length === 44 + 2 * 6)
+    val mono = Codec.wavFromBytes(src, 8000, 1)
+    assert(Codec.parseWav(mono) === Some((8000, 1, 7)))
+    assert(mono.length === 44 + 2 * 7)
+  }
+
   test("REAL PPM decode recovers image dimensions incl. header comments") {
     val header = "P6\n# synthetic test image\n5 3\n255\n".getBytes("US-ASCII")
     val pixels = Array.tabulate(5 * 3 * 3)(i => (i % 256).toByte)
