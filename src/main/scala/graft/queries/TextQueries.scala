@@ -211,29 +211,42 @@ object TextQueries {
         col("col").as("gram"))
   }
 
-  /** The duplicated-gram inventory dedup_substring_spans is driven by,
-    * stated over raw gram strings (engine-portable — both sides can
-    * compute it; the streaming twin's oracle). A def, not a val:
-    * `wordsSql` initializes later in this object. */
-  private[queries] def substrDupSql: String = s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
-      grams AS (
-        SELECT array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
-        FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
-        WHERE len(w) >= $SubstrL)
-      SELECT gram, CAST(count(*) AS BIGINT) AS occ
-      FROM grams GROUP BY gram HAVING count(*) >= 2"""
+  /** Per-doc (doc_id, source, n_tokens) CTE shared by the two
+    * per-source budget oracles (dedup_e2e_pipeline,
+    * dedup_substring_budget) — one token-count definition, zero drift.
+    * A def: `wordsSql` initializes later in this object.
+    */
+  private def toksCte: String = s"""toks AS (
+        SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
+        FROM documents)"""
 
-  /** The full ExactSubstr span result as SQL — dedup_substring_spans'
-    * oracle, also embedded as a CTE by dedup_substring_budget's (a
-    * def: `wordsSql` initializes later in this object). */
-  private[queries] def substrSpansSql: String = s"""
-      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+  /** The gram-enumeration CTEs (dw, grams) shared by every ExactSubstr
+    * oracle — ONE SQL statement of how windows are enumerated, mirroring
+    * substrGramRows on the Spark side (a one-sided edit to tokenization,
+    * join char, or slice bounds would otherwise surface only as a later
+    * oracle hash mismatch). defs, not vals: `wordsSql` initializes later
+    * in this object.
+    */
+  private def substrGramsCte: String = s"""dw AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
       grams AS (
         SELECT doc_id, len(w) AS n_tokens, i AS s, i + ${SubstrL - 1} AS e,
                array_to_string(w[i:i+${SubstrL - 1}], ' ') AS gram
         FROM dw, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS t(i)
-        WHERE len(w) >= $SubstrL),
+        WHERE len(w) >= $SubstrL)"""
+
+  /** The duplicated-gram inventory dedup_substring_spans is driven by,
+    * stated over raw gram strings (engine-portable — both sides can
+    * compute it; the streaming twin's oracle). */
+  private[queries] def substrDupSql: String = s"""
+      WITH $substrGramsCte
+      SELECT gram, CAST(count(*) AS BIGINT) AS occ
+      FROM grams GROUP BY gram HAVING count(*) >= 2"""
+
+  /** The full ExactSubstr span result as SQL — dedup_substring_spans'
+    * oracle, also embedded as a CTE by dedup_substring_budget's. */
+  private[queries] def substrSpansSql: String = s"""
+      WITH $substrGramsCte,
       dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
       occ AS (SELECT doc_id, n_tokens, s, e FROM grams SEMI JOIN dup USING (gram)),
       isl AS (
@@ -1437,9 +1450,7 @@ object TextQueries {
     // token budget (the shared substrSpansSql CTE states the spans).
     "dedup_substring_budget" -> s"""
       WITH spans AS ($substrSpansSql),
-      toks AS (
-        SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
-        FROM documents)
+      $toksCte
       SELECT t.source,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
@@ -1485,9 +1496,7 @@ object TextQueries {
       drops AS (
         SELECT doc_id FROM ($minhashClustersSql) c
         WHERE cluster_id != doc_id),
-      toks AS (
-        SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
-        FROM documents)
+      $toksCte
       SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
       FROM toks t JOIN keepers k USING (doc_id)
