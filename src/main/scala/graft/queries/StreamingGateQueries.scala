@@ -442,6 +442,38 @@ object StreamingGateQueries {
         OutputMode.Append())
     }),
 
+    // ANN SERVING on the streaming face — the production shape where
+    // the corpus sits still and QUERY vectors arrive as a stream:
+    // three staged micro-batches of query vectors (qid % 3) each
+    // stream-STATIC-join against the full embeddings corpus (the
+    // static side is planned per micro-batch — no streaming state for
+    // the corpus), score by the same exact-cosine dot as
+    // ann_brute_topk, and rank through the BOUNDED-HEAP TopKAggregator
+    // (VectorQueries.annStreamTopk): a window row_number is illegal
+    // over a streaming frame, and the aggregator is the scale answer
+    // anyway — ≤ 3 rows per (partition, query) shuffled, per-query
+    // state bounded at k whatever the corpus size. Its
+    // (score desc, id asc) order IS ann_brute_topk's tie-break, so the
+    // oracle is ann_brute_topk's SQL verbatim. Brute force is the
+    // exact-baseline face; at 10⁹ vectors the same streaming shape
+    // composes with the LSH/IVF candidate pruning the batch family
+    // already implements (annCandidates / cell probes). Each query's
+    // top-3 completes within its batch; Complete mode re-emits the
+    // final table, deterministic under any arrival order.
+    "stream_ann_topk" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id").as("nn_id"), col("embedding"))
+      runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.annStreamTopk(
+          df.filter(col("vec_id") < VectorQueries.NQueries)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          corpus),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 3).map(i => col("vec_id") % 3 === i)))
+    }),
+
     // The ExactSubstr duplicated-gram inventory (what
     // dedup_substring_spans' span phase is driven by) built AS
     // STREAMING STATE: documents arrive as three deterministic
@@ -772,6 +804,10 @@ object StreamingGateQueries {
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         AS fingerprint
       FROM documents""",
+    // Streaming ≡ batch for ANN serving: per-query top-3 against the
+    // static corpus is arrival-independent, so the oracle is the exact
+    // brute-force definition verbatim.
+    "stream_ann_topk" -> VectorQueries.oracle("ann_brute_topk"),
     // Streaming ≡ batch for the duplicated-gram inventory: the final
     // Complete-mode counts equal the batch GROUP BY whatever the
     // batch split (shared definition in TextQueries.substrDupSql).

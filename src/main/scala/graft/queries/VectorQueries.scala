@@ -55,7 +55,7 @@ object VectorQueries {
   // structural LSH win comes from CORPUS growth (candidates stay
   // ~bounded per query while brute scans everything) — that's the
   // asymptotic story the sublinearity spec pins.
-  private val NQueries = 100
+  private[graft] val NQueries = 100
   private val NProbe = 3             // IVF cells probed per query (of 10)
   private val KnnK = 5               // neighbors kept per node in the kNN graph
   private val PrIters = 3            // fixed PageRank iterations (unrolled in the oracle)
@@ -120,6 +120,26 @@ object VectorQueries {
   // ---- Spark-side expressions (native, codegen'd loops) -----------
 
   private def dot(x: Column, y: Column): Column = VectorFunctions.dotF(x, y)
+
+  /** ANN serving on the streaming face — shared by stream_ann_topk
+    * (one definition, zero drift with its oracle = ann_brute_topk's
+    * SQL): exact cosine top-3 of each arriving query vector against
+    * the static corpus, with the ranking done by the BOUNDED-HEAP
+    * TopKAggregator instead of a window (windows are illegal over a
+    * streaming frame; the aggregator shuffles ≤ k rows per
+    * (partition, query) and its (score desc, id asc) order is exactly
+    * ann_brute_topk's tie-break, so the ranked output is identical).
+    * `qs` must carry (qid, qe), `corpus` (nn_id, embedding).
+    */
+  private[graft] def annStreamTopk(qs: DataFrame, corpus: DataFrame): DataFrame =
+    qs.join(corpus, col("nn_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("embedding")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.Aggregators.topK(3)(col("cos"), col("nn_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("nn_id"),
+        (col("pos") + 1L).as("rnk"),
+        round(col("col._1"), 6).as("cos_sim"))
 
   /** 64-bit random-hyperplane signature (vector SimHash). */
   private def sig(v: Column): Column = VectorFunctions.hyperplaneSig(v, W)

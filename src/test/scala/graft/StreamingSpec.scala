@@ -289,6 +289,26 @@ class StreamingSpec extends GraftSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming ANN serving equals the batch brute-force ranking") {
+    // stream_ann_topk ranks with the bounded-heap TopKAggregator while
+    // ann_brute_topk ranks with a window row_number — identical
+    // results only if the aggregator's (score desc, id asc) order
+    // really is the window's tie-break. Pin full row equality
+    // (ranks AND rounded cosines) on the gate corpus.
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nn_id"), col("rnk"), col("cos_sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val streamed = rows(graft.queries.StreamingGateQueries
+      .queries("stream_ann_topk")(spark, d))
+    val batch = rows(graft.queries.VectorQueries
+      .queries("ann_brute_topk")(spark, d))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
