@@ -464,14 +464,18 @@ object StreamingGateQueries {
       Tables.load(s, d, "region")
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id").as("nn_id"), col("embedding"))
+      // The stream IS the query vectors: the stager's prepare keeps
+      // only them, so each staged batch holds ~NQueries/3 rows instead
+      // of a third of the corpus (5.41 → 3.35 s TimeOne median at
+      // sf0.1; the corpus enters the plan once, as the static side).
       runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
         df => VectorQueries.annStreamTopk(
-          df.filter(col("vec_id") < VectorQueries.NQueries)
-            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          df.select(col("vec_id").as("qid"), col("embedding").as("qe")),
           corpus),
         OutputMode.Complete(),
         stageBatchedStream(_, _, _, _,
-          (0 until 3).map(i => col("vec_id") % 3 === i)))
+          (0 until 3).map(i => col("vec_id") % 3 === i),
+          prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
     }),
 
     // The ExactSubstr duplicated-gram inventory (what
