@@ -21,16 +21,20 @@ package graft
   */
 object ClusterBench {
 
-  /** The top-10 of BENCH_DETAIL_r09 by local[32] median — the dedup
-    * pair generators (shuffle-heaviest plans in the repo), the
+  /** The bench's expensive tail by local[32] median (refreshed from
+    * the round-10 end-of-session run at 175 queries) — the dedup pair
+    * generators incl. both prefix-filtered twins (shuffle-heaviest
+    * plans in the repo), the IVFADC capstone, and the heaviest
     * bounded-state streaming gates (RocksDB/state-store commit over
-    * executor JVMs), the ADC scan, and the deliberate skew demo.
+    * executor JVMs) incl. the two new ones: the gram-count inventory
+    * and ANN serving.
     */
   private val Top = Seq(
-    "dedup_e2e_pipeline", "dedup_containment", "dedup_ngram_jaccard",
-    "dedup_minhash_clusters", "dedup_minhash_lsh",
+    "dedup_prefix_jaccard", "dedup_e2e_pipeline", "dedup_containment",
+    "dedup_minhash_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_prefix_containment", "ann_ivfpq_topk",
     "stream_dedup_chunks_wm_evict", "stream_dedup_events_wm",
-    "stream_join", "stream_late_data", "ann_pq_adc_topk")
+    "stream_dedup_substring", "stream_ann_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
