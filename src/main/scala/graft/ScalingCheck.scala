@@ -1,0 +1,63 @@
+package graft
+
+/** Scaling-curve harness: time a representative operator slice at TWO
+  * scale factors in ONE JVM and report the wall-clock growth ratio per
+  * query against the 10× data growth — the measured backing for each
+  * plan's "linear / bounded at 100 TB" claim (a ratio well above the
+  * data growth is a super-linear plan; near or below it, the operator
+  * is data-linear with fixed overhead still amortizing). Medians of 3
+  * cache-cleared reps, same rep contract as Bench/TimeOne.
+  * {{{ runMain graft.ScalingCheck [sfSmall] [sfLarge] }}}
+  * Prints ONE JSON line {"scaling_check": ...}.
+  */
+object ScalingCheck {
+
+  /** One per cost regime: the linear-scan families (tokenize, curate),
+    * the no-pair-join dedup (ExactSubstr), the pair-density dedups
+    * (direct + banded), ANN (brute N·Q and the IVFADC pruned shape),
+    * user-keyed windows (sessionize), the composite, and the
+    * scan+agg relational baseline.
+    */
+  private val Queries = Seq(
+    "q1_agg", "text_bpe_count", "docs_curation", "events_sessionize",
+    "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline")
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    require(Queries.forall(SparkEntry.queries.contains),
+      "stale scaling slice: " +
+        Queries.filterNot(SparkEntry.queries.contains).mkString(", "))
+    val spark = GraftSession.local("graft-scaling-check")
+    def timeAt(sfDir: String, name: String): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      median(times)
+    }
+    // warm both table sets (file listing + codegen out of the timings)
+    Seq(small, large).foreach { d =>
+      Tables.names.foreach { n =>
+        try Tables.load(spark, d, n).count() catch { case _: Throwable => () }
+      }
+    }
+    val rows = Queries.map { q =>
+      val a = timeAt(small, q)
+      val b = timeAt(large, q)
+      (q, a, b, b / a)
+    }
+    val qJson = rows.map { case (q, a, b, r) =>
+      f""""$q":{"small_s":$a%.3f,"large_s":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":10.0,"queries":{$qJson}}""")
+    spark.stop()
+  }
+}
