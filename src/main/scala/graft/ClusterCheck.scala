@@ -68,13 +68,18 @@ object ClusterCheck {
     * localCheckpoints (subvectors, trained codebook) each read by
     * multiple downstream joins plus a broadcast LUT built FROM a
     * checkpointed frame — block re-reads and broadcast construction
-    * both cross JVM boundaries).
+    * both cross JVM boundaries;
+    * stream_ann_topk adds the typed-Aggregator risk class — the
+    * TopKAggregator's ExpressionEncoder-encoded Seq buffers serialize
+    * between partial and merge phases ACROSS executor JVMs (every
+    * other Aggregator use in the suite runs single-JVM), under a
+    * streaming stream-static join).
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
-    "vec_knn_pagerank", "ann_pq_adc_topk")
+    "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
