@@ -190,6 +190,11 @@ object TextQueries {
     */
   private val SubstrL = 8
 
+  /** BPE merge rounds learned by text_bpe_train (the oracle CTE chain
+    * is generated from the same constant).
+    */
+  private val BpeRounds = 5
+
   /** One row per length-SubstrL token window: (doc_id, n_tokens, s, e,
     * gram) with 1-based inclusive token span [s, e] and the raw gram
     * STRING — shared by dedup_substring_spans and its streaming twin
@@ -219,6 +224,52 @@ object TextQueries {
   private def toksCte: String = s"""toks AS (
         SELECT doc_id, source, CAST(len($wordsSql) AS BIGINT) AS n_tokens
         FROM documents)"""
+
+  /** text_bpe_train's oracle: the identical per-round (pair-count →
+    * deterministic argmax → string-fold merge apply) chain unrolled as
+    * generated CTEs — the pagerank/pqCtesSql device. The fold lambda
+    * is the same single-pass left-to-right merge as the Spark side
+    * (reset-on-merge; a||b ≠ a so no closed-flag is needed). A def:
+    * `wordsSql` initializes later in this object.
+    */
+  private def bpeTrainSql(rounds: Int = BpeRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""tok$r AS (SELECT cnt, string_split(seq, ' ') AS t FROM seq${r - 1}),
+      pairs$r AS (
+        SELECT t[i] AS l, t[i+1] AS rgt, sum(cnt) AS c
+        FROM tok$r, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      best$r AS (SELECT l, rgt, c FROM pairs$r ORDER BY c DESC, l, rgt LIMIT 1),
+      seq$r AS (
+        SELECT word, cnt,
+          list_reduce(list_prepend('', string_split(seq, ' ')),
+            (acc, e) -> CASE
+              WHEN acc = '' THEN e
+              WHEN list_extract(string_split(acc, ' '),
+                     len(string_split(acc, ' '))) = b.l AND e = b.rgt
+                THEN array_to_string(list_append(
+                       string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                       b.l || b.rgt), ' ')
+              ELSE acc || ' ' || e END) AS seq
+        FROM seq${r - 1}, best$r b)"""
+    }.mkString(",\n      ")
+    val sel = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, l AS left_tok, rgt AS right_tok,
+             l || rgt AS merged, CAST(c AS BIGINT) AS pair_count
+         FROM best$r"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH dict AS (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
+      seq0 AS (
+        SELECT word, cnt,
+          array_to_string(list_transform(range(1, length(word) + 1),
+            i -> word[i]), ' ') AS seq
+        FROM dict),
+      $roundCtes
+      $sel"""
+  }
 
   /** The gram-enumeration CTEs (dw, grams) shared by every ExactSubstr
     * oracle — ONE SQL statement of how windows are enumerated, mirroring
@@ -609,6 +660,70 @@ object TextQueries {
           sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
           (sum(col("n_tokens")) - sum(coalesce(col("dup_tokens"), lit(0L))))
             .as("kept_tokens"))
+    }),
+
+    // BPE MERGE TRAINING — the tokenizer-training operator itself
+    // (Sennrich, Haddow & Birch, ACL 2016): learn the first BpeRounds
+    // merge rules from the corpus. The published algorithm trains on
+    // the WORD-FREQUENCY DICTIONARY, not the raw text — which is
+    // exactly what makes it distributable: the only corpus-scale work
+    // is ONE word-count aggregation (at 100 TB, one shuffle of
+    // (word, count) partials); every merge round then operates on the
+    // dict frame, whose size is the VOCABULARY, not the corpus. Per
+    // round: adjacent-pair counts weighted by word frequency (explode
+    // + one hash aggregate over the dict), a deterministic argmax
+    // (count desc, then pair lexicographic — a TakeOrdered of ONE
+    // row, broadcast back; never a collect), and a single-pass
+    // left-to-right merge apply written as a string fold: the merged
+    // token a||b can never equal the left symbol a (b nonempty), so
+    // the fold's reset-on-merge IS single-pass BPE semantics without
+    // a "closed" flag. Sequences carry a space separator (tokens come
+    // from \s+-split words, so no token contains one). Per-round
+    // localCheckpoint keeps plan depth linear in rounds and releases
+    // lineage (the pqCodebook device). The oracle replays every round
+    // with the IDENTICAL fold in DuckDB lambdas (bpeTrainSql);
+    // CoreSpec pins the output against an independent driver-side
+    // reference implementation.
+    "text_bpe_train" -> ((s, d) => {
+      val sep = " "
+      val dict = docWords(s, d).select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      var cur = dict.select(col("word"), col("cnt"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), sep).as("seq"))
+        .localCheckpoint()
+      val merges = (1 to BpeRounds).map { r =>
+        val t = split(col("seq"), sep)
+        // guard: Spark's sequence(1, 0) DESCENDS; single-token words
+        // contribute no pairs (same device as bigrams())
+        val pairs = cur.select(col("cnt"),
+          explode(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => struct(element_at(t, i).as("l"),
+                element_at(t, i + 1).as("rgt"))))
+            .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
+          .agg(sum(col("cnt")).as("c"))
+        val best = pairs
+          .orderBy(col("c").desc, col("l"), col("rgt")).limit(1)
+        cur = cur.crossJoin(broadcast(best))
+          .select(col("word"), col("cnt"),
+            aggregate(split(col("seq"), sep), lit(""),
+              (acc, e) => when(acc === "", e)
+                .when(element_at(split(acc, sep), -1) === col("l") &&
+                      e === col("rgt"),
+                  concat_ws(sep,
+                    slice(split(acc, sep), lit(1), size(split(acc, sep)) - 1) +:
+                      Seq(concat(col("l"), col("rgt"))): _*))
+                .otherwise(concat(acc, lit(sep), e))).as("seq"))
+          .localCheckpoint()
+        best.select(lit(r).cast("long").as("round"),
+          col("l").as("left_tok"), col("rgt").as("right_tok"),
+          concat(col("l"), col("rgt")).as("merged"),
+          col("c").as("pair_count"))
+      }
+      merges.reduce(_ unionAll _)
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -1264,6 +1379,7 @@ object TextQueries {
                      AND n_words >= 20)
              THEN 1 ELSE 0 END AS BIGINT) AS repetitive
       FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
+    "text_bpe_train" -> bpeTrainSql(),
     "text_bpe_count" -> s"""
       SELECT doc_id,
         CAST(len(tk) AS BIGINT) AS n_bpe,
