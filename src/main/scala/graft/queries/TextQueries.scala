@@ -195,6 +195,55 @@ object TextQueries {
     */
   private val BpeRounds = 5
 
+  /** The BPE training loop shared by text_bpe_train (the learned merge
+    * table) and text_bpe_tokenize (the final per-word sequences):
+    * returns (one single-row merge frame per round, the final dict
+    * sequences). See text_bpe_train's comment for the full design
+    * rationale (dict-bounded rounds, fold-based single-pass apply,
+    * per-round localCheckpoint).
+    */
+  private def bpeRounds(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    val sep = " "
+    val dict = docWords(s, d).select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var cur = dict.select(col("word"), col("cnt"),
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))), sep).as("seq"))
+      .localCheckpoint()
+    val merges = (1 to BpeRounds).map { r =>
+      val t = split(col("seq"), sep)
+      // guard: Spark's sequence(1, 0) DESCENDS; single-token words
+      // contribute no pairs (same device as bigrams())
+      val pairs = cur.select(col("cnt"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("l"),
+              element_at(t, i + 1).as("rgt"))))
+          .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs
+        .orderBy(col("c").desc, col("l"), col("rgt")).limit(1)
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("word"), col("cnt"),
+          aggregate(split(col("seq"), sep), lit(""),
+            (acc, e) => when(acc === "", e)
+              .when(element_at(split(acc, sep), -1) === col("l") &&
+                    e === col("rgt"),
+                concat_ws(sep,
+                  slice(split(acc, sep), lit(1), size(split(acc, sep)) - 1) +:
+                    Seq(concat(col("l"), col("rgt"))): _*))
+              .otherwise(concat(acc, lit(sep), e))).as("seq"))
+        .localCheckpoint()
+      best.select(lit(r).cast("long").as("round"),
+        col("l").as("left_tok"), col("rgt").as("right_tok"),
+        concat(col("l"), col("rgt")).as("merged"),
+        col("c").as("pair_count"))
+    }
+    (merges, cur)
+  }
+
   /** One row per length-SubstrL token window: (doc_id, n_tokens, s, e,
     * gram) with 1-based inclusive token span [s, e] and the raw gram
     * STRING — shared by dedup_substring_spans and its streaming twin
@@ -232,7 +281,33 @@ object TextQueries {
     * (reset-on-merge; a||b ≠ a so no closed-flag is needed). A def:
     * `wordsSql` initializes later in this object.
     */
-  private def bpeTrainSql(rounds: Int = BpeRounds): String = {
+  private def bpeTrainSql(rounds: Int = BpeRounds): String =
+    s"""
+      WITH ${bpeCtes(rounds)}
+      ${(1 to rounds).map { r =>
+      s"""SELECT $r AS round, l AS left_tok, rgt AS right_tok,
+             l || rgt AS merged, CAST(c AS BIGINT) AS pair_count
+         FROM best$r"""
+    }.mkString(" UNION ALL ")}"""
+
+  /** text_bpe_tokenize's oracle: the same unrolled chain, final
+    * sequences joined back against the exploded corpus.
+    */
+  private def bpeTokenizeSql(rounds: Int = BpeRounds): String =
+    s"""
+      WITH ${bpeCtes(rounds)},
+      nsub AS (
+        SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nb
+        FROM seq$rounds),
+      cw AS (
+        SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+      SELECT cw.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      FROM cw JOIN nsub USING (word)
+      GROUP BY cw.doc_id"""
+
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""tok$r AS (SELECT cnt, string_split(seq, ' ') AS t FROM seq${r - 1}),
       pairs$r AS (
@@ -253,13 +328,7 @@ object TextQueries {
               ELSE acc || ' ' || e END) AS seq
         FROM seq${r - 1}, best$r b)"""
     }.mkString(",\n      ")
-    val sel = (1 to rounds).map { r =>
-      s"""SELECT $r AS round, l AS left_tok, rgt AS right_tok,
-             l || rgt AS merged, CAST(c AS BIGINT) AS pair_count
-         FROM best$r"""
-    }.mkString(" UNION ALL ")
-    s"""
-      WITH dict AS (
+    s"""dict AS (
         SELECT w AS word, count(*) AS cnt
         FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
       seq0 AS (
@@ -267,8 +336,7 @@ object TextQueries {
           array_to_string(list_transform(range(1, length(word) + 1),
             i -> word[i]), ' ') AS seq
         FROM dict),
-      $roundCtes
-      $sel"""
+      $roundCtes"""
   }
 
   /** The gram-enumeration CTEs (dw, grams) shared by every ExactSubstr
@@ -684,46 +752,26 @@ object TextQueries {
     // with the IDENTICAL fold in DuckDB lambdas (bpeTrainSql);
     // CoreSpec pins the output against an independent driver-side
     // reference implementation.
-    "text_bpe_train" -> ((s, d) => {
-      val sep = " "
-      val dict = docWords(s, d).select(explode(col("w")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      var cur = dict.select(col("word"), col("cnt"),
-        array_join(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), sep).as("seq"))
-        .localCheckpoint()
-      val merges = (1 to BpeRounds).map { r =>
-        val t = split(col("seq"), sep)
-        // guard: Spark's sequence(1, 0) DESCENDS; single-token words
-        // contribute no pairs (same device as bigrams())
-        val pairs = cur.select(col("cnt"),
-          explode(when(size(t) >= 2,
-            transform(sequence(lit(1), size(t) - 1),
-              i => struct(element_at(t, i).as("l"),
-                element_at(t, i + 1).as("rgt"))))
-            .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
-          .agg(sum(col("cnt")).as("c"))
-        val best = pairs
-          .orderBy(col("c").desc, col("l"), col("rgt")).limit(1)
-        cur = cur.crossJoin(broadcast(best))
-          .select(col("word"), col("cnt"),
-            aggregate(split(col("seq"), sep), lit(""),
-              (acc, e) => when(acc === "", e)
-                .when(element_at(split(acc, sep), -1) === col("l") &&
-                      e === col("rgt"),
-                  concat_ws(sep,
-                    slice(split(acc, sep), lit(1), size(split(acc, sep)) - 1) +:
-                      Seq(concat(col("l"), col("rgt"))): _*))
-                .otherwise(concat(acc, lit(sep), e))).as("seq"))
-          .localCheckpoint()
-        best.select(lit(r).cast("long").as("round"),
-          col("l").as("left_tok"), col("rgt").as("right_tok"),
-          concat(col("l"), col("rgt")).as("merged"),
-          col("c").as("pair_count"))
-      }
-      merges.reduce(_ unionAll _)
+    "text_bpe_train" -> ((s, d) => bpeRounds(s, d)._1.reduce(_ unionAll _)),
+
+    // BPE APPLY — the serving half of text_bpe_train: tokenize the
+    // corpus under the JUST-LEARNED merge table and report each
+    // document's token budget (whitespace words vs BPE tokens) — the
+    // number a training run provisions sequence lengths from. The
+    // trained tokenization already exists per DICTIONARY WORD (the
+    // final round's sequences), so apply is a broadcast join of the
+    // exploded corpus against the vocab-bounded (word → subtoken
+    // count) map + one doc-keyed aggregate — per-word re-merging
+    // never runs again, and nothing corpus-scale happens besides the
+    // explode. Oracle shares the same unrolled CTE chain (bpeCtes)
+    // with a different final SELECT.
+    "text_bpe_tokenize" -> ((s, d) => {
+      val nsub = bpeRounds(s, d)._2
+        .select(col("word"), size(split(col("seq"), " ")).cast("long").as("nb"))
+      docWords(s, d).select(col("doc_id"), explode(col("w")).as("word"))
+        .join(broadcast(nsub), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
     }),
 
     // Language ID: marker-word (stopword-list) scoring, argmax with a
@@ -1380,6 +1428,7 @@ object TextQueries {
              THEN 1 ELSE 0 END AS BIGINT) AS repetitive
       FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
     "text_bpe_train" -> bpeTrainSql(),
+    "text_bpe_tokenize" -> bpeTokenizeSql(),
     "text_bpe_count" -> s"""
       SELECT doc_id,
         CAST(len(tk) AS BIGINT) AS n_bpe,
