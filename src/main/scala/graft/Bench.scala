@@ -12,41 +12,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Reps = 3
 
-  /** Median of the successful reps: this host shows sustained external
-    * contention (unchanged queries measured 1s and 9s across runs), and
-    * min-of-2 demonstrably did not absorb a multi-rep spike — the
-    * median tolerates one contaminated rep out of three. The full
-    * per-rep times are persisted in bench_out.json under "reps" so a
-    * contended run is visible IN the artifact (reps that disagree by
-    * multiples = host noise, not a regression) instead of masquerading
-    * as one.
-    */
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    s(s.length / 2) // odd-length reps; upper middle for even
-  }
-
+  // The rep contract (warmup, noop-write timing, median-of-reps with
+  // the host-noise rationale) lives in BenchSupport, shared with
+  // ClusterBench and ScalingCheck. The full per-rep times are
+  // persisted in bench_out.json under "reps" so a contended run is
+  // visible IN the artifact (reps that disagree by multiples = host
+  // noise, not a regression) instead of masquerading as one.
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // Warmup: touch every table once so the first timed query doesn't
-    // absorb file-listing + JIT + codegen-compiler startup.
-    Tables.names.foreach { n =>
-      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
-    }
+    BenchSupport.warmTables(spark, sfDir)
     // Deterministic order + cache cleanup per query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) dt else -1.0
-      }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val times = (1 to Reps).map(_ => BenchSupport.timeRep(spark, sfDir, name))
       val good = times.filter(_ >= 0)
-      (name, if (good.nonEmpty) median(good) else -1.0, times)
+      (name, if (good.nonEmpty) BenchSupport.median(good) else -1.0, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,21 +41,11 @@ object ClusterBench {
     require(Top.forall(SparkEntry.queries.contains),
       "stale bench slice: " + Top.filterNot(SparkEntry.queries.contains).mkString(", "))
     val spark = GraftSession.localCluster("graft-cluster-bench")
-    // same warmup contract as Bench: file listing + codegen startup
-    // out of the first timed query
-    Tables.names.foreach { n =>
-      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
-    }
+    // same warmup + rep contract as Bench, via BenchSupport (one rep
+    // here: a cluster-master run is minutes per query)
+    BenchSupport.warmTables(spark, sfDir)
     val results = Top.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      name -> BenchSupport.timeRep(spark, sfDir, name)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,8 +23,6 @@ object ScalingCheck {
     "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline")
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -32,32 +30,29 @@ object ScalingCheck {
       "stale scaling slice: " +
         Queries.filterNot(SparkEntry.queries.contains).mkString(", "))
     val spark = GraftSession.local("graft-scaling-check")
+    // same rep contract as Bench via BenchSupport; a failing query
+    // records -1 at that scale (and ratio -1) instead of aborting the
+    // whole run with no JSON line
     def timeAt(sfDir: String, name: String): Double = {
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }
-      median(times)
+      val good = (1 to 3).map(_ => BenchSupport.timeRep(spark, sfDir, name))
+        .filter(_ >= 0)
+      if (good.nonEmpty) BenchSupport.median(good) else -1.0
     }
-    // warm both table sets (file listing + codegen out of the timings)
-    Seq(small, large).foreach { d =>
-      Tables.names.foreach { n =>
-        try Tables.load(spark, d, n).count() catch { case _: Throwable => () }
-      }
-    }
+    Seq(small, large).foreach(d => BenchSupport.warmTables(spark, d))
     val rows = Queries.map { q =>
       val a = timeAt(small, q)
       val b = timeAt(large, q)
-      (q, a, b, b / a)
+      (q, a, b, if (a > 0 && b >= 0) b / a else -1.0)
     }
+    // raw Double.toString like Bench — the f-interpolator is
+    // locale-dependent ("0,514" under a comma-decimal locale would
+    // break the JSON)
     val qJson = rows.map { case (q, a, b, r) =>
-      f""""$q":{"small_s":$a%.3f,"large_s":$b%.3f,"ratio":$r%.2f}"""
+      s""""$q":{"small_s":$a,"large_s":$b,"ratio":$r}"""
     }.mkString(",")
-    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":10.0,"queries":{$qJson}}""")
+    val failed = rows.collect { case (q, a, b, _) if a < 0 || b < 0 => s""""$q"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":10.0,"queries":{$qJson},"failed":$failed}""")
     spark.stop()
   }
 }

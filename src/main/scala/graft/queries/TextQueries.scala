@@ -225,16 +225,22 @@ object TextQueries {
         .agg(sum(col("cnt")).as("c"))
       val best = pairs
         .orderBy(col("c").desc, col("l"), col("rgt")).limit(1)
+      // Array accumulator, string-joined once at the end: a string
+      // accumulator would re-split(acc) per element inside the lambda
+      // — the O(len²) no-subexpression-elimination pathology the
+      // docWords comment warns about (code-review finding). Semantics
+      // identical to the oracle's string fold: last element is the
+      // left-merge candidate, replaced by the merged token on match.
       cur = cur.crossJoin(broadcast(best))
         .select(col("word"), col("cnt"),
-          aggregate(split(col("seq"), sep), lit(""),
-            (acc, e) => when(acc === "", e)
-              .when(element_at(split(acc, sep), -1) === col("l") &&
-                    e === col("rgt"),
-                concat_ws(sep,
-                  slice(split(acc, sep), lit(1), size(split(acc, sep)) - 1) +:
-                    Seq(concat(col("l"), col("rgt"))): _*))
-              .otherwise(concat(acc, lit(sep), e))).as("seq"))
+          aggregate(split(col("seq"), sep),
+            array().cast("array<string>"),
+            (acc, e) => when(size(acc) === 0, array(e))
+              .when(element_at(acc, -1) === col("l") && e === col("rgt"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("l"), col("rgt")))))
+              .otherwise(concat(acc, array(e))),
+            acc => array_join(acc, sep)).as("seq"))
         .localCheckpoint()
       best.select(lit(r).cast("long").as("round"),
         col("l").as("left_tok"), col("rgt").as("right_tok"),
