@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 /** Driver-run benchmark: times every SparkEntry query at the given SF and
   * prints ONE JSON line. Queries are materialized through the `noop`
   * datasource writer — every column of every row is computed and handed
@@ -8,40 +10,138 @@ import org.apache.spark.sql.SparkSession
   * queries. A query that throws is recorded as -1 in `queries` and named
   * in `failed` (its elapsed time would otherwise report a broken query
   * as very fast).
+  *
+  * == Noise-robust protocol (round 11) ==
+  * This host shows sustained external contention: identical plans
+  * measured 118.5 s (r9) → 249.5 s (r10 closing) with ZERO code
+  * changes, and within-run reps disagree by 3–4×. Three devices make
+  * the headline robust to that, so a future reader can separate host
+  * noise from plan regressions mechanically instead of by adjudication:
+  *
+  *  1. MIN-OF-N per query (N = 3 cache-cleared reps) is the
+  *     plan-comparison number. External contention is one-sided — it
+  *     can only inflate a rep, never deflate it — so the min is the
+  *     best available estimate of the uncontended cost. The median is
+  *     still recorded (`queries_median`) for continuity with r9/r10.
+  *  2. A CALIBRATION PROBE — a fixed pure-CPU computation with no IO
+  *     and no SF dependence (`sum(xxhash64(id))` over a 20M range) —
+  *     runs before the first query and after every query. Its trace is
+  *     persisted; contended stretches of the run show up IN the
+  *     artifact as probe spikes aligned with inflated query times.
+  *  3. PROBE-NORMALIZED values: each query's min is scaled by
+  *     (run's min probe / median of the query's two adjacent probes).
+  *     The min probe is the run's quietest moment — its closest
+  *     approach to the uncontended host — so normalized numbers are
+  *     comparable across runs even when whole runs differ in load.
+  *
+  * `BENCH_BASELINE.json` (a committed copy of a trusted quiet-host
+  * bench_out.json — the canonical anchor, reset round 11) is read if
+  * present and each query's normalized value is compared against its
+  * baseline `queries_norm` entry; queries >1.5× baseline are named in
+  * `vs_baseline` so a regression diff is one artifact read, not a
+  * three-round footnote chain.
   */
 object Bench {
   private val Reps = 3
+  /** Probe ratios within this band of 1.0 are host noise, beyond it a
+    * flagged regression candidate.
+    */
+  private val RegressionRatio = 1.5
 
-  // The rep contract (warmup, noop-write timing, median-of-reps with
-  // the host-noise rationale) lives in BenchSupport, shared with
-  // ClusterBench and ScalingCheck. The full per-rep times are
-  // persisted in bench_out.json under "reps" so a contended run is
-  // visible IN the artifact (reps that disagree by multiples = host
-  // noise, not a regression) instead of masquerading as one.
+  /** One calibration-probe sample: pure CPU (hash + sum over a range —
+    * codegen'd, no IO, no shuffle beyond the final 1-row agg), ~0.2 s
+    * on this host uncontended. Returns seconds.
+    */
+  private def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // summands bounded to 2^20 so the 20M-row ANSI sum cannot overflow
+    spark.range(0, 20000000L, 1, 8)
+      .select(sum(pmod(xxhash64(col("id")), lit(1048576L))))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Minimal extractor for BENCH_BASELINE.json's `queries_norm` object:
+    * {"name":1.23,...} pairs via regex — no JSON lib on the classpath,
+    * and the file is machine-written by this object, so the shape is
+    * fixed.
+    */
+  private[graft] def readBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8")
+      """"queries_norm"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+        case Some(m) =>
+          """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        case None => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
     BenchSupport.warmTables(spark, sfDir)
-    // Deterministic order + cache cleanup per query.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    probeOnce(spark) // JIT/codegen warm for the probe shape itself
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // probes(i) brackets query i: probes(i) before, probes(i+1) after.
+    val probes = new Array[Double](names.length + 1)
+    probes(0) = probeOnce(spark)
+    val results = names.zipWithIndex.map { case (name, i) =>
       val times = (1 to Reps).map(_ => BenchSupport.timeRep(spark, sfDir, name))
+      probes(i + 1) = probeOnce(spark)
       val good = times.filter(_ >= 0)
-      (name, if (good.nonEmpty) BenchSupport.median(good) else -1.0, times)
+      val vMin = if (good.nonEmpty) good.min else -1.0
+      val vMed = if (good.nonEmpty) BenchSupport.median(good) else -1.0
+      (name, vMin, vMed, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val probeMin = probes.min
+    val probeMed = BenchSupport.median(probes.toSeq)
+    // normalized = min rep x (quietest probe / local probe level):
+    // scales out the contention level measured NEXT to the query.
+    def normalized(i: Int, vMin: Double): Double =
+      if (vMin < 0) -1.0
+      else vMin * (probeMin / math.max(1e-9, (probes(i) + probes(i + 1)) / 2))
+    val norm = results.zipWithIndex.map { case ((n, vMin, _, _), i) =>
+      n -> normalized(i, vMin)
+    }
+    val baseline = readBaseline("BENCH_BASELINE.json")
+    val regressions = norm.collect {
+      case (n, v) if v > 0 && baseline.get(n).exists(b => b > 0 && v / b > RegressionRatio) =>
+        (n, v / baseline(n))
+    }.sortBy(-_._2)
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, v, _, _) => k -> v.toString })
+    val qsMed = obj(results.map { case (k, _, v, _) => k -> v.toString })
+    val qsNorm = obj(norm.map { case (k, v) => k -> v.toString })
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalMed = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
+    val vsBaseline =
+      if (baseline.isEmpty) "\"no BENCH_BASELINE.json\""
+      else obj(Seq(
+        "baseline_queries" -> baseline.size.toString,
+        "regressions_over_1_5x" -> regressions.length.toString,
+        "worst" -> (if (regressions.isEmpty) "null"
+                    else "\"" + regressions.head._1 + "\""),
+        "worst_ratio" -> (if (regressions.isEmpty) "0"
+                          else regressions.head._2.toString),
+        "names" -> regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total_min_of_$Reps","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","total_median":$totalMed,"probe_min":$probeMin,"probe_median":$probeMed}"""
     // The driver captures one line; the persisted artifact additionally
-    // carries every rep so the evidence self-diagnoses host noise (and
-    // survives log-tail truncation of the per-query map).
-    val reps = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":[" + ts.mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val fileJson = json.dropRight(1) + s""","reps":$reps}"""
+    // carries every rep, the medians, the normalized values, the full
+    // probe trace, and the baseline diff — so a contended run
+    // self-diagnoses IN the artifact (probe spikes align with inflated
+    // reps) and a regression is a one-field read.
+    val reps = obj(results.map { case (k, _, _, ts) =>
+      k -> ts.mkString("[", ",", "]")
+    })
+    val fileJson = json.dropRight(1) +
+      s""","queries_median":$qsMed,"queries_norm":$qsNorm,"reps":$reps,"probe_trace":${probes.mkString("[", ",", "]")},"vs_baseline":$vsBaseline}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fileJson + "\n").getBytes("UTF-8"))

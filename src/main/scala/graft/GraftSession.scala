@@ -59,25 +59,29 @@ object GraftSession {
     * `local-cluster[2,2,3072]` — two real worker processes with
     * separate executor JVMs — with graft's classes shipped via
     * extraClassPath (resolved from this class's own code source, so
-    * the run is against exactly what's built). Fails fast on the two
-    * launcher prerequisites: executors resolve Spark via SPARK_HOME,
-    * and without SPARK_SCALA_VERSION the launcher probes for dev
-    * build directories and dies with "Cannot find any build
-    * directories" (hanging the run instead of erroring here).
+    * the run is against exactly what's built). Executors resolve Spark
+    * via SPARK_HOME (the one prerequisite the caller must export — the
+    * Worker reads it before any conf applies); the Scala version the
+    * executor launcher needs is pinned HERE via spark.executorEnv
+    * (WorkerCommandBuilder copies command.environment into the
+    * launcher's childEnv, which getScalaVersion consults before the
+    * process env), so callers no longer export SPARK_SCALA_VERSION —
+    * without the pin the launcher probes for dev build directories and
+    * dies with "Cannot find any build directories".
     */
   def localCluster(appName: String): SparkSession = {
     require(sys.env.contains("SPARK_HOME"),
       "local-cluster launches executors via the SPARK_HOME launcher — " +
         "run with SPARK_HOME=/opt/spark")
-    require(sys.env.contains("SPARK_SCALA_VERSION"),
-      "the executor launcher needs the Scala version pinned — " +
-        "run with SPARK_SCALA_VERSION=2.13")
     val classes = java.nio.file.Paths.get(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
     val s = builder(appName)
       .master("local-cluster[2,2,3072]")
       .config("spark.executor.memory", "2560m")
       .config("spark.executor.extraClassPath", classes)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION",
+        scala.util.Properties.versionNumberString.split('.').take(2)
+          .mkString("."))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -23,6 +23,26 @@ object ScalingCheck {
     "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline")
 
+  /** The data-growth factor between two sf dirs, derived from the dir
+    * names' scale factors (sfA/sfB) rather than hardcoded — a run
+    * against non-10× directories must report ITS growth, not 10.0
+    * (ADVICE r10). Falls back to a row-count ratio over the documents
+    * table when a dir name doesn't parse (custom fixture paths).
+    */
+  private def dataGrowth(small: String, large: String,
+                         spark: org.apache.spark.sql.SparkSession): Double = {
+    def sf(dir: String): Option[Double] =
+      "sf([0-9.]+)/*$".r.findFirstMatchIn(dir)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    (sf(small), sf(large)) match {
+      case (Some(a), Some(b)) if a > 0 => b / a
+      case _ =>
+        val na = spark.read.parquet(s"$small/documents.parquet").count()
+        val nb = spark.read.parquet(s"$large/documents.parquet").count()
+        if (na > 0) nb.toDouble / na else -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -52,7 +72,8 @@ object ScalingCheck {
     }.mkString(",")
     val failed = rows.collect { case (q, a, b, _) if a < 0 || b < 0 => s""""$q"""" }
       .mkString("[", ",", "]")
-    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":10.0,"queries":{$qJson},"failed":$failed}""")
+    val growth = dataGrowth(small, large, spark)
+    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":$growth,"queries":{$qJson},"failed":$failed}""")
     spark.stop()
   }
 }
