@@ -478,6 +478,65 @@ object StreamingGateQueries {
           prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
     }),
 
+    // ANN serving WITH IVF PRUNING — the composition stream_ann_topk's
+    // comment promised: same staged query-vector stream, but the
+    // static side is the CELL-ASSIGNED corpus and each arriving query
+    // probes only its NProbe nearest cells before the bounded-heap
+    // top-3 (plan + streaming-legality devices in
+    // VectorQueries.annStreamIvfTopk). The oracle is ann_ivf_topk's
+    // SQL verbatim — streaming ≡ batch for the pruned serving shape,
+    // the exact analogue of stream_ann_topk ≡ ann_brute_topk.
+    "stream_ann_ivf_topk" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.annStreamIvfTopk(
+          df.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          s, d),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 3).map(i => col("vec_id") % 3 === i),
+          prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
+    }),
+
+    // The duplicated-gram inventory in the BOUNDED regime — the _wm
+    // twin the r10 verdict flagged as the one new family member
+    // without one: gram-count state (exactly what explodes on a
+    // boilerplate-heavy real corpus under Complete mode) is keyed by
+    // (arrival-day window, gram) under an event-time watermark, so
+    // CLOSED WINDOWS EVICT and the store holds only the open-horizon
+    // inventory, never the full gram universe. Documents arrive as
+    // four deterministic micro-batches (doc_id % 4) with the STAGED
+    // arrival clock (batch b ⇒ arrival_ts = 2024-03-01 + b days — the
+    // chunks_wm_evict device: a pure function of batch membership, so
+    // the oracle replays the watermark exactly). Grams count within
+    // their arrival-day tumbling window; Append emits a window's
+    // duplicated grams once the final watermark (max arrival − 1 h)
+    // passes its end — windows 0..1 emit, 2..3 are withheld by design
+    // (the stream_tumbling_window cutoff, stated in the oracle). The
+    // bounded-plateau-vs-Complete-twin claim is StreamingSpec's
+    // (state rows track open windows only, while the unbounded twin
+    // accretes every gram forever). The per-window inventory is the
+    // operationally honest bounded semantics: cross-window duplicate
+    // grams are the at-least-once residue outside the horizon — the
+    // same contract as every other _wm twin.
+    "stream_dedup_substring_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/documents.parquet", identity,
+        df => TextQueries.substrGramRows(df.select(col("doc_id"), col("text")))
+          .withColumn("arrival_ts",
+            expr("cast('2024-03-01 00:00:00' as timestamp) + " +
+              "make_interval(0, 0, 0, cast(doc_id % 4 as int), 0, 0, 0)"))
+          .withWatermark("arrival_ts", "1 hour")
+          .groupBy(window(col("arrival_ts"), "1 day"), col("gram"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= 2L)
+          .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+            col("gram"), col("occ")),
+        OutputMode.Append(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 4).map(i => col("doc_id") % 4 === i)))
+    }),
+
     // The ExactSubstr duplicated-gram inventory (what
     // dedup_substring_spans' span phase is driven by) built AS
     // STREAMING STATE: documents arrive as three deterministic
@@ -812,6 +871,16 @@ object StreamingGateQueries {
     // static corpus is arrival-independent, so the oracle is the exact
     // brute-force definition verbatim.
     "stream_ann_topk" -> VectorQueries.oracle("ann_brute_topk"),
+    // Streaming ≡ batch for the IVF-PRUNED serving shape: per-query
+    // probe-cell selection and in-cell exact top-3 are arrival-
+    // independent, so the oracle is the batch IVF definition verbatim
+    // (the stream_ann_topk ≡ ann_brute_topk device, one rung down the
+    // pruning ladder).
+    "stream_ann_ivf_topk" -> VectorQueries.oracle("ann_ivf_topk"),
+    // Watermark-bounded inventory: per-arrival-day duplicated-gram
+    // counts with the Append cutoff stated explicitly (batches − 2 of
+    // the 4 staged windows emit; shared gram enumeration CTE).
+    "stream_dedup_substring_wm" -> TextQueries.substrDupWmSql(4),
     // Streaming ≡ batch for the duplicated-gram inventory: the final
     // Complete-mode counts equal the batch GROUP BY whatever the
     // batch split (shared definition in TextQueries.substrDupSql).

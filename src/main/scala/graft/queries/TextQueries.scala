@@ -368,6 +368,25 @@ object TextQueries {
       SELECT gram, CAST(count(*) AS BIGINT) AS occ
       FROM grams GROUP BY gram HAVING count(*) >= 2"""
 
+  /** stream_dedup_substring_wm's oracle: the duplicated-gram inventory
+    * PER ARRIVAL-DAY WINDOW (batch membership doc_id % `batches`, the
+    * staged clock arrival_ts = 2024-03-01 + b days), with the Append
+    * emission cutoff stated explicitly — a window emits iff its end
+    * clears the final watermark (max staged arrival − 1 h), which with
+    * 1-day spacing and 1-day tumbling windows is exactly the first
+    * `batches − 2` windows (end(b) = day b+1 ≤ day (batches−1) − 1 h
+    * ⟺ b ≤ batches − 3). Counts are within-window by construction
+    * (one batch = one arrival day = one window).
+    */
+  private[queries] def substrDupWmSql(batches: Int): String = s"""
+      WITH $substrGramsCte
+      ${(0 until batches - 2).map { b =>
+        s"""SELECT TIMESTAMP '2024-03-0${b + 1} 00:00:00' AS wstart, gram,
+               CAST(count(*) AS BIGINT) AS occ
+           FROM grams WHERE doc_id % $batches = $b
+           GROUP BY gram HAVING count(*) >= 2"""
+      }.mkString(" UNION ALL ")}"""
+
   /** The full ExactSubstr span result as SQL — dedup_substring_spans'
     * oracle, also embedded as a CTE by dedup_substring_budget's. */
   private[queries] def substrSpansSql: String = s"""

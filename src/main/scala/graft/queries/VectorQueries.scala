@@ -82,6 +82,26 @@ object VectorQueries {
     * spec-pinned in VectorSpec.
     */
   private[graft] val PqRounds = 1
+  /** IVFADC's REGISTERED codebook size — k = 128, selected from the
+    * r11 recall-surface measurement (sf0.01, recall@3 vs brute, raw /
+    * residual encoding):
+    * {{{
+    *   k=64  np=3 0.187/0.180   np=4 0.190/0.180   np=5 0.203/0.210
+    *   k=128 np=3 0.207/0.180   np=4 0.233/0.200   np=5 0.270/0.220
+    * }}}
+    * The family is recall-bound by codebook size (the Lloyd-rounds
+    * measurement), and k = 128 at the unchanged NProbe = 3 pruning
+    * fraction clears the 0.2 floor (0.207, VectorSpec-pinned) without
+    * weakening the O(N·NProbe/NCells) scan story. Residual encoding
+    * (ivfpqResidualTopk) measured at-or-below raw at every grid point
+    * except k=64/np=5 — see its doc for why this corpus can't pay the
+    * residual cost — so the registered default stays by_residual=false
+    * WITH the measurement to show for it. vec_pq_codes /
+    * ann_pq_adc_topk keep PqK = 16 (the code-table compression story:
+    * 4-bit codes). The oracle CTE chain is generated from this same
+    * constant.
+    */
+  private[graft] val IvfPqK = 128
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -141,6 +161,60 @@ object VectorQueries {
         (col("pos") + 1L).as("rnk"),
         round(col("col._1"), 6).as("cos_sim"))
 
+  /** ANN serving WITH IVF pruning on the streaming face — the
+    * composition stream_ann_topk's comment promised (r10 verdict #5):
+    * the static corpus is cell-assigned once per micro-batch plan; an
+    * arriving query picks its NProbe nearest cells and scores ONLY
+    * those cells' vectors. Two devices make it legal over a streaming
+    * frame where the batch plan's devices are not:
+    *  - the probe list: the batch side ranks (qid × cell) scores under
+    *    a window — illegal on a stream. Here the 10-row centroid table
+    *    collapses to ONE broadcast row (array of (clabel, carr)
+    *    structs, array_sort for a deterministic order), and each query
+    *    ROW computes its own probe list as a pure expression —
+    *    sort the (−adot, clabel) structs, slice NProbe, explode.
+    *    Ascending (−adot, clabel) IS the batch window's
+    *    (adot DESC, clabel ASC) tie-break, and the fold inside cdot is
+    *    the identical index-ordered sum, so the probe SET matches
+    *    ann_ivf_topk's exactly (the oracle is its SQL verbatim).
+    *  - the ranking: the bounded-heap TopKAggregator (≤ k rows per
+    *    partition-group shuffled), as in annStreamTopk.
+    * Scale shape: at 10⁹ vectors the assigned corpus is the
+    * cell-partitioned table (probe join = partition pruning), the
+    * centroid row is O(NCells) broadcast, per-query streamed work is
+    * O(N·NProbe/NCells) — ANN serving at the shape the batch IVFADC
+    * family stores.
+    */
+  private[graft] def annStreamIvfTopk(qs: DataFrame,
+                                      s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    val assigned = ivfScoredCells(e, carr)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("clabel"), col("embedding")),
+        struct(col("adot"), -col("clabel"))).as("m"))
+      .select(col("vec_id").as("nn_id"),
+        col("m.clabel").as("cell"), col("m.embedding").as("embedding"))
+    val centsRow = carr
+      .agg(array_sort(collect_list(struct(col("clabel"), col("carr"))))
+        .as("cents"))
+    val probes = qs.crossJoin(broadcast(centsRow))
+      .select(col("qid"), col("qe"),
+        explode(slice(array_sort(transform(col("cents"),
+          c => struct((-cdot(c.getField("carr"), col("qe"))).as("nadot"),
+            c.getField("clabel").as("clabel")))), 1, NProbe)).as("p"))
+      .select(col("qid"), col("qe"), col("p.clabel").as("cell"))
+    probes.join(assigned, "cell") // stream-static equi join: probed cells only
+      .filter(col("nn_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("embedding")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.Aggregators.topK(3)(col("cos"), col("nn_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("nn_id"),
+        (col("pos") + 1L).as("rnk"),
+        round(col("col._1"), 6).as("cos_sim"))
+  }
+
   /** 64-bit random-hyperplane signature (vector SimHash). */
   private def sig(v: Column): Column = VectorFunctions.hyperplaneSig(v, W)
 
@@ -185,8 +259,10 @@ object VectorQueries {
     * Lloyd-rounds measurement at PqRounds), so k is where a production
     * deployment buys recall — real PQ systems train k = 256 per
     * subspace offline. VectorSpec measures recall@3 at k = 16 vs 64
-    * on the gate corpus; registered queries pin the k = 16 default
-    * (the oracle CTEs are generated from the same constant).
+    * on the gate corpus; vec_pq_codes / ann_pq_adc_topk register the
+    * k = 16 default (the compression story) while ann_ivfpq_topk
+    * registers k = IvfPqK = 64 (the measured-recall geometry) — the
+    * oracle CTEs are generated from the same constants.
     */
   private[graft] def pqSeedCodebook(subs: DataFrame, k: Int = PqK): DataFrame =
     subs.filter(col("vec_id") < k)
@@ -298,6 +374,30 @@ object VectorQueries {
     e.crossJoin(broadcast(carr))
       .withColumn("adot", cdot(col("carr"), col("embedding")))
 
+  /** Subspace-quantize an array&lt;double&gt; column: per-row symmetric
+    * int8 scale (max |x|), PqM slices, floor-half-up — the identical
+    * arithmetic as pqSubs but over residual vectors keyed by arbitrary
+    * id columns (pqSubs keys by vec_id over raw float embeddings; the
+    * residual path keys database rows by vec_id and query LUT rows by
+    * (qid, cell) — residuals differ per probed cell).
+    */
+  private def quantizeSubs(df: DataFrame, idCols: Seq[String],
+                           vecCol: String): DataFrame = {
+    val ids = idCols.map(col)
+    df.select(ids :+ col(vecCol).as("r"): _*)
+      .withColumn("scale",
+        aggregate(col("r"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .select(ids ++ Seq(
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub_id"),
+        col("r"), col("scale")): _*)
+      .select(ids ++ Seq(col("sub_id"),
+        transform(
+          slice(col("r"), col("sub_id") * PqSub + 1, lit(PqSub)),
+          v => when(col("scale") > 0.0,
+            floor(v / col("scale") * lit(127.0) + lit(0.5))
+              .cast("long")).otherwise(lit(0L))).as("sq")): _*)
+  }
+
   /** The two ADC queries' shared pieces over a (subs, trained-codebook)
     * pair: the assigned code table, and the per-query LUT of integer
     * subspace distances to every codeword (PqM×PqK rows per query —
@@ -325,6 +425,127 @@ object VectorQueries {
     val (codes, lut) = adcCodesAndLut(subs, cb)
     codes.join(broadcast(lut), Seq("sub_id", "code"))
       .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        col("rnk").cast("long").as("rnk"), col("adist"))
+  }
+
+  /** ann_ivfpq_topk's body, with the geometry (codebook size k, probed
+    * cells nprobe) as measurement knobs — the registered query pins
+    * (IvfPqK, NProbe); VectorSpec measures the recall surface across
+    * both knobs (the r11 geometry selection, recorded in the IvfPqK
+    * doc).
+    */
+  private[graft] def ivfpqTopk(s: SparkSession, d: String,
+                               k: Int = IvfPqK,
+                               nprobe: Int = NProbe): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    def scoredCells = ivfScoredCells(e, carr)
+    // nearest cell per vector: bounded-state max_by (one struct per
+    // vector), tie-break (adot DESC, clabel ASC) as in ann_ivf_topk
+    val cells = scoredCells
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
+        .as("cell"))
+    val probed = scoredCells
+      .filter(col("vec_id") < NQueries)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("adot").desc, col("clabel"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+    val subs = pqSubs(s, d).localCheckpoint()
+    val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
+    val codes = rawCodes.join(cells, "vec_id")
+    codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "sub_id", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        col("rnk").cast("long").as("rnk"), col("adist"))
+  }
+
+  /** Residual-encoded IVFADC (Jégou et al. TPAMI'11 §IV; FAISS
+    * IVFPQ with by_residual=true — the accuracy buy the no-residual
+    * comment named): PQ trains on r = x − centroid(cell(x)) instead of
+    * raw x, so the codebook's bits encode WITHIN-cell variation — the
+    * coarse quantizer already absorbed the between-cell component.
+    * Queries mirror it per probed cell: for each of q's NProbe cells,
+    * the LUT is built from q − centroid(cell) (a query's residual is
+    * cell-dependent, so LUT rows key by (qid, cell, sub, code) —
+    * NQueries × NProbe × PqM × k rows, broadcastable at any corpus
+    * size; FAISS calls this the per-probe LUT recomputation that
+    * by_residual costs at query time).
+    * Plan shape is EXACTLY ann_ivfpq_topk's (cell filter before all
+    * LUT work, broadcast LUT, keyed sum, ranked top-3); only what the
+    * codes encode changes. Exact end to end: residuals are computed in
+    * double (float→double widening exact, centroid components exact
+    * integer-sum means), quantized by the shared floor-half-up device,
+    * distances in integer — engine-portable statement-for-statement.
+    * MEASURED OUTCOME (sf0.01 grid in the IvfPqK doc): residual loses
+    * to raw at every geometry but k=64/np=5 on THIS corpus — the
+    * coarse cells are label-partitions of near-uniform random vectors,
+    * so centroids sit near the origin, residuals ≈ the raw vectors,
+    * and the per-cell re-quantization only adds noise. by_residual
+    * pays when cells capture real spatial structure (actual k-means
+    * cells over clustered data); the implementation is kept — with
+    * this measurement — as the geometry a production corpus would
+    * re-evaluate, and VectorSpec pins the comparison so the trade
+    * stays measured, not assumed.
+    */
+  private[graft] def ivfpqResidualTopk(s: SparkSession, d: String,
+                                       k: Int = IvfPqK,
+                                       nprobe: Int = NProbe): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    def scoredCells = ivfScoredCells(e, carr)
+    val cells = scoredCells
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
+        .as("cell"))
+    val probed = scoredCells
+      .filter(col("vec_id") < NQueries)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("adot").desc, col("clabel"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+    // database residuals vs each vector's OWN cell centroid
+    val rsubs = quantizeSubs(
+      e.join(cells, "vec_id")
+        .join(broadcast(carr), col("cell") === col("clabel"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("carr"),
+            (x, c) => x.cast("double") - c).as("r")),
+      Seq("vec_id"), "r").localCheckpoint()
+    val cb = pqCodebook(rsubs, k = k)
+    val codes = pqAssign(rsubs, cb)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+      .join(cells, "vec_id")
+    // query residuals vs each PROBED cell's centroid → per-cell LUT
+    val lut = quantizeSubs(
+      probed
+        .join(e.select(col("vec_id").as("qid"), col("embedding")), "qid")
+        .join(broadcast(carr), col("cell") === col("clabel"))
+        .select(col("qid"), col("cell"),
+          zip_with(col("embedding"), col("carr"),
+            (x, c) => x.cast("double") - c).as("r")),
+      Seq("qid", "cell"), "r")
+      .join(broadcast(cb), "sub_id")
+      .select(col("qid"), col("cell"), col("sub_id"),
+        col("code_id").as("code"), pqL2(col("sq"), col("cq")).as("d2"))
+    codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub_id", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).as("adist"))
       .withColumn("rnk", row_number().over(
@@ -394,10 +615,11 @@ object VectorQueries {
   /** Shared PQ CTEs: quantized subvectors (q), the `rounds`-times
     * Lloyd-trained codebook (cb), all codeword distances (pqdists),
     * ranked assignment (pqranked) — vec_pq_codes, ann_pq_adc_topk and
-    * ann_ivfpq_topk all close over these. `rounds` must match the
-    * Spark side's pqCodebook call (both default to PqRounds).
+    * ann_ivfpq_topk all close over these. `rounds` and `k` must match
+    * the Spark side's pqCodebook call (defaults PqRounds / PqK;
+    * ann_ivfpq_topk passes k = IvfPqK on both faces).
     */
-  private def pqCtesSql(rounds: Int = PqRounds): String = s"""scaled AS (
+  private def pqCtesSql(rounds: Int = PqRounds, k: Int = PqK): String = s"""scaled AS (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
         FROM embeddings),
@@ -409,7 +631,7 @@ object VectorQueries {
                                       / scale * 127.0 + 0.5) AS BIGINT)
                       ELSE 0 END) AS sq
         FROM scaled, (SELECT unnest(range(0, $PqM)) AS sub_id) m),
-      cb0 AS (SELECT vec_id AS code_id, sub_id, sq AS cq FROM q WHERE vec_id < $PqK),
+      cb0 AS (SELECT vec_id AS code_id, sub_id, sq AS cq FROM q WHERE vec_id < $k),
       ${(1 to rounds).map(pqRoundSql(_) + ",\n      ").mkString}cb AS (SELECT * FROM cb$rounds),
       pqdists AS (
         SELECT q.vec_id, q.sub_id, cb.code_id,
@@ -754,8 +976,10 @@ object VectorQueries {
     // THOSE cells' codes — per-query cost O(N·NProbe/NCells) code
     // rows instead of ann_pq_adc_topk's exhaustive O(N). This is the
     // no-residual variant (PQ trained on the raw vectors, not on
-    // x − centroid — FAISS's IVFPQ with by_residual=false); residual
-    // encoding buys accuracy, not a different plan shape.
+    // x − centroid — FAISS's IVFPQ with by_residual=false): the
+    // residual twin (ivfpqResidualTopk) is implemented and MEASURED
+    // at-or-below raw on this corpus (grid in the IvfPqK doc), so the
+    // registered geometry is raw k = IvfPqK, chosen by measurement.
     // Plan shape, in the order the rows flow: the code table joins its
     // cell assignment (one co-partitioned vec_id join — at 100 TB the
     // codes are STORED partitioned by cell as the inverted lists, and
@@ -765,37 +989,7 @@ object VectorQueries {
     // + ranked top-3 proceed exactly as in ann_pq_adc_topk. Recall vs
     // the exact baseline is the product of the two stages' losses
     // (cell pruning × PQ distortion) — floor-pinned in VectorSpec.
-    "ann_ivfpq_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val carr = ivfCentroids(e)
-      def scoredCells = ivfScoredCells(e, carr)
-      // nearest cell per vector: bounded-state max_by (one struct per
-      // vector), tie-break (adot DESC, clabel ASC) as in ann_ivf_topk
-      val cells = scoredCells
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
-          .as("cell"))
-      val probed = scoredCells
-        .filter(col("vec_id") < NQueries)
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("adot").desc, col("clabel"))))
-        .filter(col("crn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
-      val subs = pqSubs(s, d).localCheckpoint()
-      val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs))
-      val codes = rawCodes.join(cells, "vec_id")
-      codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
-        .filter(col("vec_id") =!= col("qid"))
-        .join(broadcast(lut), Seq("qid", "sub_id", "code"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("d2")).as("adist"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          col("rnk").cast("long").as("rnk"), col("adist"))
-    }),
+    "ann_ivfpq_topk" -> ((s, d) => ivfpqTopk(s, d)),
 
     // PageRank over the mutual-kNN graph — the graph-centrality signal
     // of SemDeDup-style curation: high-rank nodes sit in dense
@@ -973,7 +1167,7 @@ object VectorQueries {
     // and ranked top-3 as ann_pq_adc_topk; everything else is pruned
     // by the probed-cell join before any distance work.
     "ann_ivfpq_topk" -> s"""
-      WITH ${pqCtesSql()},
+      WITH ${pqCtesSql(k = IvfPqK)},
       $ivfCellCtesSql,
       ivf_assigned AS (
         SELECT vec_id, clabel AS cell FROM ranked_cells WHERE crn = 1),

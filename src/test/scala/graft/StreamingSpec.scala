@@ -542,6 +542,87 @@ class StreamingSpec extends GraftSpec {
       s"bounded state must never exceed the two-batch horizon: $bounded")
   }
 
+  test("windowed substring inventory: state tracks open windows while the Complete twin accretes") {
+    // stream_dedup_substring_wm's 100 TB claim, measured on synthetic
+    // batches: the Complete-mode gram-count inventory accretes one
+    // state row per distinct gram FOREVER (exactly the state that
+    // explodes on a boilerplate-heavy corpus), while the (arrival-day
+    // window, gram) formulation under a watermark EVICTS closed
+    // windows — state plateaus at the open-horizon inventory. Eight
+    // batches, each two identical fresh docs (so every gram reaches
+    // occ = 2), arrival advancing one day per batch, 1-hour delay:
+    // the unbounded twin ends holding all 8 batches' grams; the
+    // bounded one holds at most ~3 open windows' worth (the window
+    // whose batch is in flight, plus up to two predecessors pending
+    // the watermark's one-batch lag).
+    implicit val sql = spark.sqlContext
+    def mkText(b: Int) = (0 until 17).map(i => s"w${b}_$i").mkString(" ")
+    def gramsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.TextQueries.substrGramRows(df)
+        .withColumn("arrival_ts",
+          expr("cast('2024-01-01 00:00:00' as timestamp) + " +
+            "make_interval(0, 0, 0, cast(doc_id % 8 as int), 0, 0, 0)"))
+    def run(bounded: Boolean): (Long, Seq[Long]) = {
+      val ms = MemoryStream[(Long, String)]
+      val df = ms.toDF().toDF("doc_id", "text")
+      val out =
+        if (bounded)
+          gramsOf(df).withWatermark("arrival_ts", "1 hour")
+            .groupBy(window(col("arrival_ts"), "1 day"), col("gram"))
+            .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2L)
+            .select(col("window.start").as("wstart"), col("gram"), col("occ"))
+        else
+          gramsOf(df).groupBy(col("gram"))
+            .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2L)
+      val name = s"substr_wm_${if (bounded) "b" else "u"}"
+      val q = out.writeStream
+        .outputMode(if (bounded) OutputMode.Append() else OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try {
+        (0 until 8).foreach { b =>
+          // two ids ≡ b (mod 8): same arrival day, identical text
+          ms.addData((b.toLong, mkText(b)), (b + 8L, mkText(b)))
+          q.processAllAvailable()
+        }
+        (spark.table(name).count(),
+          q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)))
+      } finally q.stop()
+    }
+    val (uRows, uState) = run(bounded = false)
+    val (bRows, bState) = run(bounded = true)
+    val gramsPerBatch = uRows / 8 // identical text structure per batch
+    assert(gramsPerBatch > 0, s"synthetic docs produced no grams: $uRows")
+    // final watermark = day 7 − 1h ⇒ windows 0..5 emit, 6..7 withheld
+    assert(bRows === 6 * gramsPerBatch,
+      s"bounded twin must emit exactly the closed windows: $bRows of $uRows")
+    assert(uState.max === 8 * gramsPerBatch,
+      s"unbounded inventory must accrete every gram: $uState")
+    assert(bState.max <= 4 * gramsPerBatch,
+      s"bounded state must plateau at the open horizon: $bState")
+  }
+
+  test("stream_ann_ivf_topk: probe pruning holds the batch IVF recall on the streaming face") {
+    // The oracle pins streaming ≡ batch (ann_ivf_topk verbatim); this
+    // spec pins the QUALITY floor against ground truth: the pruned
+    // serving gate must keep the batch IVF family's measured recall
+    // vs the exact brute-force baseline (0.53 on the gate corpus;
+    // floor at the family's 0.30 — same floor as VectorSpec's batch
+    // IVF test, because the streaming face computes the identical
+    // probe set).
+    val d = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(
+      graft.queries.VectorQueries.queries("ann_brute_topk")(spark, d))
+    val streamed = pairs(
+      graft.queries.StreamingGateQueries.queries("stream_ann_ivf_topk")(spark, d))
+    val recall = streamed.intersect(brute).size.toDouble / brute.size
+    info(s"stream ivf recall@3 vs brute: $recall")
+    assert(streamed.groupBy(_._1).size === 100, "every query must be served")
+    assert(recall >= 0.30, s"streamed IVF recall@3 $recall below the family floor")
+  }
+
   test("stream-static incremental dedup: state holds the delta's fingerprints, not the store's") {
     // stream_dedup_incremental's scale property: the historical store
     // joins as a STATIC side — planned per micro-batch, never entered

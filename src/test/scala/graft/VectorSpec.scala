@@ -279,11 +279,13 @@ class VectorSpec extends GraftSpec {
 
   test("IVFADC: recall floor vs brute force; exactly top-3 per query") {
     // The composed query (cell filter -> ADC) loses recall at BOTH
-    // stages — cell pruning and PQ distortion — so its floor sits
-    // under both parents' (measured 0.13 at sf0.01 vs brute; adc
-    // alone 0.157, ivf alone ~0.30). The floor catches a broken
-    // composition (e.g. the cell join filtering everything, or the
-    // LUT joining on the wrong key), not quality drift.
+    // stages — cell pruning and PQ distortion. The registered geometry
+    // is the r11 measured selection (k = 128 raw encoding at the
+    // unchanged NProbe = 3 pruning fraction — grid in the IvfPqK doc):
+    // recall@3 vs brute 0.207 at sf0.01, up from the r10 default's
+    // 0.13. Deterministic arithmetic on a fixed corpus, so the floor
+    // sits just under the measured value and catches both a broken
+    // composition AND a silent geometry regression.
     val d = "/root/testdata/sf0.01"
     val brute = annPairs("ann_brute_topk", d)
     val rows = graft.queries.VectorQueries.queries("ann_ivfpq_topk")(spark, d)
@@ -297,7 +299,34 @@ class VectorSpec extends GraftSpec {
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = pairs.intersect(brute).size.toDouble / brute.size
     info(s"ivfpq recall@3 vs brute: $recall")
-    assert(recall >= 0.08, s"IVFADC recall@3 $recall below floor")
+    assert(recall >= 0.2, s"IVFADC recall@3 $recall below floor")
+  }
+
+  test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
+    // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
+    // ships on by default — on THIS corpus it measures at-or-below the
+    // raw encoding (label cells over near-uniform vectors put
+    // centroids near the origin: residual ≈ raw + re-quantization
+    // noise; full grid in the IvfPqK doc). This spec keeps that a
+    // MEASURED fact: the residual path must stay well-formed (top-3
+    // per query) and within noise of raw (not collapsed — a broken
+    // residual join would crater to ~0), while the registered default
+    // must not be beaten by more than the measured gap (if residual
+    // ever wins by >0.05 on a future corpus change, the default choice
+    // needs re-deciding — fail loudly rather than drift).
+    val d = "/root/testdata/sf0.01"
+    val brute = annPairs("ann_brute_topk", d)
+    val res = graft.queries.VectorQueries.ivfpqResidualTopk(spark, d)
+      .select(col("qid"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = annPairs("ann_ivfpq_topk", d)
+    val rRes = res.intersect(brute).size.toDouble / brute.size
+    val rRaw = raw.intersect(brute).size.toDouble / brute.size
+    info(s"recall@3 vs brute: raw=$rRaw residual=$rRes")
+    assert(res.groupBy(_._1).size === 100, "residual path must serve every query")
+    assert(rRes >= 0.1, s"residual recall $rRes collapsed — broken composition")
+    assert(rRes <= rRaw + 0.05,
+      s"residual ($rRes) now beats raw ($rRaw) — re-decide the registered default")
   }
 
   test("identical vectors share the full signature (near-dup contract)") {
