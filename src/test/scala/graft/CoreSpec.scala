@@ -293,41 +293,50 @@ class CoreSpec extends GraftSpec {
       s"(8,1) banding missed direct pairs: ${(direct -- p81).take(5)}")
   }
 
-  test("BPE merge training matches a driver-side reference on the sf0.001 corpus") {
+  test("BPE merge training matches a driver-side reference at depth 5 AND the registered 16") {
     // Independent ground truth: textbook BPE on the word-frequency
     // dict in plain Scala — char-init sequences, per-round weighted
     // adjacent-pair counts, argmax by (count desc, pair asc), single
-    // left-to-right merge pass — compared on every output column.
+    // left-to-right merge pass — compared on every output column at
+    // TWO depths: 5 (the r10 demo depth, via the bpeTrainAt knob) and
+    // 16 (the registered gate depth), so the rounds knob is pinned to
+    // actually deepen the SAME training chain, not a different one.
     val d = "/root/testdata/sf0.001"
-    val rounds = 5
     val words = graft.Tables.documents(spark, d)
       .select(col("text")).collect()
       .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    var seqs: Map[String, List[String]] =
-      words.keys.map(w => w -> w.map(_.toString).toList).toMap
-    val expected = (1 to rounds).map { r =>
-      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((w, s) <- seqs; Seq(a, b) <- s.sliding(2) if s.length >= 2)
-        pc.updateWith((a, b))(c => Some(c.getOrElse(0L) + words(w)))
-      val ((a, b), c) = pc.toSeq.minBy { case ((l, rt), n) => (-n, l, rt) }
-      seqs = seqs.map { case (w, s) =>
-        val out = scala.collection.mutable.ListBuffer.empty[String]
-        var prev = ""
-        for (t <- s) {
-          if (prev.isEmpty) prev = t
-          else if (prev == a && t == b) { out += (a + b); prev = "" }
-          else { out += prev; prev = t }
+    def textbook(rounds: Int): Set[(Long, String, String, String, Long)] = {
+      var seqs: Map[String, List[String]] =
+        words.keys.map(w => w -> w.map(_.toString).toList).toMap
+      (1 to rounds).map { r =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, s) <- seqs; Seq(a, b) <- s.sliding(2) if s.length >= 2)
+          pc.updateWith((a, b))(c => Some(c.getOrElse(0L) + words(w)))
+        val ((a, b), c) = pc.toSeq.minBy { case ((l, rt), n) => (-n, l, rt) }
+        seqs = seqs.map { case (w, s) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var prev = ""
+          for (t <- s) {
+            if (prev.isEmpty) prev = t
+            else if (prev == a && t == b) { out += (a + b); prev = "" }
+            else { out += prev; prev = t }
+          }
+          if (prev.nonEmpty) out += prev
+          w -> out.toList
         }
-        if (prev.nonEmpty) out += prev
-        w -> out.toList
-      }
-      (r.toLong, a, b, a + b, c)
-    }.toSet
-    val out = graft.queries.TextQueries.queries("text_bpe_train")(spark, d)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        (r.toLong, a, b, a + b, c)
+      }.toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSet
-    assert(out === expected)
+    assert(got(graft.queries.TextQueries.bpeTrainAt(spark, d, 5)) === textbook(5))
+    val registered = got(
+      graft.queries.TextQueries.queries("text_bpe_train")(spark, d))
+    assert(registered.map(_._1).max === 16L,
+      "registered BPE depth drifted from the pinned 16")
+    assert(registered === textbook(16))
   }
 
   test("ExactSubstr spans match a driver-side reimplementation on the sf0.001 corpus") {
