@@ -452,7 +452,7 @@ object TextQueries {
     * AQE broadcasts it at test scale, and at 100 TB the sid-key shuffle
     * join is the right shape anyway.
     */
-  private def cappedShingleIds(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cappedShingleIds(s: SparkSession, d: String): DataFrame = {
     val sh = docShingleIds(s, d)
     val low = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCapK)
@@ -502,6 +502,23 @@ object TextQueries {
     }.reduce(_ unionAll _)
     jaccardVerify(cand.distinct(),
       sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
+  }
+
+  /** Each document's AllPairs PREFIX postings — its ⌊n/2⌋+1 rarest
+    * shingles under the global (df, sid) total order (losslessness
+    * proof at dedup_prefix_jaccard). Factored out so the skew
+    * measurement (CoreSpec) can count candidate-join volume from the
+    * same postings the registered query joins.
+    */
+  private[graft] def prefixPostings(sh: DataFrame): DataFrame = {
+    val dfs = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, "sid")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      // rk ≤ ⌊nsh/2⌋+1 ⟺ 2·(rk−1) ≤ nsh, with nsh = per-doc count.
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter((col("rk") - 1L) * 2L <= col("nsh"))
+      .select(col("doc_id"), col("sid"))
   }
 
   /** Exact Jaccard over ALL pairs sharing ≥1 shingle, in one pass: the
@@ -1065,23 +1082,19 @@ object TextQueries {
     // Candidate volume drops to Σ df_pref² over prefix postings —
     // measured at sf0.1: 27.0M vs 59.0M candidate-join rows, 2.2× on
     // this deliberately near-UNIFORM synthetic corpus; on a Zipfian
-    // real-world corpus the df² sum concentrates on exactly the
-    // stop-shingles prefixes exclude, so the reduction grows with
-    // skew. Surviving candidates are verified by the same O(|cand|·doc_len)
+    // corpus the df² sum concentrates on exactly the stop-shingles
+    // prefixes exclude, so the reduction GROWS with skew — measured
+    // (CoreSpec r11, 420-doc 1/rank-law fixture): 2.52× on the
+    // uniform sf0.01 corpus vs 224× on the Zipfian one, with the
+    // verified pair sets identical on both (losslessness is
+    // distribution-independent). Surviving candidates are verified by the same O(|cand|·doc_len)
     // merge-intersect kernel as the LSH path — no approximation, no
     // signature tuning, recall exactly 1 by construction. The per-doc
     // rank is a doc_id-partitioned window (bounded state, never
     // corpus-wide); df attach is one sid-keyed shuffle join.
     "dedup_prefix_jaccard" -> ((s, d) => {
       val sh = cappedShingleIds(s, d).localCheckpoint()
-      val dfs = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
-      val pref = sh.join(dfs, "sid")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
-        // rk ≤ ⌊nsh/2⌋+1 ⟺ 2·(rk−1) ≤ nsh, with nsh = per-doc count.
-        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .filter((col("rk") - 1L) * 2L <= col("nsh"))
-        .select(col("doc_id"), col("sid"))
+      val pref = prefixPostings(sh)
       val cand = pref.select(col("doc_id").as("da"), col("sid"))
         .join(pref.select(col("doc_id").as("db"), col("sid")), Seq("sid"))
         .filter(col("da") < col("db"))
