@@ -34,7 +34,10 @@ object ClusterBench {
     "dedup_minhash_clusters", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_prefix_containment", "ann_ivfpq_topk",
     "stream_dedup_chunks_wm_evict", "stream_dedup_events_wm",
-    "stream_dedup_substring", "stream_ann_topk")
+    "stream_dedup_substring", "stream_ann_topk",
+    // r11 additions: windowed-eviction state on executors, and the
+    // IVF probe-expression + typed-Aggregator composition across JVMs
+    "stream_dedup_substring_wm", "stream_ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

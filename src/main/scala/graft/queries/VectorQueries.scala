@@ -313,24 +313,36 @@ object VectorQueries {
     cb
   }
 
-  /** Exact integer subspace L2² — left-to-right fold, engine-portable. */
+  /** Exact integer subspace L2² — native codegen'd loop
+    * (VectorFunctions.longL2); integer addition is associative, so it
+    * mirrors the oracle's list_reduce fold exactly whatever the
+    * accumulation order. Was a zip_with + aggregate HOF — swapped r11
+    * for the hot path (see LongArrayL2's doc).
+    */
   private[graft] def pqL2(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    VectorFunctions.longL2(x, y)
 
   /** Nearest-codeword assignment: (vec_id, sub_id, code, dist), ties
-    * to the smaller code id via the ranked window.
+    * to the smaller code id. Bounded-state min_by on the
+    * (dist, code_id) order struct — the ivf max_by device: partial
+    * aggregation collapses the ×k candidate rows map-side and nothing
+    * is ever sorted (the previous ranked window shuffled AND sorted
+    * corpus×PqM×k rows, which at the k=128 registered IVFADC geometry
+    * was the query's hot spot — swap measured 10.5 → 6.5 s at sf0.1;
+    * per-group state is one struct regardless of codebook size). The
+    * (dist, code_id) struct IS the window's (dist ASC, code_id ASC)
+    * tie-break, so assignments are identical (oracle unchanged,
+    * spec-pinned by every PQ gate).
     */
   private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), "sub_id")
       .select(col("vec_id"), col("sub_id"), col("code_id"),
         pqL2(col("sq"), col("cq")).as("dist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub_id"))
-          .orderBy(col("dist"), col("code_id"))))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("sub_id"), col("code_id").as("code"),
-        col("dist"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(struct(col("code_id"), col("dist")),
+        struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("sub_id"), col("m.code_id").as("code"),
+        col("m.dist").as("dist"))
 
   /** The IVF coarse quantizer's centroid table (clabel, carr) — exact
     * per-label mean vectors via fixed-point integer sums (CentScale).
