@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench protocol plumbing (no SparkSession needed): the
+  * BENCH_BASELINE.json extractor must read exactly the `queries_norm`
+  * object Bench itself writes — a silent parse-to-empty would turn the
+  * regression diff into a permanent "no baseline" no-op.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def withTempJson(content: String)(body: String => Unit): Unit = {
+    val f = java.nio.file.Files.createTempFile("bench-baseline", ".json")
+    try {
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      body(f.toString)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("readBaseline extracts queries_norm pairs from a Bench-written artifact") {
+    val json = """{"metric":"total_min_of_3","value":1.5,""" +
+      """"queries":{"a":2.0,"b":3.0},""" +
+      """"queries_norm":{"a":1.25,"b":-1.0,"c_x":4.5e-2},""" +
+      """"reps":{"a":[1,2]},"probe_trace":[0.1,0.2]}"""
+    withTempJson(json) { p =>
+      val m = Bench.readBaseline(p)
+      assert(m === Map("a" -> 1.25, "b" -> -1.0, "c_x" -> 0.045))
+    }
+  }
+
+  test("readBaseline is total: missing file, malformed JSON, absent key -> empty") {
+    assert(Bench.readBaseline("/nonexistent/path.json") === Map.empty)
+    withTempJson("""{"queries":{"a":1.0}}""") { p =>
+      assert(Bench.readBaseline(p) === Map.empty)
+    }
+    withTempJson("not json at all") { p =>
+      assert(Bench.readBaseline(p) === Map.empty)
+    }
+  }
+
+  test("the committed BENCH_BASELINE.json anchor parses non-empty") {
+    // The anchor the regression diff depends on: if a future edit
+    // breaks its shape (or the file is dropped), this fails instead of
+    // Bench silently reporting "no baseline" forever.
+    val m = Bench.readBaseline("BENCH_BASELINE.json")
+    assert(m.size > 170, s"baseline anchor parsed only ${m.size} queries")
+    assert(m.values.forall(v => v > 0 || v === -1.0),
+      "normalized values must be positive (or -1 for a failed query)")
+  }
+}
