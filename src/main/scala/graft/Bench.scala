@@ -74,10 +74,15 @@ object Bench {
       """"queries_norm"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
         case Some(m) =>
           """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+            // per-entry guard: one hand-mangled numeric (e.g. "1.2.3"
+            // matches the class but not toDouble) drops THAT entry,
+            // not the whole anchor (code-review r11 — a file-level
+            // catch here misreported a parse issue as a missing file)
+            .flatMap(x => x.group(2).toDoubleOption.map(x.group(1) -> _))
+            .toMap
         case None => Map.empty
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => Map.empty } // unreadable file only
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,7 +126,7 @@ object Bench {
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val totalMed = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
     val vsBaseline =
-      if (baseline.isEmpty) "\"no BENCH_BASELINE.json\""
+      if (baseline.isEmpty) "\"no parseable BENCH_BASELINE.json\""
       else obj(Seq(
         "baseline_queries" -> baseline.size.toString,
         "regressions_over_1_5x" -> regressions.length.toString,

@@ -135,13 +135,22 @@ case class LongArrayL2(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_l2"
 
+  // NULL semantics mirror the zip_with+aggregate HOF this replaced
+  // (code-review r11): a null element poisons the term and the sum —
+  // result NULL; a length mismatch means zip_with's null padding would
+  // poison it too — result NULL. Today's quantized arrays have neither,
+  // but the kernel is general-purpose in VectorFunctions.
+  override def nullable: Boolean = true
+
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -155,13 +164,18 @@ case class LongArrayL2(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
       s"""
-      int $n = Math.min($x.numElements(), $y.numElements());
-      long $acc = 0L;
-      for (int $i = 0; $i < $n; $i++) {
-        long $d = $x.getLong($i) - $y.getLong($i);
-        $acc += $d * $d;
+      int $n = $x.numElements();
+      if ($n != $y.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+          long $d = $x.getLong($i) - $y.getLong($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
       }
-      ${ev.value} = $acc;
       """
     })
 

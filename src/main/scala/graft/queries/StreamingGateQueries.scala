@@ -521,11 +521,12 @@ object StreamingGateQueries {
     // same contract as every other _wm twin.
     "stream_dedup_substring_wm" -> ((s, d) => {
       Tables.load(s, d, "region")
+      val nb = TextQueries.SubstrWmBatches // one constant, both faces
       runStream(s, s"$d/documents.parquet", identity,
         df => TextQueries.substrGramRows(df.select(col("doc_id"), col("text")))
           .withColumn("arrival_ts",
             expr("cast('2024-03-01 00:00:00' as timestamp) + " +
-              "make_interval(0, 0, 0, cast(doc_id % 4 as int), 0, 0, 0)"))
+              s"make_interval(0, 0, 0, cast(doc_id % $nb as int), 0, 0, 0)"))
           .withWatermark("arrival_ts", "1 hour")
           .groupBy(window(col("arrival_ts"), "1 day"), col("gram"))
           .agg(count(lit(1)).as("occ"))
@@ -534,7 +535,7 @@ object StreamingGateQueries {
             col("gram"), col("occ")),
         OutputMode.Append(),
         stageBatchedStream(_, _, _, _,
-          (0 until 4).map(i => col("doc_id") % 4 === i)))
+          (0 until nb).map(i => col("doc_id") % nb === i)))
     }),
 
     // The ExactSubstr duplicated-gram inventory (what
@@ -880,7 +881,8 @@ object StreamingGateQueries {
     // Watermark-bounded inventory: per-arrival-day duplicated-gram
     // counts with the Append cutoff stated explicitly (batches − 2 of
     // the 4 staged windows emit; shared gram enumeration CTE).
-    "stream_dedup_substring_wm" -> TextQueries.substrDupWmSql(4),
+    "stream_dedup_substring_wm" ->
+      TextQueries.substrDupWmSql(TextQueries.SubstrWmBatches),
     // Streaming ≡ batch for the duplicated-gram inventory: the final
     // Complete-mode counts equal the batch GROUP BY whatever the
     // batch split (shared definition in TextQueries.substrDupSql).

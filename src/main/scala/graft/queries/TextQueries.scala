@@ -409,14 +409,26 @@ object TextQueries {
     * ⟺ b ≤ batches − 3). Counts are within-window by construction
     * (one batch = one arrival day = one window).
     */
-  private[queries] def substrDupWmSql(batches: Int): String = s"""
+  /** Staged-batch count of the substring wm gate — ONE constant for
+    * both faces (the gate's doc_id % N split and the oracle's window
+    * replay), so they cannot drift independently.
+    */
+  private[queries] val SubstrWmBatches = 4
+
+  private[queries] def substrDupWmSql(batches: Int): String = {
+    require(batches >= 3,
+      "need >= 3 staged batches: with the 1h delay / 1-day spacing the " +
+        "final watermark closes batches - 2 windows, which must be >= 1")
+    def day(b: Int) = java.time.LocalDate.of(2024, 3, 1).plusDays(b.toLong)
+    s"""
       WITH $substrGramsCte
       ${(0 until batches - 2).map { b =>
-        s"""SELECT TIMESTAMP '2024-03-0${b + 1} 00:00:00' AS wstart, gram,
+        s"""SELECT TIMESTAMP '${day(b)} 00:00:00' AS wstart, gram,
                CAST(count(*) AS BIGINT) AS occ
            FROM grams WHERE doc_id % $batches = $b
            GROUP BY gram HAVING count(*) >= 2"""
       }.mkString(" UNION ALL ")}"""
+  }
 
   /** The full ExactSubstr span result as SQL — dedup_substring_spans'
     * oracle, also embedded as a CTE by dedup_substring_budget's. */

@@ -261,7 +261,7 @@ object VectorQueries {
     * subspace offline. VectorSpec measures recall@3 at k = 16 vs 64
     * on the gate corpus; vec_pq_codes / ann_pq_adc_topk register the
     * k = 16 default (the compression story) while ann_ivfpq_topk
-    * registers k = IvfPqK = 64 (the measured-recall geometry) — the
+    * registers k = IvfPqK = 128 (the measured-recall geometry) — the
     * oracle CTEs are generated from the same constants.
     */
   private[graft] def pqSeedCodebook(subs: DataFrame, k: Int = PqK): DataFrame =
@@ -282,7 +282,8 @@ object VectorQueries {
     * two seed subvectors are identical in a subspace) keeps its
     * previous centroid via the left-join + coalesce, so the codebook
     * shape is PqM×PqK invariant at any round count. Each round's
-    * 128-row codebook localCheckpoints — plan depth stays linear in
+    * PqM×k-row codebook (128 rows at the k = 16 default, 1024 at
+    * IVFADC's k = 128) localCheckpoints — plan depth stays linear in
     * `rounds` and the corpus-side assignment subtree is never
     * re-derived transitively. Measured on the shipped corpus: one
     * round drops total assigned distortion ~18%; VectorSpec pins
@@ -520,10 +521,15 @@ object VectorQueries {
     val e = Tables.embeddings(s, d)
     val carr = ivfCentroids(e)
     def scoredCells = ivfScoredCells(e, carr)
+    // both consumed by TWO subtrees each (cells: rsubs + the codes
+    // join; probed: the LUT build + the final cell filter) —
+    // checkpoint so the corpus×NCells scoring runs once, not four
+    // times (code-review r11; probed is NQueries×nprobe rows, free)
     val cells = scoredCells
       .groupBy(col("vec_id"))
       .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
         .as("cell"))
+      .localCheckpoint()
     val probed = scoredCells
       .filter(col("vec_id") < NQueries)
       .withColumn("crn", row_number().over(
@@ -531,6 +537,7 @@ object VectorQueries {
           .orderBy(col("adot").desc, col("clabel"))))
       .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      .localCheckpoint()
     // database residuals vs each vector's OWN cell centroid
     val rsubs = quantizeSubs(
       e.join(cells, "vec_id")

@@ -24,6 +24,24 @@ class VectorSpec extends GraftSpec {
     assert(got === expected)
   }
 
+  test("LongArrayL2 matches the fold on valid input; NULL on null element or length mismatch") {
+    // The NULL contract mirrors the zip_with+aggregate HOF the kernel
+    // replaced: a null element poisons the sum, zip_with's null
+    // padding poisons a length mismatch — both must surface as NULL,
+    // never as a wrong-but-plausible distance.
+    val rows = Seq(
+      (0, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (1, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, null)),
+      (2, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L))
+    ).toDF("i", "x", "y")
+      .select(col("i"), VectorFunctions.longL2(col("x"), col("y")).as("d"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(0) === Some(8L)) // (1-3)^2 + (2-4)^2
+    assert(rows(1) === None)
+    assert(rows(2) === None)
+  }
+
   test("FloatDotProduct null-safe on null arrays") {
     val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]]))
       .toDF("x", "y")
