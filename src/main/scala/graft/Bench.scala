@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   * baseline `queries_norm` entry; queries >1.5× baseline are named in
   * `vs_baseline` so a regression diff is one artifact read, not a
   * three-round footnote chain.
+  *
+  * == Mechanical anchor promotion (round 12) ==
+  * The anchor is replaceable ONLY by a run whose probe trace
+  * DOMINATES the incumbent's — min AND median AND max all ≤ (ties
+  * promote). Under the one-sided-noise model a dominating trace means
+  * the candidate observed a quieter host at every summary point, so
+  * promotion can only tighten the anchor — the rule a judgment call
+  * ("quietest of four runs", commit 2adae72) could not guarantee.
+  * Each run emits its own comparison as `anchor_candidate` in
+  * bench_out.json; `tools/promote_anchor.py` enforces the replacement
+  * and appends every attempt (accepted or rejected, with both probe
+  * summaries) to the anchor's `promotion_log`.
   */
 object Bench {
   private val Reps = 3
@@ -82,7 +94,36 @@ object Bench {
             .toMap
         case None => Map.empty
       }
-    } catch { case _: Throwable => Map.empty } // unreadable file only
+      // unreadable/missing file only — fatal errors (OOM, interrupt)
+      // must propagate, not silently disable regression diffing
+      // (ADVICE r11)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The anchor's own probe trace (same regex device as readBaseline) —
+    * the incumbent side of the mechanical promotion rule.
+    */
+  private[graft] def readProbeTrace(path: String): Seq[Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8")
+      """"probe_trace"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt) match {
+        case Some(m) =>
+          m.group(1).split(",").toSeq
+            .flatMap(s => s.trim.toDoubleOption)
+        case None => Seq.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** The promotion rule, stated once: a candidate trace dominates iff
+    * its min, median AND max are all ≤ the incumbent's (ties promote).
+    */
+  private[graft] def probeDominates(cand: Seq[Double],
+                                    inc: Seq[Double]): Boolean =
+    cand.nonEmpty && inc.nonEmpty &&
+      cand.min <= inc.min &&
+      BenchSupport.median(cand) <= BenchSupport.median(inc) &&
+      cand.max <= inc.max
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,8 +186,19 @@ object Bench {
     val reps = obj(results.map { case (k, _, _, ts) =>
       k -> ts.mkString("[", ",", "]")
     })
+    val incProbe = readProbeTrace("BENCH_BASELINE.json")
+    def probeStats(t: Seq[Double]): String = obj(Seq(
+      "min" -> t.min.toString,
+      "median" -> BenchSupport.median(t).toString,
+      "max" -> t.max.toString))
+    val anchorCandidate =
+      if (incProbe.isEmpty) "\"no incumbent probe trace\""
+      else obj(Seq(
+        "dominates" -> probeDominates(probes.toSeq, incProbe).toString,
+        "candidate_probe" -> probeStats(probes.toSeq),
+        "incumbent_probe" -> probeStats(incProbe)))
     val fileJson = json.dropRight(1) +
-      s""","queries_median":$qsMed,"queries_norm":$qsNorm,"reps":$reps,"probe_trace":${probes.mkString("[", ",", "]")},"vs_baseline":$vsBaseline}"""
+      s""","queries_median":$qsMed,"queries_norm":$qsNorm,"reps":$reps,"probe_trace":${probes.mkString("[", ",", "]")},"vs_baseline":$vsBaseline,"anchor_candidate":$anchorCandidate}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fileJson + "\n").getBytes("UTF-8"))

@@ -30,16 +30,19 @@ object ScalingCheck {
     * table when a dir name doesn't parse (custom fixture paths).
     */
   private def dataGrowth(small: String, large: String,
-                         spark: org.apache.spark.sql.SparkSession): Double = {
+                         spark: org.apache.spark.sql.SparkSession): (Double, String) = {
     def sf(dir: String): Option[Double] =
       "sf([0-9.]+)/*$".r.findFirstMatchIn(dir)
         .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     (sf(small), sf(large)) match {
-      case (Some(a), Some(b)) if a > 0 => b / a
+      case (Some(a), Some(b)) if a > 0 => (b / a, "sf_dir_names")
       case _ =>
+        // documents-row proxy: can misstate the factor if a custom
+        // fixture scales tables non-uniformly — the emitted JSON names
+        // the source so a reader knows which it got (ADVICE r11)
         val na = spark.read.parquet(s"$small/documents.parquet").count()
         val nb = spark.read.parquet(s"$large/documents.parquet").count()
-        if (na > 0) nb.toDouble / na else -1.0
+        (if (na > 0) nb.toDouble / na else -1.0, "documents_rows")
     }
   }
 
@@ -72,8 +75,8 @@ object ScalingCheck {
     }.mkString(",")
     val failed = rows.collect { case (q, a, b, _) if a < 0 || b < 0 => s""""$q"""" }
       .mkString("[", ",", "]")
-    val growth = dataGrowth(small, large, spark)
-    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":$growth,"queries":{$qJson},"failed":$failed}""")
+    val (growth, growthSource) = dataGrowth(small, large, spark)
+    println(s"""{"scaling_check":"done","small":"$small","large":"$large","data_growth":$growth,"data_growth_source":"$growthSource","queries":{$qJson},"failed":$failed}""")
     spark.stop()
   }
 }

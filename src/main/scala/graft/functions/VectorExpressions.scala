@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
@@ -22,10 +22,15 @@ import org.apache.spark.sql.types._
   * addition, same operand order; the leading `0.0 + t1` is exact).
   */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  // Declared element types make misuse an ANALYSIS error: the codegen
+  // below reads raw 4-byte slots (getFloat), so an array<double> input
+  // would silently return garbage, not fail (ADVICE r11).
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
@@ -68,10 +73,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * pure and foldable-free.
   */
 case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+  // getFloat over raw slots — see FloatDotProduct.inputTypes.
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   protected override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -130,10 +137,15 @@ case class HyperplaneSignature(child: Expression, weights: Array[Array[Int]])
   * (measured 10.5 → ~6.5 s on ann_ivfpq_topk at sf0.1).
   */
 case class LongArrayL2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_l2"
+  // The loop reads 8-byte slots (getLong); on array<int> / array<double>
+  // it would return garbage instead of failing analysis — declare the
+  // element type so misuse is an AnalysisException (ADVICE r11).
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   // NULL semantics mirror the zip_with+aggregate HOF this replaced
   // (code-review r11): a null element poisons the term and the sum —

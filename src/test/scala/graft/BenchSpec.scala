@@ -38,6 +38,32 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("anchor promotion is mechanical: dominance = min AND median AND max all <=") {
+    // The rule that replaced the "quietest of four runs" judgment call
+    // (r11 verdict #4): a candidate run may replace the anchor only if
+    // its probe trace dominates the incumbent's at every summary point.
+    val inc = Seq(0.10, 0.20, 0.30)
+    assert(Bench.probeDominates(Seq(0.09, 0.19, 0.29), inc))
+    assert(Bench.probeDominates(inc, inc), "ties must promote")
+    // better min and median but a worse max — a run with one loud
+    // stretch must NOT displace a uniformly quiet anchor
+    assert(!Bench.probeDominates(Seq(0.05, 0.15, 0.31), inc))
+    // better max but worse min
+    assert(!Bench.probeDominates(Seq(0.11, 0.20, 0.29), inc))
+    assert(!Bench.probeDominates(Seq.empty, inc), "empty candidate never promotes")
+    assert(!Bench.probeDominates(inc, Seq.empty), "no incumbent trace -> not comparable here")
+  }
+
+  test("readProbeTrace reads the incumbent trace from a Bench-written artifact") {
+    withTempJson("""{"queries_norm":{"a":1.0},"probe_trace":[0.1,0.25,0.2]}""") { p =>
+      assert(Bench.readProbeTrace(p) === Seq(0.1, 0.25, 0.2))
+    }
+    assert(Bench.readProbeTrace("/nonexistent/path.json") === Seq.empty)
+    val committed = Bench.readProbeTrace("BENCH_BASELINE.json")
+    assert(committed.size > 100,
+      s"committed anchor must carry its full probe trace (got ${committed.size})")
+  }
+
   test("the committed BENCH_BASELINE.json anchor parses non-empty") {
     // The anchor the regression diff depends on: if a future edit
     // breaks its shape (or the file is dropped), this fails instead of

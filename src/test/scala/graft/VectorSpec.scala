@@ -42,6 +42,24 @@ class VectorSpec extends GraftSpec {
     assert(rows(2) === None)
   }
 
+  test("kernels reject wrong element types at analysis time") {
+    // The loops read raw fixed-width slots (getFloat/getLong); before
+    // the ExpectsInputTypes declaration an array<int> input returned
+    // garbage instead of failing (ADVICE r11). Misuse must now be an
+    // analysis error, never a wrong-but-plausible number.
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VectorFunctions.longL2(col("x"), col("y"))).head()
+    }
+    val doubles = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(VectorFunctions.dotF(col("x"), col("y"))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(VectorFunctions.hyperplaneSig(col("x"), W)).head()
+    }
+  }
+
   test("FloatDotProduct null-safe on null arrays") {
     val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]]))
       .toDF("x", "y")
