@@ -399,6 +399,206 @@ object TextQueries {
                                 rounds: Int): DataFrame =
     bpeRounds(s, d, rounds)._1.reduce(_ unionAll _)
 
+  /** Batched-BPE geometry for the registered gate: `BpeBatchM` merges
+    * admitted per round × `BpeBatchRounds` rounds = 16 merges — the
+    * same merge budget as the exact gate's 16 sequential rounds, so
+    * the two registered queries are directly comparable.
+    */
+  private[graft] val BpeBatchM = 4
+  private[graft] val BpeBatchRounds = 4
+
+  /** BATCHED BPE training — the published scalable variant (the
+    * SentencePiece/fastBPE-style batching; Sennrich ACL'16's algorithm
+    * merges one pair per pass, which at a real 30k-merge vocab is the
+    * bottleneck: r11 measured the exact loop flat at ~0.3 s/round, so
+    * 30k SEQUENTIAL rounds extrapolate to ~2.5 h — the round count,
+    * not the per-round cost, is the wall). Each round admits the top-m
+    * pairs under a GREEDY TOKEN-DISJOINTNESS rule: candidates are
+    * scanned in the exact algorithm's (count DESC, l, rgt) order and a
+    * pair is admitted iff it shares NO token (left or right, either
+    * side) with any already-admitted pair. Disjointness is what makes
+    * one-pass batch application exact: merges over disjoint token sets
+    * cannot overlap in any word, so applying all m in a single
+    * left-to-right pass equals applying them sequentially in any
+    * order, and no admitted pair's round-start count is changed by
+    * another admitted pair's application. Divergence from the exact
+    * algorithm arises ONLY when an interacting pair sits in the top-m
+    * (the exact algorithm recounts after each merge and may then pick
+    * a pair this round skipped, or a brand-new pair over a just-merged
+    * token) — CoreSpec pins both faces of that contract on planted
+    * fixtures, plus the real-corpus merge-set overlap.
+    *
+    * Plan shape per round: ONE dict-sized pair count (as exact), ONE
+    * one-row greedy-selection fold (m-independent — see the selection
+    * comment in the body), one fold apply pass with the admitted set
+    * broadcast as a single m-element array row — so per-ROUND cost is
+    * a constant ~0.3 s here whatever m, and per-MERGE cost is that
+    * constant / m. Measured at sf0.1 (graft.BpeCurve, min of 3):
+    * exact 16 rounds 4.02 s (0.25 s/merge) → batched 4×4 1.08 s
+    * (0.068) → 2×8 0.67 s (0.042) → 1×16 0.47 s (0.029) → 1×32
+    * 0.45 s (0.014) → 2×32 0.61 s (0.0095/merge over 64 merges).
+    * The 30k path: m = 256 (the admission rate real batched trainers
+    * run) needs ~117 rounds ≈ half a minute at the measured per-round
+    * cost, vs ~2.5 h for 30k sequential exact rounds — the knob is
+    * `m`, the shape is unchanged.
+    */
+  private[graft] def bpeTrainBatchedAt(s: SparkSession, d: String,
+                                       rounds: Int = BpeBatchRounds,
+                                       m: Int = BpeBatchM): DataFrame = {
+    val sep = " "
+    val dict = docWords(s, d).select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var cur = dict.select(col("word"), col("cnt"),
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))), sep).as("seq"))
+      .localCheckpoint()
+    val out = (1 to rounds).map { r =>
+      val t = split(col("seq"), sep)
+      // round-start pair counts — ONE count serves all m selections
+      // (the whole point of batching)
+      val pairs = cur.select(col("cnt"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("l"),
+              element_at(t, i + 1).as("rgt"))))
+          .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
+        .agg(sum(col("cnt")).as("c"))
+      // greedy disjoint selection as ONE job, m-independent: the pair
+      // table (vocab-bounded — exactly the state a single-node BPE
+      // trainer holds in memory) collapses to one deterministically
+      // sorted array row, and a fold admits up to m pairs in
+      // (count DESC, l, rgt) order, tracking blocked tokens as a
+      // space-delimited string (tokens cannot contain whitespace —
+      // words() split on it — so ' tok ' containment is an exact
+      // membership test without a nested lambda). A first cut chained
+      // m crossJoin-filtered TakeOrdered picks instead: correct, but
+      // measured O(m²) job overhead that saturated per-merge cost at
+      // ~0.13 s (m=16: 2.77 s vs this fold's one tiny job) — the
+      // difference between a demo knob and a 30k path.
+      val admRow = pairs
+        .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
+          col("l"), col("rgt"), col("c")))).as("cl"))
+        .select(aggregate(col("cl"),
+          struct(lit(" ").as("blocked"),
+            array().cast("array<struct<l:string,rgt:string,c:bigint>>")
+              .as("adm")),
+          (acc, e) => when(
+            size(acc.getField("adm")) < m &&
+              !acc.getField("blocked")
+                .contains(concat(lit(" "), e.getField("l"), lit(" "))) &&
+              !acc.getField("blocked")
+                .contains(concat(lit(" "), e.getField("rgt"), lit(" "))),
+            struct(
+              concat(acc.getField("blocked"), e.getField("l"), lit(" "),
+                e.getField("rgt"), lit(" ")).as("blocked"),
+              concat(acc.getField("adm"), array(struct(
+                e.getField("l").as("l"), e.getField("rgt").as("rgt"),
+                e.getField("c").as("c")))).as("adm")))
+            .otherwise(acc),
+          acc => acc.getField("adm")).as("adm"))
+        .localCheckpoint()
+      // one-pass batch apply: same fold as the exact loop, with the
+      // membership test against the admitted ARRAY instead of the
+      // single best pair — legal because admitted pairs are
+      // token-disjoint (see doc)
+      cur = cur.crossJoin(broadcast(admRow.select(
+          transform(col("adm"), e => struct(e.getField("l").as("l"),
+            e.getField("rgt").as("rgt"))).as("adm"))))
+        .select(col("word"), col("cnt"),
+          aggregate(split(col("seq"), sep),
+            array().cast("array<string>"),
+            (acc, e) => when(size(acc) === 0, array(e))
+              .when(array_contains(col("adm"),
+                struct(element_at(acc, -1).as("l"), e.as("rgt"))),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), e))))
+              .otherwise(concat(acc, array(e))),
+            acc => array_join(acc, sep)).as("seq"))
+        .localCheckpoint()
+      admRow.select(posexplode(col("adm")))
+        .select(lit(r.toLong).as("round"),
+          (col("pos") + 1L).as("merge_rank"),
+          col("col.l").as("left_tok"), col("col.rgt").as("right_tok"),
+          concat(col("col.l"), col("col.rgt")).as("merged"),
+          col("col.c").as("pair_count"))
+    }
+    out.reduce(_ unionAll _)
+  }
+
+  /** text_bpe_train_batched's oracle: the same unrolled-CTE device as
+    * bpeCtes — one round-start pair count, m greedy LIMIT-1 selections
+    * (selection k comma-joins picks 1..k-1 so its WHERE can state
+    * token-disjointness; an exhausted candidate set empties pick k and
+    * the comma join annihilates every later pick), the admitted set
+    * collapsed to ONE list row, and the same single-pass string fold
+    * with `list_contains` of a struct literal replacing the exact
+    * chain's single-pair equality. The ENCODING deliberately differs
+    * from the Spark side's one-row sorted-array fold — the oracle runs
+    * once at the registered m=4 geometry where unrolled CTEs are
+    * cheap, and an independent encoding of the same greedy semantics
+    * is a stronger check than a transliteration (CoreSpec's textbook
+    * reference is a third). MATERIALIZED throughout (the bpeCtes
+    * rationale).
+    */
+  private def bpeTrainBatchedSql(rounds: Int = BpeBatchRounds,
+                                 m: Int = BpeBatchM): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val admCtes = (1 to m).map { k =>
+        val from =
+          (s"pairsB$r p" +: (1 until k).map(j => s"admB${r}_$j a$j"))
+            .mkString(", ")
+        val disj = (1 until k).map(j =>
+          s"p.l <> a$j.l AND p.l <> a$j.rgt AND p.rgt <> a$j.l AND p.rgt <> a$j.rgt")
+          .mkString("\n          AND ")
+        val where = if (k == 1) "" else s"\n        WHERE $disj"
+        s"""admB${r}_$k AS MATERIALIZED (
+        SELECT p.l, p.rgt, p.c FROM $from$where
+        ORDER BY p.c DESC, p.l, p.rgt LIMIT 1)"""
+      }.mkString(",\n      ")
+      s"""tokB$r AS (SELECT cnt, string_split(seq, ' ') AS t FROM seqB${r - 1}),
+      pairsB$r AS MATERIALIZED (
+        SELECT t[i] AS l, t[i+1] AS rgt, sum(cnt) AS c
+        FROM tokB$r, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      $admCtes,
+      admlB$r AS MATERIALIZED (
+        SELECT list(struct_pack(l := l, rgt := rgt)) AS s
+        FROM (${(1 to m).map(k => s"SELECT l, rgt FROM admB${r}_$k")
+          .mkString(" UNION ALL ")})),
+      seqB$r AS MATERIALIZED (
+        SELECT word, cnt,
+          list_reduce(list_prepend('', string_split(seq, ' ')),
+            (acc, e) -> CASE
+              WHEN acc = '' THEN e
+              WHEN list_contains(a.s,
+                     {'l': list_extract(string_split(acc, ' '),
+                             len(string_split(acc, ' '))), 'rgt': e})
+                THEN array_to_string(list_append(
+                       string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                       list_extract(string_split(acc, ' '),
+                         len(string_split(acc, ' '))) || e), ' ')
+              ELSE acc || ' ' || e END) AS seq
+        FROM seqB${r - 1}, admlB$r a)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH dictB AS MATERIALIZED (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
+      seqB0 AS MATERIALIZED (
+        SELECT word, cnt,
+          array_to_string(list_transform(range(1, length(word) + 1),
+            i -> word[i]), ' ') AS seq
+        FROM dictB),
+      $roundCtes
+      ${(1 to rounds).flatMap(r => (1 to m).map(k =>
+        s"""SELECT $r AS round, $k AS merge_rank, l AS left_tok,
+             rgt AS right_tok, l || rgt AS merged,
+             CAST(c AS BIGINT) AS pair_count FROM admB${r}_$k"""))
+        .mkString(" UNION ALL ")}"""
+  }
+
   /** stream_dedup_substring_wm's oracle: the duplicated-gram inventory
     * PER ARRIVAL-DAY WINDOW (batch membership doc_id % `batches`, the
     * staged clock arrival_ts = 2024-03-01 + b days), with the Append
@@ -838,6 +1038,16 @@ object TextQueries {
     // CoreSpec pins the output against an independent driver-side
     // reference implementation.
     "text_bpe_train" -> ((s, d) => bpeTrainAt(s, d, BpeRounds)),
+
+    // BATCHED BPE training — the 30k-vocab scale path next to the
+    // exact gate above: m token-disjoint merges admitted per round at
+    // round-start counts, so per-merge cost falls ~1/m (full design,
+    // divergence contract, and the measured rounds-vs-merges cost
+    // curve in bpeTrainBatchedAt's doc). Registered at the same
+    // 16-merge budget as the exact gate (4 rounds × m=4) for direct
+    // comparability; CoreSpec pins a driver-side textbook batched
+    // reference AND the exact-vs-batched divergence fixtures.
+    "text_bpe_train_batched" -> ((s, d) => bpeTrainBatchedAt(s, d)),
 
     // BPE APPLY — the serving half of text_bpe_train: tokenize the
     // corpus under the JUST-LEARNED merge table and report each
@@ -1509,6 +1719,7 @@ object TextQueries {
              THEN 1 ELSE 0 END AS BIGINT) AS repetitive
       FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
     "text_bpe_train" -> bpeTrainSql(),
+    "text_bpe_train_batched" -> bpeTrainBatchedSql(),
     "text_bpe_tokenize" -> bpeTokenizeSql(),
     "text_bpe_count" -> s"""
       SELECT doc_id,

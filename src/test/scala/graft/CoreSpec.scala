@@ -415,6 +415,98 @@ class CoreSpec extends GraftSpec {
     assert(registered === textbook(16))
   }
 
+  test("batched BPE matches a driver-side textbook batched reference at the registered geometry") {
+    // Independent ground truth for the batched trainer: plain-Scala
+    // greedy token-disjoint top-m admission at round-start counts +
+    // one-pass batch apply — the same device as the exact textbook
+    // test above, extended with the batching rule. Compared on every
+    // output column at the registered 4 rounds × m=4 geometry.
+    val d = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, d)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def textbookBatched(rounds: Int, m: Int): Set[(Long, Long, String, String, String, Long)] = {
+      var seqs: Map[String, List[String]] =
+        words.keys.map(w => w -> w.map(_.toString).toList).toMap
+      (1 to rounds).flatMap { r =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, sq) <- seqs; Seq(a, b) <- sq.sliding(2) if sq.length >= 2)
+          pc.updateWith((a, b))(c => Some(c.getOrElse(0L) + words(w)))
+        val sorted = pc.toSeq.sortBy { case ((l, rt), n) => (-n, l, rt) }
+        val admitted =
+          scala.collection.mutable.ListBuffer.empty[((String, String), Long)]
+        for (p @ ((l, rt), _) <- sorted)
+          if (admitted.size < m && admitted.forall { case ((al, ar), _) =>
+            l != al && l != ar && rt != al && rt != ar })
+            admitted += p
+        val admSet = admitted.map(_._1).toSet
+        seqs = seqs.map { case (w, sq) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var prev = ""
+          for (t <- sq) {
+            if (prev.isEmpty) prev = t
+            else if (admSet((prev, t))) { out += (prev + t); prev = "" }
+            else { out += prev; prev = t }
+          }
+          if (prev.nonEmpty) out += prev
+          w -> out.toList
+        }
+        admitted.zipWithIndex.map { case (((a, b), c), i) =>
+          (r.toLong, (i + 1).toLong, a, b, a + b, c)
+        }
+      }.toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    val batched = got(
+      graft.queries.TextQueries.queries("text_bpe_train_batched")(spark, d))
+    assert(batched === textbookBatched(4, 4))
+    // same-budget comparison vs the exact chain: at the same 16-merge
+    // budget the two trainers should agree on most of the vocabulary
+    // (they diverge only where interacting pairs reach the top-m)
+    val exactMerged = graft.queries.TextQueries.bpeTrainAt(spark, d, 16)
+      .select(col("merged")).collect().map(_.getString(0)).toSet
+    val batchedMerged = batched.map(_._5)
+    val overlap = (exactMerged intersect batchedMerged).size
+    info(s"same-budget merge-set overlap: $overlap/16 " +
+      s"(exact-only: ${(exactMerged -- batchedMerged).toSeq.sorted.mkString(",")}; " +
+      s"batched-only: ${(batchedMerged -- exactMerged).toSeq.sorted.mkString(",")})")
+    assert(overlap >= 8,
+      s"batched trainer lost the plot vs exact at the same budget: $overlap/16 shared")
+  }
+
+  test("batched BPE diverges from exact ONLY where admitted merges would interact") {
+    // The divergence contract, pinned on a planted fixture: corpus
+    // dominated by the word "abc" (pairs (a,b) and (b,c) tied on top,
+    // INTERACTING through b) plus an independent "de". Exact: merges
+    // (a,b) then recounts and finds (ab,c) — the chain batching
+    // cannot see this round. Batched m=2: admits (a,b), must SKIP
+    // (b,c) (shares b), and admit the disjoint (d,e) instead.
+    import spark.implicits._
+    val dir = tmpDir("bpe-batch-div")
+    val text = (Seq.fill(10)("abc") ++ Seq.fill(5)("de")).mkString(" ")
+    Seq((0L, text, "en", "fix", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batched = graft.queries.TextQueries
+      .bpeTrainBatchedAt(spark, dir, rounds = 1, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    assert(batched === Set(
+      (1L, 1L, "a", "b", "ab", 10L),
+      (1L, 2L, "d", "e", "de", 5L)),
+      "batched must admit (a,b) then skip the interacting (b,c) for (d,e)")
+    val exact = graft.queries.TextQueries.bpeTrainAt(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(exact === Set(
+      (1L, "a", "b", "ab", 10L),
+      (2L, "ab", "c", "abc", 10L)),
+      "exact must recount after (a,b) and find the chained (ab,c)")
+  }
+
   test("ExactSubstr spans match a driver-side reimplementation on the sf0.001 corpus") {
     // Independent ground truth: re-derive the whole operator in plain
     // Scala over the collected corpus (50 docs at sf0.001) — tokenize,
