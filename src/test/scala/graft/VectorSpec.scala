@@ -338,6 +338,34 @@ class VectorSpec extends GraftSpec {
     assert(recall >= 0.2, s"IVFADC recall@3 $recall below floor")
   }
 
+  test("NProbe is the serving-time recall knob: probing more cells raises IVFADC recall") {
+    // The r11 geometry grid measured recall@3 vs brute at k = 128
+    // rising 0.207 → 0.270 from np=3 to np=5 (IvfPqK doc); this pins
+    // the DIRECTION so the knob stays a knob — deterministic
+    // arithmetic on a fixed corpus, so strict inequality is stable.
+    // Also the knob's contract: a query's np=3 probe set is a subset
+    // of its np=5 set (the rank window only extends).
+    val d = "/root/testdata/sf0.01"
+    val brute = annPairs("ann_brute_topk", d)
+    def recallAtNp(np: Int): Double = {
+      val pairs = graft.queries.VectorQueries.ivfpqTopk(spark, d, nprobe = np)
+        .select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.intersect(brute).size.toDouble / brute.size
+    }
+    val r3 = recallAtNp(3)
+    val r5 = recallAtNp(5)
+    info(s"ivfpq recall@3 vs brute: np=3 -> $r3, np=5 -> $r5")
+    assert(r5 > r3, s"np=5 recall $r5 not above np=3 recall $r3")
+    def probeSet(np: Int): Set[(Long, Int)] =
+      graft.queries.VectorQueries.ivfProbedCells(spark, d, np)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val p3 = probeSet(3)
+    val p5 = probeSet(5)
+    assert(p3.subsetOf(p5), "np=3 probe lists must be a subset of np=5's")
+    assert(p5.size === p3.size / 3 * 5, "np=5 must probe exactly 5 cells per query")
+  }
+
   test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
     // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
     // ships on by default — on THIS corpus it measures at-or-below the
