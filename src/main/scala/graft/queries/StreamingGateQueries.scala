@@ -518,7 +518,16 @@ object StreamingGateQueries {
     // accretes every gram forever). The per-window inventory is the
     // operationally honest bounded semantics: cross-window duplicate
     // grams are the at-least-once residue outside the horizon — the
-    // same contract as every other _wm twin.
+    // same contract as every other _wm twin — and the residue is
+    // MEASURED, not just documented (CoreSpec, gate corpus at the
+    // staged clock): 56.3% of duplicated grams / 57.7% of duplicate
+    // mass fall outside single windows under this corpus's
+    // UNIFORM-RANDOM doc→window assignment (a gram's copies land in
+    // one of 4 windows independently — near the worst case; real
+    // boilerplate is bursty in arrival time, which is exactly what
+    // shrinks the residue, and widening the window or adding a
+    // periodic batch re-sweep over the emitted inventories is the
+    // standard recover-the-tail move).
     "stream_dedup_substring_wm" -> ((s, d) => {
       Tables.load(s, d, "region")
       val nb = TextQueries.SubstrWmBatches // one constant, both faces

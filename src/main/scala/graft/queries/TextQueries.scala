@@ -613,7 +613,7 @@ object TextQueries {
     * both faces (the gate's doc_id % N split and the oracle's window
     * replay), so they cannot drift independently.
     */
-  private[queries] val SubstrWmBatches = 4
+  private[graft] val SubstrWmBatches = 4
 
   private[queries] def substrDupWmSql(batches: Int): String = {
     require(batches >= 3,

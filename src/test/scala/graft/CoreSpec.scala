@@ -507,6 +507,50 @@ class CoreSpec extends GraftSpec {
       "exact must recount after (a,b) and find the chained (ab,c)")
   }
 
+  test("bounded substring dedup: cross-window residue is measured, not just documented") {
+    // stream_dedup_substring_wm's bounded regime sheds duplicate grams
+    // whose occurrences straddle arrival-day windows — the documented
+    // at-least-once residue (r11 verdict #3 asked for the NUMBER).
+    // The bounded semantics is a pure function of the doc→batch
+    // assignment, so both inventories are computed as batch frames at
+    // the gate's corpus and staged clock (all windows counted —
+    // the gate's Append cutoff withholding the last two windows is a
+    // test-clock emission artifact, not a semantic loss).
+    val d = "/root/testdata/sf0.01"
+    val nb = graft.queries.TextQueries.SubstrWmBatches
+    val g = graft.queries.TextQueries.substrGramRows(
+        graft.Tables.documents(spark, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("gram"))
+    val global = g.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val within = g.withColumn("b", col("doc_id") % nb)
+      .groupBy(col("b"), col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .groupBy(col("gram")).agg(sum(col("occ")).as("wocc"))
+    val joined = global.join(within, Seq("gram"), "left").localCheckpoint()
+    val globalGrams = joined.count()
+    val globalMass = joined.agg(sum(col("occ"))).head().getLong(0)
+    val missedGrams = joined.filter(col("wocc").isNull).count()
+    val detectedMass = joined
+      .agg(sum(coalesce(col("wocc"), lit(0L)))).head().getLong(0)
+    val gramResidue = missedGrams.toDouble / globalGrams
+    val massResidue = 1.0 - detectedMass.toDouble / globalMass
+    info(f"residue at $nb windows: $missedGrams of $globalGrams duplicated " +
+      f"grams undetected (${gramResidue * 100}%.1f%%); duplicate-occurrence " +
+      f"mass lost ${massResidue * 100}%.1f%% (${globalMass - detectedMass} of $globalMass)")
+    // deterministic corpus + deterministic split → the rates are fixed;
+    // pin brackets wide enough to survive a driver corpus re-roll but
+    // tight enough that a semantics change (wrong window key, wrong
+    // batch split) moves them out
+    assert(gramResidue > 0.0 && massResidue > 0.0,
+      "the documented residue must actually exist on the gate corpus")
+    assert(gramResidue < 0.9 && massResidue < 0.9,
+      "bounded windows lost nearly everything — window keying is broken")
+    // a gram duplicated within a window implies global duplication —
+    // detection can never exceed the inventory
+    assert(detectedMass <= globalMass && missedGrams <= globalGrams)
+  }
+
   test("ExactSubstr spans match a driver-side reimplementation on the sf0.001 corpus") {
     // Independent ground truth: re-derive the whole operator in plain
     // Scala over the collected corpus (50 docs at sf0.001) — tokenize,
