@@ -57,6 +57,9 @@ object ScalingCheck {
     // records -1 at that scale (and ratio -1) instead of aborting the
     // whole run with no JSON line
     def timeAt(sfDir: String, name: String): Double = {
+      // untimed warm rep first (the Bench r12 device): growth ratios
+      // must compare steady states, not compilation transients
+      BenchSupport.timeRep(spark, sfDir, name)
       val good = (1 to 3).map(_ => BenchSupport.timeRep(spark, sfDir, name))
         .filter(_ >= 0)
       if (good.nonEmpty) BenchSupport.median(good) else -1.0

@@ -38,6 +38,21 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("readBaselineKey selects exactly the named object (queries vs queries_norm)") {
+    // The dual-channel diff (r12) reads the anchor's RAW mins too; the
+    // regex must not confuse "queries" with "queries_norm" or
+    // "queries_median".
+    val json = """{"queries":{"a":2.0},"queries_median":{"a":9.0},""" +
+      """"queries_norm":{"a":1.25},"probe_trace":[0.1]}"""
+    withTempJson(json) { p =>
+      assert(Bench.readBaselineKey(p, "queries") === Map("a" -> 2.0))
+      assert(Bench.readBaselineKey(p, "queries_norm") === Map("a" -> 1.25))
+      assert(Bench.readBaselineKey(p, "queries_median") === Map("a" -> 9.0))
+    }
+    val raw = Bench.readBaselineKey("BENCH_BASELINE.json", "queries")
+    assert(raw.size > 170, s"anchor raw-min channel parsed only ${raw.size}")
+  }
+
   test("anchor promotion is mechanical: dominance = min AND median AND max all <=") {
     // The rule that replaced the "quietest of four runs" judgment call
     // (r11 verdict #4): a candidate run may replace the anchor only if
