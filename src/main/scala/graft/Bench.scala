@@ -67,6 +67,17 @@ import org.apache.spark.sql.functions._
   * bench_out.json; `tools/promote_anchor.py` enforces the replacement
   * and appends every attempt (accepted or rejected, with both probe
   * summaries) to the anchor's `promotion_log`.
+  *
+  * Anchor-protocol provenance: the committed anchor predates the warm
+  * rep (its mins are cold-protocol). Cold mins can only sit AT or
+  * ABOVE steady state, so comparing warm candidates against them can
+  * only UNDER-flag — and only for queries whose anchor min embedded a
+  * warm-up transient (the r12 run measured the anchor's raw mins
+  * BELOW its own by 10–30%, i.e. the anchor was mostly steady-state
+  * already). The first probe-dominating run under the warm protocol
+  * refreshes the anchor and retires this caveat; until then a
+  * borderline regression on a JIT-heavy query may need the
+  * in-artifact reps to adjudicate.
   */
 object Bench {
   private val Reps = 3

@@ -40,13 +40,23 @@ object PairScale {
       "half(0.05)" -> halfDir,
       "sf0.1" -> sfDir,
       "double(0.2)" -> doubleDir)
-    for ((label, dir) <- scales;
-         q <- Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard")) {
-      BenchSupport.timeRep(spark, dir, q) // warm
-      val ts = (1 to 3).map(_ => BenchSupport.timeRep(spark, dir, q))
-      println(f"PAIRSCALE scale=$label q=$q min=${ts.min}%.2f " +
-        f"reps=${ts.map(t => f"$t%.2f").mkString(",")}")
+    try {
+      for ((label, dir) <- scales;
+           q <- Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard")) {
+        BenchSupport.timeRep(spark, dir, q) // warm
+        val ts = (1 to 3).map(_ => BenchSupport.timeRep(spark, dir, q))
+        println(f"PAIRSCALE scale=$label q=$q min=${ts.min}%.2f " +
+          f"reps=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
+    } finally {
+      spark.stop()
+      // the derived fixtures are ~3x the sf0.1 corpus per invocation —
+      // delete them so iterating on the harness doesn't fill /tmp
+      // (code-review r12)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
-    spark.stop()
   }
 }

@@ -424,10 +424,15 @@ object TextQueries {
     * pair is admitted iff it shares NO token (left or right, either
     * side) with any already-admitted pair. Disjointness is what makes
     * one-pass batch application exact: merges over disjoint token sets
-    * cannot overlap in any word, so applying all m in a single
-    * left-to-right pass equals applying them sequentially in any
-    * order, and no admitted pair's round-start count is changed by
-    * another admitted pair's application. Divergence from the exact
+    * cannot overlap in any word, so a single left-to-right pass over
+    * ROUND-START tokens (a just-merged token is CLOSED for the rest
+    * of the pass — the marker device in the body; with m = 1 the
+    * closed flag is implied by a||b ≠ a, with m > 1 it must be
+    * explicit because one pair's concatenation could coincide with
+    * another admitted pair's left side) equals applying the m merges
+    * sequentially in any order, and no admitted pair's round-start
+    * count is changed by another admitted pair's application.
+    * Divergence from the exact
     * algorithm arises ONLY when an interacting pair sits in the top-m
     * (the exact algorithm recounts after each merge and may then pick
     * a pair this round skipped, or a brand-new pair over a just-merged
@@ -507,8 +512,18 @@ object TextQueries {
         .localCheckpoint()
       // one-pass batch apply: same fold as the exact loop, with the
       // membership test against the admitted ARRAY instead of the
-      // single best pair — legal because admitted pairs are
-      // token-disjoint (see doc)
+      // single best pair. A just-merged token is CLOSED for the rest
+      // of the pass (marker element appended after a merge, consumed
+      // by the next token): with m = 1 the exact chain needs no flag
+      // because (l||rgt, x) can never equal the one admitted pair,
+      // but with m > 1 a merged token's string could coincide with
+      // another admitted pair's left side — the marker excludes that
+      // cascade by construction, so the pass matches sequential
+      // application over round-start tokens and the driver-side
+      // textbook reference exactly (code-review r12).
+      // \u0001 cannot occur in a token (tokens are whitespace splits
+      // of the ASCII corpus text)
+      val marker = lit("\u0001")
       cur = cur.crossJoin(broadcast(admRow.select(
           transform(col("adm"), e => struct(e.getField("l").as("l"),
             e.getField("rgt").as("rgt"))).as("adm"))))
@@ -516,12 +531,15 @@ object TextQueries {
           aggregate(split(col("seq"), sep),
             array().cast("array<string>"),
             (acc, e) => when(size(acc) === 0, array(e))
+              .when(element_at(acc, -1) === marker,
+                concat(slice(acc, lit(1), size(acc) - 1), array(e)))
               .when(array_contains(col("adm"),
                 struct(element_at(acc, -1).as("l"), e.as("rgt"))),
                 concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), e))))
+                  array(concat(element_at(acc, -1), e), marker)))
               .otherwise(concat(acc, array(e))),
-            acc => array_join(acc, sep)).as("seq"))
+            acc => array_join(filter(acc, x => x =!= marker), sep))
+            .as("seq"))
         .localCheckpoint()
       admRow.select(posexplode(col("adm")))
         .select(lit(r.toLong).as("round"),
@@ -575,18 +593,30 @@ object TextQueries {
           .mkString(" UNION ALL ")})),
       seqB$r AS MATERIALIZED (
         SELECT word, cnt,
-          list_reduce(list_prepend('', string_split(seq, ' ')),
-            (acc, e) -> CASE
-              WHEN acc = '' THEN e
-              WHEN list_contains(a.s,
-                     {'l': list_extract(string_split(acc, ' '),
-                             len(string_split(acc, ' '))), 'rgt': e})
-                THEN array_to_string(list_append(
-                       string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
-                       list_extract(string_split(acc, ' '),
-                         len(string_split(acc, ' '))) || e), ' ')
-              ELSE acc || ' ' || e END) AS seq
-        FROM seqB${r - 1}, admlB$r a)"""
+          CASE WHEN ends_with(rawseq, ' ' || chr(1))
+               THEN rawseq[1:len(rawseq) - 2] ELSE rawseq END AS seq
+        FROM (
+          SELECT word, cnt,
+            -- chr(1) marker element = the just-merged token is CLOSED
+            -- for the rest of the pass (the Spark fold's device)
+            list_reduce(list_prepend('', string_split(seq, ' ')),
+              (acc, e) -> CASE
+                WHEN acc = '' THEN e
+                WHEN list_extract(string_split(acc, ' '),
+                       len(string_split(acc, ' '))) = chr(1)
+                  THEN array_to_string(
+                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                         ' ') || ' ' || e
+                WHEN list_contains(a.s,
+                       {'l': list_extract(string_split(acc, ' '),
+                               len(string_split(acc, ' '))), 'rgt': e})
+                  THEN array_to_string(list_append(
+                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                         list_extract(string_split(acc, ' '),
+                           len(string_split(acc, ' '))) || e), ' ')
+                       || ' ' || chr(1)
+                ELSE acc || ' ' || e END) AS rawseq
+          FROM seqB${r - 1}, admlB$r a))"""
     }.mkString(",\n      ")
     s"""
       WITH dictB AS MATERIALIZED (

@@ -225,21 +225,31 @@ object VectorQueries {
       .select(col("vec_id").as("nn_id"),
         col("m.clabel").as("cell"), col("m.embedding").as("embedding"))
 
-  /** The (qid, cell) probe list at an arbitrary `nprobe` — exactly
-    * ann_ivf_topk's probe selection (post-query-filter rank window,
-    * (adot DESC, clabel ASC) tie-break), exposed for the
-    * inverted-list-store spec and the NProbe-knob measurement.
+  /** Probe selection over a scored-cells frame: each query's top
+    * `nprobe` cells under the (adot DESC, clabel ASC) rank, post
+    * query filter. ONE definition shared by ann_ivf_topk, both IVFADC
+    * variants, and the exposed knob face below, so the tie-break
+    * cannot drift between the registered gates and the measured
+    * contracts (probe-set subset, partition pruning) — code-review
+    * r12 replaced four verbatim copies.
     */
-  private[graft] def ivfProbedCells(s: SparkSession, d: String,
-                                    nprobe: Int = NProbe): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    ivfScoredCells(e, ivfCentroids(e))
+  private def probeSelection(scoredCells: DataFrame, nprobe: Int): DataFrame =
+    scoredCells
       .filter(col("vec_id") < NQueries)
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("adot").desc, col("clabel"))))
       .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+
+  /** The (qid, cell) probe list at an arbitrary `nprobe` — exactly
+    * ann_ivf_topk's probe selection, exposed for the
+    * inverted-list-store spec and the NProbe-knob measurement.
+    */
+  private[graft] def ivfProbedCells(s: SparkSession, d: String,
+                                    nprobe: Int = NProbe): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    probeSelection(ivfScoredCells(e, ivfCentroids(e)), nprobe)
   }
 
   private[graft] def annStreamIvfTopk(qs: DataFrame,
@@ -518,13 +528,7 @@ object VectorQueries {
       .groupBy(col("vec_id"))
       .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
         .as("cell"))
-    val probed = scoredCells
-      .filter(col("vec_id") < NQueries)
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("adot").desc, col("clabel"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+    val probed = probeSelection(scoredCells, nprobe)
     val subs = pqSubs(s, d).localCheckpoint()
     val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
     val codes = rawCodes.join(cells, "vec_id")
@@ -583,14 +587,7 @@ object VectorQueries {
       .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
         .as("cell"))
       .localCheckpoint()
-    val probed = scoredCells
-      .filter(col("vec_id") < NQueries)
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("adot").desc, col("clabel"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("clabel").as("cell"))
-      .localCheckpoint()
+    val probed = probeSelection(scoredCells, nprobe).localCheckpoint()
     // database residuals vs each vector's OWN cell centroid
     val rsubs = quantizeSubs(
       e.join(cells, "vec_id")
@@ -864,13 +861,7 @@ object VectorQueries {
           col("m.clabel").as("cell"), col("m.embedding").as("embedding"))
       // queries probe their NProbe nearest cells: the rank window runs
       // AFTER the query filter, over NQueries×NCells rows only
-      val probed = scoredCells
-        .filter(col("vec_id") < NQueries)
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("adot").desc, col("clabel"))))
-        .filter(col("crn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val probed = probeSelection(scoredCells, NProbe)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("qid"))

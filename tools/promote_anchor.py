@@ -29,9 +29,18 @@ Usage: python3 tools/promote_anchor.py [candidate] [anchor]
 Exit 0 = promoted, 3 = rejected (dominance fails), 2 = bad input.
 """
 import json
-import statistics
+import os
 import sys
 import time
+
+
+def median(xs):
+    """Upper-middle median — MUST match BenchSupport.median (Scala), or
+    `dominates` here could disagree with the run's own anchor_candidate
+    self-report on even-length traces (code-review r12: the committed
+    anchor's 180-entry trace makes the two definitions differ today)."""
+    s = sorted(xs)
+    return s[len(s) // 2]
 
 
 def probe_summary(doc):
@@ -40,7 +49,7 @@ def probe_summary(doc):
         return None
     return {
         "min": min(trace),
-        "median": statistics.median(trace),
+        "median": median(trace),
         "max": max(trace),
         "n": len(trace),
     }
@@ -65,12 +74,26 @@ def main():
         print("candidate lacks probe_trace/queries_norm -- not a bench_out.json",
               file=sys.stderr)
         return 2
-    try:
-        with open(anchor_path) as f:
-            anchor = json.load(f)
+    if os.path.exists(anchor_path):
+        # an EXISTING anchor that cannot be read or lacks its probe
+        # trace must REFUSE, not bootstrap-promote — otherwise a
+        # corrupt/hand-edited anchor lets any noisy run replace the
+        # trusted one, the exact bypass this tool exists to prevent
+        # (code-review r12)
+        try:
+            with open(anchor_path) as f:
+                anchor = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"anchor {anchor_path} exists but is unreadable: {e} -- "
+                  "refusing to promote over it", file=sys.stderr)
+            return 2
         inc_probe = probe_summary(anchor)
-    except OSError:
-        anchor, inc_probe = None, None  # bootstrap: no incumbent
+        if inc_probe is None:
+            print(f"anchor {anchor_path} exists but has no probe_trace -- "
+                  "refusing to promote over it", file=sys.stderr)
+            return 2
+    else:
+        anchor, inc_probe = None, None  # bootstrap: no incumbent file
 
     entry = {
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
