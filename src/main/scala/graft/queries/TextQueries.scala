@@ -223,10 +223,19 @@ object TextQueries {
     * per-round localCheckpoint).
     */
   private def bpeRounds(s: SparkSession, d: String,
-                        rounds: Int = BpeRounds): (Seq[DataFrame], DataFrame) = {
+                        rounds: Int = BpeRounds): (Seq[DataFrame], DataFrame) =
+    bpeRoundsFromDict(
+      docWords(s, d).select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      rounds)
+
+  /** The same training loop over an explicit (word, cnt) dict — the
+    * train/serve split face (text_bpe_encode trains on the train
+    * split's dict only).
+    */
+  private def bpeRoundsFromDict(dict: DataFrame,
+                                rounds: Int): (Seq[DataFrame], DataFrame) = {
     val sep = " "
-    val dict = docWords(s, d).select(explode(col("w")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     var cur = dict.select(col("word"), col("cnt"),
       array_join(transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))), sep).as("seq"))
@@ -334,7 +343,7 @@ object TextQueries {
       FROM cw JOIN nsub USING (word)
       GROUP BY cw.doc_id"""
 
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, docWhere: String = ""): String = {
     // MATERIALIZED throughout (the vec_knn_pagerank device): without
     // it DuckDB inlines every seq/best reference, re-expanding the
     // whole prior-round chain per use — exponential plan growth that
@@ -363,7 +372,7 @@ object TextQueries {
     }.mkString(",\n      ")
     s"""dict AS MATERIALIZED (
         SELECT w AS word, count(*) AS cnt
-        FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
+        FROM (SELECT unnest($wordsSql) AS w FROM documents $docWhere) GROUP BY w),
       seq0 AS MATERIALIZED (
         SELECT word, cnt,
           array_to_string(list_transform(range(1, length(word) + 1),
@@ -549,6 +558,107 @@ object TextQueries {
           col("col.c").as("pair_count"))
     }
     out.reduce(_ unionAll _)
+  }
+
+  /** BPE ENCODE — the train/serve face text_bpe_tokenize lacks:
+    * merges are TRAINED on the doc_id % 2 = 0 split only, then applied
+    * to the HELD-OUT split's words by merge RANK (Sennrich ACL'16's
+    * apply loop: merge 1 first, each via the same single-pass fold the
+    * trainer uses). The join-based tokenize can only re-emit trained
+    * sequences — it cannot tokenize a word the trainer never saw;
+    * rank-apply encodes ANY string, unseen words included, via
+    * partial merges (CoreSpec pins an unseen-word fixture — the
+    * driver corpus's 31-word vocabulary is split-invariant, so the
+    * registered gate exercises the mechanism and the fixture the
+    * capability). Plan shape: training as text_bpe_train on the
+    * half-corpus dict; the held VOCABULARY (distinct words, never the
+    * corpus) then takes `rounds` sequential vocab-bounded folds, each
+    * merge a one-row broadcast — normalized through min() so an
+    * exhausted training round (empty best) becomes a NULL pair that
+    * merges nothing instead of annihilating the crossJoin; per-doc
+    * counts attach by one word join, exactly the tokenize shape.
+    */
+  private[graft] def bpeEncode(s: SparkSession, d: String,
+                               rounds: Int = BpeRounds): DataFrame = {
+    val sep = " "
+    val dw = docWords(s, d)
+    val trainDict = dw.filter(col("doc_id") % 2L === 0L)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = bpeRoundsFromDict(trainDict, rounds)._1
+    var held = dw.filter(col("doc_id") % 2L === 1L)
+      .select(explode(col("w")).as("word")).distinct()
+      .select(col("word"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), sep).as("seq"))
+      .localCheckpoint()
+    merges.foreach { m =>
+      val one = m.agg(min(col("left_tok")).as("l"),
+        min(col("right_tok")).as("rgt"))
+      held = held.crossJoin(broadcast(one))
+        .select(col("word"),
+          aggregate(split(col("seq"), sep),
+            array().cast("array<string>"),
+            (acc, e) => when(size(acc) === 0, array(e))
+              .when(element_at(acc, -1) === col("l") && e === col("rgt"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("l"), col("rgt")))))
+              .otherwise(concat(acc, array(e))),
+            acc => array_join(acc, sep)).as("seq"))
+        .localCheckpoint()
+    }
+    val nsub = held.select(col("word"),
+      size(split(col("seq"), sep)).cast("long").as("nb"))
+    dw.filter(col("doc_id") % 2L === 1L)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .join(nsub, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
+  }
+
+  /** text_bpe_encode's oracle: the training chain (bpeCtes restricted
+    * to the train split), then the held vocabulary's rank-apply as
+    * `rounds` unrolled fold CTEs — each a LEFT JOIN ON true against
+    * that round's best pair, so an exhausted round's NULL pair merges
+    * nothing (the Spark side's min() device).
+    */
+  private def bpeEncodeSql(rounds: Int = BpeRounds): String = {
+    val heldRounds = (1 to rounds).map { r =>
+      s"""seqh$r AS MATERIALIZED (
+        SELECT word,
+          list_reduce(list_prepend('', string_split(seq, ' ')),
+            (acc, e) -> CASE
+              WHEN acc = '' THEN e
+              WHEN list_extract(string_split(acc, ' '),
+                     len(string_split(acc, ' '))) = b.l AND e = b.rgt
+                THEN array_to_string(list_append(
+                       string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                       b.l || b.rgt), ' ')
+              ELSE acc || ' ' || e END) AS seq
+        FROM seqh${r - 1} LEFT JOIN best$r b ON true)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${bpeCtes(rounds, "WHERE doc_id % 2 = 0")},
+      dicth AS MATERIALIZED (
+        SELECT DISTINCT w AS word
+        FROM (SELECT unnest($wordsSql) AS w FROM documents WHERE doc_id % 2 = 1)),
+      seqh0 AS MATERIALIZED (
+        SELECT word,
+          array_to_string(list_transform(range(1, length(word) + 1),
+            i -> word[i]), ' ') AS seq
+        FROM dicth),
+      $heldRounds,
+      nsubh AS (
+        SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nb
+        FROM seqh$rounds),
+      cwh AS (
+        SELECT doc_id, unnest($wordsSql) AS word
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT cwh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      FROM cwh JOIN nsubh USING (word)
+      GROUP BY cwh.doc_id"""
   }
 
   /** text_bpe_train_batched's oracle: the same unrolled-CTE device as
@@ -1084,6 +1194,12 @@ object TextQueries {
     // comparability; CoreSpec pins a driver-side textbook batched
     // reference AND the exact-vs-batched divergence fixtures.
     "text_bpe_train_batched" -> ((s, d) => bpeTrainBatchedAt(s, d)),
+
+    // BPE ENCODE — the serving face: train on the doc_id-even split,
+    // tokenize the held-out split by merge RANK (full design +
+    // unseen-word capability in bpeEncode's doc). Completes the
+    // train/serve story next to text_bpe_tokenize's same-corpus apply.
+    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
 
     // BPE APPLY — the serving half of text_bpe_train: tokenize the
     // corpus under the JUST-LEARNED merge table and report each
@@ -1776,6 +1892,7 @@ object TextQueries {
       FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
     "text_bpe_train" -> bpeTrainSql(),
     "text_bpe_train_batched" -> bpeTrainBatchedSql(),
+    "text_bpe_encode" -> bpeEncodeSql(),
     "text_bpe_tokenize" -> bpeTokenizeSql(),
     "text_bpe_count" -> s"""
       SELECT doc_id,

@@ -477,6 +477,29 @@ class CoreSpec extends GraftSpec {
       s"batched trainer lost the plot vs exact at the same budget: $overlap/16 shared")
   }
 
+  test("BPE encode tokenizes UNSEEN words by merge rank (the serving capability)") {
+    // The property the join-based tokenize cannot have: a word absent
+    // from the training split still encodes, via the prefix of merges
+    // that apply. Train split (doc 0): 'banana'×3 + 'band' learn, at
+    // depth 3, (a,n) → (b,an) → (an,a) (hand-derived counts 7/4/3 with
+    // the (count desc, l, rgt) tie-break). Held split (doc 1) contains
+    // 'banda' — UNSEEN — which rank-apply encodes b|an|d|a → ban|d|a
+    // (3 tokens, merges 1-2 apply, merge 3 doesn't), and the seen
+    // 'banana' → ban|ana (2 tokens).
+    import spark.implicits._
+    val dir = tmpDir("bpe-encode")
+    val t0 = "banana banana banana band"
+    val t1 = "banda banana"
+    Seq((0L, t0, "en", "fix", t0.length.toLong),
+        (1L, t1, "en", "fix", t1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.bpeEncode(spark, dir, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 5L)),
+      "held doc must encode as banda=3 + banana=2 BPE tokens")
+  }
+
   test("batched BPE diverges from exact ONLY where admitted merges would interact") {
     // The divergence contract, pinned on a planted fixture: corpus
     // dominated by the word "abc" (pairs (a,b) and (b,c) tied on top,
