@@ -229,6 +229,37 @@ object TextQueries {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
       rounds)
 
+  /** A word exploded to its sep-joined character sequence — seq0 on
+    * both the training and encode faces (one definition, zero drift;
+    * the substrGramRows device).
+    */
+  private def charSeq(word: Column, sep: String): Column =
+    array_join(transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1))), sep)
+
+  /** One left-to-right merge pass of the pair (l, rgt) over a
+    * sep-joined token sequence — the single fold SHARED by training's
+    * per-round apply and text_bpe_encode's rank-apply (train/serve
+    * parity is this sharing, not a convention). Array accumulator,
+    * string-joined once at the end: a string accumulator would
+    * re-split(acc) per element inside the lambda — the O(len²)
+    * no-subexpression-elimination pathology the docWords comment warns
+    * about (code-review finding). Semantics identical to the oracle's
+    * string fold: last element is the left-merge candidate, replaced
+    * by the merged token on match; a NULL pair (text_bpe_encode's
+    * exhausted-round device) matches nothing and folds identity.
+    */
+  private def mergeFold(seq: Column, l: Column, rgt: Column,
+                        sep: String): Column =
+    aggregate(split(seq, sep),
+      array().cast("array<string>"),
+      (acc, e) => when(size(acc) === 0, array(e))
+        .when(element_at(acc, -1) === l && e === rgt,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(l, rgt))))
+        .otherwise(concat(acc, array(e))),
+      acc => array_join(acc, sep))
+
   /** The same training loop over an explicit (word, cnt) dict — the
     * train/serve split face (text_bpe_encode trains on the train
     * split's dict only).
@@ -237,8 +268,7 @@ object TextQueries {
                                 rounds: Int): (Seq[DataFrame], DataFrame) = {
     val sep = " "
     var cur = dict.select(col("word"), col("cnt"),
-      array_join(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))), sep).as("seq"))
+      charSeq(col("word"), sep).as("seq"))
       .localCheckpoint()
     val merges = (1 to rounds).map { r =>
       val t = split(col("seq"), sep)
@@ -253,24 +283,18 @@ object TextQueries {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
         .agg(sum(col("cnt")).as("c"))
+      // One-row checkpoint so the round's pair count + argmax runs
+      // ONCE: without it every downstream consumer of the merge frame
+      // (bpeTrainAt's union, bpeEncode's per-round broadcast) re-derives
+      // the full dict-sized aggregation from the prior checkpoint
+      // (code-review finding — ~2x the trainer's per-round cost when
+      // merges are consumed).
       val best = pairs
         .orderBy(col("c").desc, col("l"), col("rgt")).limit(1)
-      // Array accumulator, string-joined once at the end: a string
-      // accumulator would re-split(acc) per element inside the lambda
-      // — the O(len²) no-subexpression-elimination pathology the
-      // docWords comment warns about (code-review finding). Semantics
-      // identical to the oracle's string fold: last element is the
-      // left-merge candidate, replaced by the merged token on match.
+        .localCheckpoint()
       cur = cur.crossJoin(broadcast(best))
         .select(col("word"), col("cnt"),
-          aggregate(split(col("seq"), sep),
-            array().cast("array<string>"),
-            (acc, e) => when(size(acc) === 0, array(e))
-              .when(element_at(acc, -1) === col("l") && e === col("rgt"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(col("l"), col("rgt")))))
-              .otherwise(concat(acc, array(e))),
-            acc => array_join(acc, sep)).as("seq"))
+          mergeFold(col("seq"), col("l"), col("rgt"), sep).as("seq"))
         .localCheckpoint()
       best.select(lit(r).cast("long").as("round"),
         col("l").as("left_tok"), col("rgt").as("right_tok"),
@@ -469,8 +493,7 @@ object TextQueries {
     val dict = docWords(s, d).select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     var cur = dict.select(col("word"), col("cnt"),
-      array_join(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))), sep).as("seq"))
+      charSeq(col("word"), sep).as("seq"))
       .localCheckpoint()
     val out = (1 to rounds).map { r =>
       val t = split(col("seq"), sep)
@@ -588,23 +611,14 @@ object TextQueries {
     val merges = bpeRoundsFromDict(trainDict, rounds)._1
     var held = dw.filter(col("doc_id") % 2L === 1L)
       .select(explode(col("w")).as("word")).distinct()
-      .select(col("word"),
-        array_join(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), sep).as("seq"))
+      .select(col("word"), charSeq(col("word"), sep).as("seq"))
       .localCheckpoint()
     merges.foreach { m =>
       val one = m.agg(min(col("left_tok")).as("l"),
         min(col("right_tok")).as("rgt"))
       held = held.crossJoin(broadcast(one))
         .select(col("word"),
-          aggregate(split(col("seq"), sep),
-            array().cast("array<string>"),
-            (acc, e) => when(size(acc) === 0, array(e))
-              .when(element_at(acc, -1) === col("l") && e === col("rgt"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(col("l"), col("rgt")))))
-              .otherwise(concat(acc, array(e))),
-            acc => array_join(acc, sep)).as("seq"))
+          mergeFold(col("seq"), col("l"), col("rgt"), sep).as("seq"))
         .localCheckpoint()
     }
     val nsub = held.select(col("word"),
