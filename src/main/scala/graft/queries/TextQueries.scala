@@ -477,10 +477,13 @@ object TextQueries {
     * comment in the body), one fold apply pass with the admitted set
     * broadcast as a single m-element array row — so per-ROUND cost is
     * a constant ~0.3 s here whatever m, and per-MERGE cost is that
-    * constant / m. Measured at sf0.1 (graft.BpeCurve, min of 3):
-    * exact 16 rounds 4.02 s (0.25 s/merge) → batched 4×4 1.08 s
-    * (0.068) → 2×8 0.67 s (0.042) → 1×16 0.47 s (0.029) → 1×32
-    * 0.45 s (0.014) → 2×32 0.61 s (0.0095/merge over 64 merges).
+    * constant / m. Measured at sf0.1 (graft.BpeCurve, min of 3;
+    * r12-closing re-run after the best-pair checkpoint, which cut
+    * exact from its pre-checkpoint 4.02 s): exact 16 rounds 3.48 s
+    * cold / 2.1 s warm-protocol (0.13-0.22 s/merge) → batched 4×4
+    * 1.24 s (0.078) → 2×8 0.75 s (0.047) → 1×16 0.54 s (0.034) →
+    * 1×32 0.52 s (0.016) → 2×32 0.70 s (0.011/merge over 64
+    * merges).
     * The 30k path: m = 256 (the admission rate real batched trainers
     * run) needs ~117 rounds ≈ half a minute at the measured per-round
     * cost, vs ~2.5 h for 30k sequential exact rounds — the knob is
