@@ -498,6 +498,34 @@ object StreamingGateQueries {
           prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
     }),
 
+    // BPE SERVING — the tokenizer face of the ANN-serving story: the
+    // merge table is trained ONCE, OFFLINE, on the batch corpus
+    // (text_bpe_tokenize's exact training), collapses to the
+    // vocab-bounded (word → subtoken count) map, and ARRIVING
+    // documents (4 deterministic micro-batches) tokenize by exploding
+    // to words and stream-static BROADCAST-joining that map — no
+    // per-word re-merging, no training state in the stream, the only
+    // stateful operator the doc-keyed budget aggregate. That is how a
+    // tokenizer deploys over a 100 TB ingest: train offline, broadcast
+    // the vocab (it is dictionary-sized by construction), meter token
+    // budgets at arrival. Oracle is text_bpe_tokenize's SQL verbatim
+    // (streaming ≡ batch; the map is shared via bpeSubtokenMap — one
+    // definition, zero drift).
+    "stream_bpe_tokenize" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val nsub = TextQueries.bpeSubtokenMap(s, d).localCheckpoint()
+      runStream(s, s"$d/documents.parquet", identity,
+        df => df.select(col("doc_id"),
+            explode(TextQueries.words(col("text"))).as("word"))
+          .join(broadcast(nsub), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nb")).as("n_bpe_tokens")),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 4).map(i => col("doc_id") % 4 === i)))
+    }),
+
     // The duplicated-gram inventory in the BOUNDED regime — the _wm
     // twin the r10 verdict flagged as the one new family member
     // without one: gram-count state (exactly what explodes on a
@@ -887,6 +915,10 @@ object StreamingGateQueries {
     // (the stream_ann_topk ≡ ann_brute_topk device, one rung down the
     // pruning ladder).
     "stream_ann_ivf_topk" -> VectorQueries.oracle("ann_ivf_topk"),
+    // Streaming ≡ batch for the served token budgets: the offline-
+    // trained vocab map is static, so per-doc totals are arrival-
+    // order-independent whatever the batch split.
+    "stream_bpe_tokenize" -> TextQueries.oracle("text_bpe_tokenize"),
     // Watermark-bounded inventory: per-arrival-day duplicated-gram
     // counts with the Append cutoff stated explicitly (batches − 2 of
     // the 4 staged windows emit; shared gram enumeration CTE).

@@ -438,6 +438,17 @@ object TextQueries {
                                 rounds: Int): DataFrame =
     bpeRounds(s, d, rounds)._1.reduce(_ unionAll _)
 
+  /** The trained (word → BPE subtoken count) map — the vocab-bounded
+    * broadcast side SHARED by text_bpe_tokenize and its streaming
+    * serving twin stream_bpe_tokenize (one definition, zero drift;
+    * the substrGramRows device). Static by construction: training
+    * runs ONCE, offline, on the batch corpus — exactly how a
+    * production tokenizer deploys.
+    */
+  private[graft] def bpeSubtokenMap(s: SparkSession, d: String): DataFrame =
+    bpeRounds(s, d)._2
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("nb"))
+
   /** Batched-BPE geometry for the registered gate: `BpeBatchM` merges
     * admitted per round × `BpeBatchRounds` rounds = 16 merges — the
     * same merge budget as the exact gate's 16 sequential rounds, so
@@ -1230,10 +1241,8 @@ object TextQueries {
     // explode. Oracle shares the same unrolled CTE chain (bpeCtes)
     // with a different final SELECT.
     "text_bpe_tokenize" -> ((s, d) => {
-      val nsub = bpeRounds(s, d)._2
-        .select(col("word"), size(split(col("seq"), " ")).cast("long").as("nb"))
       docWords(s, d).select(col("doc_id"), explode(col("w")).as("word"))
-        .join(broadcast(nsub), "word")
+        .join(broadcast(bpeSubtokenMap(s, d)), "word")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
     }),

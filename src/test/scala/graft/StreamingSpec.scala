@@ -309,6 +309,28 @@ class StreamingSpec extends GraftSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming BPE serving equals the batch tokenize under the offline-trained vocab") {
+    // stream_bpe_tokenize meters arriving docs (4 micro-batches)
+    // against the SAME vocab-bounded subtoken map text_bpe_tokenize
+    // broadcasts (shared via bpeSubtokenMap) — per-doc budgets must be
+    // identical whatever the arrival split, and every arrival batch
+    // must be represented in the final table (the cross-batch
+    // accretion the Complete gate claims).
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val streamed = rows(graft.queries.StreamingGateQueries
+      .queries("stream_bpe_tokenize")(spark, d))
+    val batch = rows(graft.queries.TextQueries
+      .queries("text_bpe_tokenize")(spark, d))
+    assert(streamed === batch)
+    assert(streamed.map(_._1 % 4).size === 4,
+      "all four arrival micro-batches must reach the served table")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
