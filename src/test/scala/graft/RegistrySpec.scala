@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 182 // r12: + text_bpe_train_batched, text_bpe_encode, stream_bpe_tokenize
+  private val PinnedSize = 183 // r12: + text_bpe_train_batched, text_bpe_encode, stream_bpe_tokenize, dedup_minhash_lsh_capped
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an
