@@ -27,6 +27,11 @@ object BpeCurve {
     time("batched_r1_m16", () => bpeTrainBatchedAt(spark, sfDir, 1, 16))
     time("batched_r1_m32", () => bpeTrainBatchedAt(spark, sfDir, 1, 32))
     time("batched_r2_m32", () => bpeTrainBatchedAt(spark, sfDir, 2, 32))
+    // the 30k-path claim measured AT the claimed admission rate, not
+    // extrapolated: m=256 over deep round counts — per-round cost and
+    // its flatness as rounds grow are the two numbers the claim rests on
+    time("batched_r8_m256", () => bpeTrainBatchedAt(spark, sfDir, 8, 256))
+    time("batched_r32_m256", () => bpeTrainBatchedAt(spark, sfDir, 32, 256))
     spark.stop()
   }
 }

@@ -495,9 +495,12 @@ object TextQueries {
     * 1.24 s (0.078) → 2×8 0.75 s (0.047) → 1×16 0.54 s (0.034) →
     * 1×32 0.52 s (0.016) → 2×32 0.70 s (0.011/merge over 64
     * merges).
-    * The 30k path: m = 256 (the admission rate real batched trainers
-    * run) needs ~117 rounds ≈ half a minute at the measured per-round
-    * cost, vs ~2.5 h for 30k sequential exact rounds — the knob is
+    * The 30k path, MEASURED at the claimed admission rate (not
+    * extrapolated): m = 256 deep runs time 8 rounds at 1.36 s
+    * (0.17 s/round) and 32 rounds at 4.25 s (0.133 s/round — per-round
+    * cost stays flat and even falls as the pair table shrinks under
+    * accumulated merges), so 30k merges ≈ 117 rounds ≈ ~18 s on this
+    * corpus, vs ~2.5 h for 30k sequential exact rounds — the knob is
     * `m`, the shape is unchanged.
     */
   private[graft] def bpeTrainBatchedAt(s: SparkSession, d: String,
