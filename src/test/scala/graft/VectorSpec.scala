@@ -366,6 +366,85 @@ class VectorSpec extends GraftSpec {
     assert(p5.size === p3.size / 3 * 5, "np=5 must probe exactly 5 cells per query")
   }
 
+  test("IVFADC+R: exact re-rank lifts recall over the ADC order; answers come from the shortlist") {
+    // The published third stage (Jégou TPAMI'11 §V): re-ranking the
+    // ADC top-RefineR by exact cosine must beat the raw ADC order —
+    // quantization distortion is exactly what the refine stage exists
+    // to undo — and every refined answer must come FROM the shortlist
+    // (the stage re-orders candidates, it never conjures new ones).
+    // Deterministic arithmetic on a fixed corpus, so the strict
+    // inequality is stable; measured values recorded at the RefineR doc.
+    val d = "/root/testdata/sf0.01"
+    val brute = annPairs("ann_brute_topk", d)
+    val adc = annPairs("ann_ivfpq_topk", d)
+    val refined = annPairs("ann_ivfpq_refine", d)
+    val short = graft.queries.VectorQueries
+      .ivfpqTopk(spark, d, topn = graft.queries.VectorQueries.RefineR)
+      .select(col("qid"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.subsetOf(short),
+      "refined top-3 must be drawn from the ADC shortlist")
+    val rAdc = adc.intersect(brute).size.toDouble / brute.size
+    val rRef = refined.intersect(brute).size.toDouble / brute.size
+    val rIvf = annPairs("ann_ivf_topk", d).intersect(brute).size.toDouble / brute.size
+    info(s"recall@3 vs brute: adc=$rAdc refine=$rRef ivf-exact-within-cells=$rIvf")
+    assert(rRef > rAdc,
+      s"refine recall $rRef must beat the raw ADC order's $rAdc")
+  }
+
+  test("dedup_semdedup: full-corpus decision; the least-prototypical cell member survives; planted copies dedup") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.queries.VectorQueries.queries("dedup_semdedup")(spark, d)
+      .collect()
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(rows.length.toLong === n, "one keep/drop decision per corpus row")
+    assert(rows.forall(r => Set(0L, 1L)(r.getLong(r.fieldIndex("kept")))))
+    val kept = rows.count(_.getLong(3) == 1L)
+    info(s"kept $kept of $n (threshold cos >= 0.3, 10 cells)")
+    // The dominance key is (centroid-sim ASC, vec_id ASC): the cell's
+    // minimum-key member can never be dominated, so the paper's
+    // keep-the-least-prototypical rule is visible per cell.
+    rows.groupBy(_.getInt(1)).foreach { case (_, cell) =>
+      val least = cell.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(least.getLong(3) === 1L,
+        s"least-prototypical member ${least.getLong(0)} must be kept")
+    }
+    // Planted near-copies (cos ~0.99, same label => same cell) must be
+    // deduplicated: each (orig, copy) pair is a within-cell near-dup
+    // relation, and dominance always drops exactly one side of a pair.
+    val out = tmpDir("semdedup-emb")
+    val orig = graft.Tables.embeddings(spark, d)
+    val rnd = new scala.util.Random(7)
+    val planted = orig.filter(col("vec_id") < 20).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val noisy = v.map(x => x + 0.08f * (rnd.nextFloat() - 0.5f))
+      val norm = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+      (100000L + r.getLong(r.fieldIndex("vec_id")),
+        noisy.map(_ / norm).toSeq,
+        r.getInt(r.fieldIndex("label")))
+    }.toSeq
+    orig.unionByName(planted.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val outRows = graft.queries.VectorQueries.queries("dedup_semdedup")(spark, out)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3)))).toMap
+    // SemDeDup's documented recall loss is exactly CLUSTER-BOUNDARY
+    // near-dups: a copy whose perturbation flips its nearest centroid
+    // lands in a different cell and the within-cell scan never pairs
+    // them (the paper mitigates with larger k + multiple assignments).
+    // So: every SAME-cell planted pair must lose a member, any missed
+    // pair must be a boundary crossing, and crossings must be rare.
+    val missed = (0L until 20L).filter { q =>
+      outRows(q)._2 == 1L && outRows(100000L + q)._2 == 1L
+    }
+    missed.foreach { q =>
+      assert(outRows(q)._1 !== outRows(100000L + q)._1,
+        s"same-cell planted pair ($q, ${100000L + q}) must lose one member")
+    }
+    info(s"planted pairs deduplicated: ${20 - missed.size}/20" +
+      s" (missed = cell-boundary crossings: ${missed.mkString(",")})")
+    assert(missed.size <= 2, s"too many boundary misses: $missed")
+  }
+
   test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
     // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
     // ships on by default — on THIS corpus it measures at-or-below the
