@@ -14,13 +14,16 @@ object ScalingCheck {
 
   /** One per cost regime: the linear-scan families (tokenize, curate),
     * the no-pair-join dedup (ExactSubstr), the pair-density dedups
-    * (direct + banded), ANN (brute N·Q and the IVFADC pruned shape),
-    * user-keyed windows (sessionize), the composite, and the
+    * (direct + banded + the mega-bucket-capped twin — the r12 guard,
+    * in the slice so its sub-quadratic growth is measured next to the
+    * uncapped shape it bounds), ANN (brute N·Q and the IVFADC pruned
+    * shape), user-keyed windows (sessionize), the composite, and the
     * scan+agg relational baseline.
     */
   private val Queries = Seq(
     "q1_agg", "text_bpe_count", "docs_curation", "events_sessionize",
     "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline")
 
   /** The data-growth factor between two sf dirs, derived from the dir

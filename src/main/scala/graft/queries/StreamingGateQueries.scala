@@ -498,6 +498,28 @@ object StreamingGateQueries {
           prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
     }),
 
+    // SEMANTIC-DEDUP ADMISSION — the curation face of the serving
+    // story: centroids trained OFFLINE on the batch corpus collapse to
+    // one broadcast row; each ARRIVING vector computes its own cell +
+    // centroid similarity as a pure expression, joins only ITS cell's
+    // static members, and is admitted iff none dominates it on the
+    // SemDeDup (centroid-sim, id) key (plan + devices in
+    // VectorQueries.semdedupStreamAdmit). Oracle is dedup_semdedup's
+    // SQL verbatim — streaming admission ≡ the batch keep/drop
+    // decision, the exact analogue of stream_ann_ivf_topk ≡
+    // ann_ivf_topk. This is the shape that admits a new data shard
+    // against a frozen curated corpus at 100 TB: broadcast centroids,
+    // cell-partitioned index, per-arrival work bounded by cell width.
+    "stream_semdedup" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.semdedupStreamAdmit(
+          df.select(col("vec_id"), col("embedding").as("qe")), s, d),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 4).map(i => col("vec_id") % 4 === i)))
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -915,6 +937,10 @@ object StreamingGateQueries {
     // (the stream_ann_topk ≡ ann_brute_topk device, one rung down the
     // pruning ladder).
     "stream_ann_ivf_topk" -> VectorQueries.oracle("ann_ivf_topk"),
+    // Streaming ≡ batch for SemDeDup admission: each arrival's
+    // keep/drop decision depends only on the STATIC cell index, never
+    // on other arrivals, so the oracle is the batch SemDeDup verbatim.
+    "stream_semdedup" -> VectorQueries.oracle("dedup_semdedup"),
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

@@ -1658,6 +1658,17 @@ object TextQueries {
     // the SAME public operator the driver gates individually; the
     // joins carry doc_id (+ n_tokens) only — never text.
     "dedup_e2e_pipeline" -> ((s, d) => {
+      // Scaling note (SCALING_r12 flagged 3.8× under 10× data): the
+      // composite's super-linear share is entirely its near-dup stage
+      // (dedup_minhash_clusters = the uncapped LSH pair join), whose
+      // growth LshScale attributes to the corpus's duplicate density
+      // hitting permissive 2-row bands (one 3143-doc mega-bucket at
+      // sf0.1 → band-collision volume ×101 under ×10 data). Where the
+      // capped guard's recall trade is acceptable, swapping the stage
+      // to dedup_minhash_lsh_capped's candidate generator is the scale
+      // path (measured: capped candidate growth 3.0× vs uncapped 99×);
+      // the registered composite keeps the LOSSLESS stage because its
+      // oracle is the exact cluster inventory.
       // ONE localCheckpointed base projection feeds both the exact-keep
       // aggregation and the final budget join (previously two full text
       // scans: one for md5, one for tokenization). The checkpoint holds

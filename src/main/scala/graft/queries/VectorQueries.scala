@@ -293,6 +293,59 @@ object VectorQueries {
         round(col("col._1"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup admission on the streaming face — shared by
+    * stream_semdedup (oracle = dedup_semdedup's SQL verbatim): an
+    * arriving vector computes its OWN cell and centroid similarity as
+    * a pure expression over the one-row broadcast centroid array (the
+    * annStreamIvfTopk device; slicing 1 from the sorted
+    * (−adot, clabel) structs IS the batch max_by's
+    * (adot DESC, clabel ASC) tie-break, and double negation is exact
+    * in IEEE), then stream-static LEFT joins the cell-assigned STATIC
+    * corpus on cell and is admitted iff NO static same-cell member at
+    * cos >= DedupCos dominates it on the (centroid-sim, vec_id) key.
+    * The only stateful operator is the per-arrival max aggregation —
+    * admission state is one flag per arriving vector, never a pair
+    * set. This is how SemDeDup runs over a 100 TB ingest: centroids
+    * trained offline (O(NCells) broadcast), the admitted corpus stored
+    * cell-partitioned (the PartitioningSpec storage unit), each
+    * arriving shard checked against ITS cell's partition only.
+    * `qs` must carry (vec_id, qe).
+    */
+  private[graft] def semdedupStreamAdmit(qs: DataFrame,
+                                         s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    // static members with their dominance key — the admission index;
+    // checkpointed so the corpus×NCells scoring runs once per gate
+    val statics = ivfScoredCells(e, carr)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("clabel"), col("embedding"), col("adot")),
+        struct(col("adot"), -col("clabel"))).as("m"))
+      .select(col("m.clabel").as("cell"), col("vec_id").as("nb_id"),
+        col("m.embedding").as("eb"), col("m.adot").as("ncdot"))
+      .localCheckpoint()
+    val centsRow = carr
+      .agg(array_sort(collect_list(struct(col("clabel"), col("carr"))))
+        .as("cents"))
+    val arriving = qs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("qe"),
+        slice(array_sort(transform(col("cents"),
+          c => struct((-cdot(c.getField("carr"), col("qe"))).as("nadot"),
+            c.getField("clabel").as("clabel")))), 1, 1).getItem(0).as("m"))
+      .select(col("vec_id"), col("qe"),
+        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot"))
+    arriving.join(statics, Seq("cell"), "left")
+      .withColumn("dominated",
+        col("nb_id").isNotNull && col("nb_id") =!= col("vec_id") &&
+          dot(col("qe"), col("eb")) >= DedupCos &&
+          struct(col("ncdot"), col("nb_id")) < struct(col("cdot"), col("vec_id")))
+      .groupBy(col("vec_id"), col("cell"), col("cdot"))
+      .agg(max(when(col("dominated"), 1L).otherwise(0L)).as("dr"))
+      .select(col("vec_id"), col("cell"),
+        round(col("cdot"), 6).as("cent_sim"),
+        (lit(1L) - col("dr")).as("kept"))
+  }
+
   /** 64-bit random-hyperplane signature (vector SimHash). */
   private def sig(v: Column): Column = VectorFunctions.hyperplaneSig(v, W)
 

@@ -331,6 +331,29 @@ class StreamingSpec extends GraftSpec {
       "all four arrival micro-batches must reach the served table")
   }
 
+  test("streaming SemDeDup admission equals the batch keep/drop decision") {
+    // stream_semdedup computes each arrival's cell via the one-row
+    // broadcast centroid expression and its dominance check against
+    // the static cell index, while dedup_semdedup does both with a
+    // corpus-wide max_by + self-join — identical results only if the
+    // expression's (−adot, clabel) sort really is the batch max_by's
+    // tie-break AND the dominance key arithmetic is bit-identical.
+    // Pin full row equality and all-four-arrival-batch coverage.
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("cent_sim"), col("kept"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val streamed = rows(graft.queries.StreamingGateQueries
+      .queries("stream_semdedup")(spark, d))
+    val batch = rows(graft.queries.VectorQueries
+      .queries("dedup_semdedup")(spark, d))
+    assert(streamed === batch)
+    assert(streamed.map(_._1 % 4).size === 4,
+      "all four arrival micro-batches must reach the admission table")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
