@@ -120,13 +120,16 @@ object VectorQueries {
     * rows total here, R point-lookups per query at any corpus size —
     * so R is a pure recall knob with corpus-independent cost.
     * Measured recall@3 vs brute on the gate corpus at (k=128, np=3):
-    * ADC order alone 0.207 (ann_ivfpq_topk) → refine R=10 0.353,
-    * against the 0.533 of ann_ivf_topk's exact-within-cells order —
-    * the practical reference point for what exact ranking over the
-    * same probed cells achieves (refine sees only the R candidates
-    * ADC ranked highest, so neighbors ADC ranks below the shortlist
-    * stay lost; R is the knob that trades those back at R exact
-    * distances per query). Direction pinned in VectorSpec.
+    * ADC order alone 0.207 (ann_ivfpq_topk) → refine R=10 0.353 →
+    * R=20 0.453, against the 0.533 of ann_ivf_topk's
+    * exact-within-cells order — the reference point for what exact
+    * ranking over the same probed cells achieves (refine sees only
+    * the R candidates ADC ranked highest, so neighbors ADC ranks
+    * below the shortlist stay lost; R trades them back at R exact
+    * distances per query). Recall is PROVABLY monotone in R — a
+    * candidate displacing a brute-top-3 member from the re-ranked
+    * top-3 has higher exact cosine, so it is itself a brute-top-3
+    * member — direction + monotonicity pinned in VectorSpec.
     */
   private[graft] val RefineR = 10
   // Fixed-point scale for exact cross-engine centroid sums: each float
