@@ -37,7 +37,11 @@ object ClusterBench {
     "stream_dedup_substring", "stream_ann_topk",
     // r11 additions: windowed-eviction state on executors, and the
     // IVF probe-expression + typed-Aggregator composition across JVMs
-    "stream_dedup_substring_wm", "stream_ann_ivf_topk")
+    "stream_dedup_substring_wm", "stream_ann_ivf_topk",
+    // r12 additions: the IVFADC+R shortlist re-rank (broadcast
+    // shortlist lookups over executor JVMs) and SemDeDup admission
+    // (stream-static cell join + dominance across JVMs)
+    "ann_ivfpq_refine", "stream_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
