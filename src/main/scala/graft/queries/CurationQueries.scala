@@ -77,6 +77,109 @@ object CurationQueries {
     */
   private val BenchMod = 97L
 
+  /** Bloom decontamination geometry (docs_decontaminate_bloom): BloomM
+    * bits, BloomK probes per gram. Sized so k·n/m stays small at gate
+    * scale (n ≈ 13k bench grams at sf0.1 → per-gram FP ≈ 5e-5, well
+    * under one false-positive DOC per corpus) — at deployment m scales
+    * with the benchmark suite exactly like any Bloom filter. The
+    * false-positive TRADE is measured, not assumed: CurationSpec runs
+    * the same operator at m = 2^14 where collisions are forced and
+    * pins the no-false-negative contract at both geometries.
+    */
+  private[graft] val BloomM = 1L << 20
+  private val BloomK = 3
+
+  /** Portable gram→integer hash: the text_rolling_hash polynomial fold
+    * (base 31, mod 1e9+7) over the gram's characters — grams are md5
+    * hex strings, so the fold runs over a fixed 32-char alphabet and
+    * both engines compute it bit-identically (ints stay < 2^62).
+    */
+  private def gramIntHash(g: Column): Column =
+    aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31L + c) % 1000000007L)
+
+  private val gramIntHashSql =
+    """list_reduce(list_prepend(0, list_transform(range(1, len(g) + 1),
+         j -> CAST(ascii(substring(g, j, 1)) AS BIGINT))),
+         (a, c) -> (a * 31 + c) % 1000000007)"""
+
+  /** Bloom probe family: Kirsch–Mitzenmacher double hashing,
+    * pos_i = (h1 + i · step) mod m, with h1 and step derived from h by
+    * PRODUCTS of two LCG states ((lcg(h+c1) · lcg(h+c2)) >> 16 — a
+    * quadratic form in h). The nonlinearity is load-bearing: every
+    * composition of LCG steps is AFFINE in h, so a first cut that
+    * probed G(h+i) for an LCG-built G gave ALL grams probe triples
+    * with a common difference pattern — one start-bin collision set
+    * all k probes at once and the measured FP rate was n/m instead of
+    * (kn/m)^k, geometry-independent (36 identical false positives at
+    * m=2^20 and 2^16 on the gate corpus). With per-gram products the
+    * (h1, step) pairs decorrelate across grams and the measured rates
+    * match the textbook curve (zero at 2^20, forced handful at 2^14 —
+    * CurationSpec). step is forced odd (·2+1), so for power-of-two m
+    * the k probes are distinct positions. All values stay positive
+    * BIGINTs < 2^62 — products of two < 2^31 states — and `>>`/`%`
+    * agree across engines on nonnegative values. Offsets are the
+    * 1000th/10000th/100000th primes (seed decorrelation only).
+    */
+  private def bloomFields(h: Column, m: Long): (Column, Column) = (
+    shiftright(Portable.lcg(h) * Portable.lcg(h + lit(7919L)), 16) % m,
+    shiftright(Portable.lcg(h + lit(104729L))
+      * Portable.lcg(h + lit(1299709L)), 16) % m * 2L + 1L)
+
+  private def bloomPos(h1: Column, step: Column, i: Int, m: Long): Column =
+    (h1 + lit(i.toLong) * step) % m
+
+  private def bloomFieldsSql(m: Long): (String, String) = (
+    s"(((${Portable.lcgSql("(h)")} * ${Portable.lcgSql("(h + 7919)")}) >> 16) % $m)",
+    s"((((${Portable.lcgSql("(h + 104729)")} * ${Portable.lcgSql("(h + 1299709)")}) >> 16) % $m) * 2 + 1)")
+
+  private def bloomPosColSql(m: Long): String =
+    s"((h1 + i * step) % $m)"
+
+  /** docs_decontaminate_bloom's body with the bit-count a measurement
+    * knob (the registered gate pins BloomM; CurationSpec forces
+    * collisions at a small m). Same output contract as the exact
+    * docs_decontaminate — the drop-in replacement.
+    */
+  private[graft] def decontaminateBloom(s: SparkSession, d: String,
+                                        m: Long = BloomM): DataFrame = {
+    val dw = docWords(s, d)
+    val isBench = col("doc_id") % BenchMod === 0L
+    def withFields(df: DataFrame): DataFrame = {
+      val (h1, step) = bloomFields(col("h"), m)
+      df.withColumn("h1", h1).withColumn("step", step)
+    }
+    def posArr =
+      array((0 until BloomK).map(i =>
+        bloomPos(col("h1"), col("step"), i, m)): _*)
+    // the "bitmap": distinct set positions — ≤ BloomK · |bench grams|
+    // rows of fixed-width integers (at deployment: a literal m-bit
+    // array); broadcast like the exact query's gram set, but carrying
+    // 8-byte ints instead of variable-length gram text
+    val refBits = withFields(
+      dw.filter(isBench)
+        .select(explode(grams(col("w"))).as("g")).distinct()
+        .select(gramIntHash(col("g")).as("h")))
+      .select(explode(posArr).as("p")).distinct()
+    // a train gram is flagged iff ALL BloomK probes hit set positions:
+    // count surviving probe rows per (doc, gram) — duplicate probe
+    // positions within a gram count per PROBE (exact Bloom semantics:
+    // a repeated index re-checks the same bit)
+    val contaminated = withFields(
+      dw.filter(!isBench)
+        .select(col("doc_id"), explode(grams(col("w"))).as("g")).distinct()
+        .select(col("doc_id"), col("g"), gramIntHash(col("g")).as("h")))
+      .select(col("doc_id"), col("g"), explode(posArr).as("p"))
+      .join(broadcast(refBits), "p")
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomK)
+      .select(col("doc_id")).distinct()
+    dw.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+  }
+
   /** docs_profile_sketch sizing: KMV buffer (k longs per column) and
     * the hash domain — 7 hex digits of md5, i.e. [0, 2^28).
     */
@@ -327,6 +430,38 @@ object CurationQueries {
       WHERE doc_id % $BenchMod != 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
+  /** Oracle twin of decontaminateBloom at bit-count `m` — the same
+    * hash fold, probe arithmetic (i as a range column — identical
+    * values to the Spark side's literal 0..BloomK-1), bitmap set, and
+    * all-probes-hit count, statement for statement.
+    */
+  private def bloomDeconSql(m: Long) = s"""
+      WITH dw AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      bg AS (SELECT DISTINCT g FROM
+        (SELECT unnest($gramsSql) AS g FROM dw WHERE doc_id % $BenchMod = 0)),
+      bh AS (SELECT h, ${bloomFieldsSql(m)._1} AS h1,
+                    ${bloomFieldsSql(m)._2} AS step
+             FROM (SELECT $gramIntHashSql AS h FROM bg)),
+      ki AS (SELECT unnest(range(0, $BloomK)) AS i),
+      bpos AS (SELECT DISTINCT ${bloomPosColSql(m)} AS p FROM bh, ki),
+      tg AS (SELECT DISTINCT doc_id, g FROM
+        (SELECT doc_id, unnest($gramsSql) AS g FROM dw
+         WHERE doc_id % $BenchMod != 0)),
+      th AS (SELECT doc_id, g, ${bloomFieldsSql(m)._1} AS h1,
+                    ${bloomFieldsSql(m)._2} AS step
+             FROM (SELECT doc_id, g, $gramIntHashSql AS h FROM tg)),
+      tpos AS (SELECT doc_id, g, ${bloomPosColSql(m)} AS p FROM th, ki),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT t.doc_id, t.g, COUNT(*) AS nhit
+          FROM tpos t JOIN bpos b ON t.p = b.p
+          GROUP BY 1, 2) c
+        WHERE nhit = $BloomK)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      FROM dw
+      WHERE doc_id % $BenchMod != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Reproducible 10% sample: pure function of doc_id, so the same
@@ -367,6 +502,25 @@ object CurationQueries {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
     }),
+
+    // Bloom-filter decontamination — the 100 TB shape of the query
+    // above (Bloom 1970; the standard membership pre-filter in
+    // web-scale dedup/decontamination systems): the benchmark side
+    // collapses to a FIXED-GEOMETRY bit set (BloomM bits, BloomK
+    // probes per gram — here the distinct set-position table, ≤ k·n
+    // integer rows; at deployment a literal m-bit bitmap whose size is
+    // chosen, not data-driven), and a training gram is contaminated
+    // iff all its probes hit. No false negatives EVER (an exact-
+    // contaminated gram's probes are all set by construction — the
+    // spec pins kept ⊆ exact-kept at two geometries); false positives
+    // are the measured trade (CurationSpec forces them at m = 2^14 and
+    // records the rate; at the registered m they measure ZERO on the
+    // gate corpus). Every arithmetic step is the repo's portable
+    // integer toolkit (ascii polynomial fold; double-hashed probes
+    // with quadratic LCG-product mixing — see bloomFields for why the
+    // nonlinearity is load-bearing), so even the false positives are
+    // deterministic and the oracle hash-matches them.
+    "docs_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
 
     // Deterministic training-order interleaving: position p of a doc is
     // (rank-within-source − 1) · #sources + source-index — round-robin
@@ -674,6 +828,7 @@ object CurationQueries {
       FROM documents WHERE $bucketSql < 10""",
     "docs_split" -> splitSql,
     "docs_decontaminate" -> deconSql,
+    "docs_decontaminate_bloom" -> bloomDeconSql(BloomM),
     "docs_interleave" -> s"""
       WITH src AS (
         SELECT source,

@@ -62,6 +62,38 @@ class CurationSpec extends GraftSpec {
     assert(survivors.size < train, "decontamination removed nothing")
   }
 
+  test("docs_decontaminate_bloom: never a false negative; false positives forced and measured at a small m") {
+    // The Bloom contract has two halves. (1) NO FALSE NEGATIVES at ANY
+    // geometry: an exact-contaminated gram is in the reference set, so
+    // its probes are all set by construction — bloom-kept must be a
+    // subset of exact-kept. (2) FALSE POSITIVES are the geometry trade:
+    // at the registered m = 2^20 the gate corpus measures zero (the
+    // two keep sets are equal — asserted, since the arithmetic is
+    // deterministic on a fixed corpus), so shrink m to 2^14 where
+    // ~1.1k set bits in 16k positions force probe collisions,
+    // re-assert half (1), and record the measured over-drop rate.
+    val exactKept = run("docs_decontaminate").collect()
+      .map(_.getLong(0)).toSet
+    val bloomKept = run("docs_decontaminate_bloom").collect()
+      .map(_.getLong(0)).toSet
+    assert(bloomKept.subsetOf(exactKept),
+      "bloom dropped fewer docs than the exact filter — a false negative")
+    info(s"registered m=2^20: exact kept ${exactKept.size}, bloom kept " +
+      s"${bloomKept.size} (${exactKept.size - bloomKept.size} false positives)")
+    assert(bloomKept === exactKept,
+      "the registered geometry must measure zero false positives here")
+    val smallKept = graft.queries.CurationQueries
+      .decontaminateBloom(spark, sf, m = 1L << 14)
+      .collect().map(_.getLong(0)).toSet
+    assert(smallKept.subsetOf(exactKept),
+      "false negative at the small geometry")
+    val fp = exactKept.size - smallKept.size
+    info(s"m=2^14: bloom kept ${smallKept.size}, false positives $fp " +
+      f"(rate ${fp.toDouble / exactKept.size}%.4f)")
+    assert(fp > 0,
+      "the small geometry must force measurable false positives")
+  }
+
   test("plan shapes: sample/split shuffle-free; pack shuffles once, by shard") {
     // AQE wraps the plan before exchanges materialize; plan the queries
     // with it off (same device as PartitioningSpec) so the exchange

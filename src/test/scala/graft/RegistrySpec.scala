@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 186 // r12: + text_bpe_train_batched, text_bpe_encode, stream_bpe_tokenize, dedup_minhash_lsh_capped, ann_ivfpq_refine, dedup_semdedup, stream_semdedup
+  private val PinnedSize = 187 // r12 adds: bpe train_batched+encode+stream, lsh_capped, ivfpq_refine, semdedup batch+stream, decontaminate_bloom
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an
