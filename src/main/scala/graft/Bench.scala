@@ -68,6 +68,18 @@ import org.apache.spark.sql.functions._
   * and appends every attempt (accepted or rejected, with both probe
   * summaries) to the anchor's `promotion_log`.
   *
+  * COVERAGE vs REPLACEMENT: newly registered queries are absent from
+  * the anchor and so have NO regression guard until some run
+  * dominates — which may never happen if the anchor caught an
+  * unusually quiet window. `promote_anchor.py --augment` closes that
+  * hole without weakening the rule: it ADDS per-query entries the
+  * anchor lacks (existing entries, probe stats, and totals are
+  * untouchable) and logs the source run's probe stats per
+  * augmentation. Augmented raw mins are one-sided-conservative (a
+  * contended source inflates them → under-flagging), which the
+  * stored normalized channel corrects — the dual-channel rule needs
+  * BOTH to exceed 1.5×.
+  *
   * Anchor-protocol provenance: the committed anchor predates the warm
   * rep (its mins are cold-protocol). Cold mins can only sit AT or
   * ABOVE steady state, so comparing warm candidates against them can

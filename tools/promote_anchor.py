@@ -24,9 +24,26 @@ candidates" requirement). Bench.scala emits the same comparison as
 `anchor_candidate` in bench_out.json, so a run knows at write time
 whether it is promotable.
 
-Usage: python3 tools/promote_anchor.py [candidate] [anchor]
+A second, narrower operation exists for COVERAGE, not replacement:
+
+    python3 tools/promote_anchor.py --augment [candidate] [anchor]
+
+adds per-query entries for queries the candidate measured that the
+anchor LACKS (newly registered queries, which otherwise have no
+regression guard until some future run happens to dominate). Augment
+NEVER modifies an existing entry, the probe summary, or the headline
+total -- it only extends the per-query maps -- and each augmentation
+is logged with the source run's probe stats, so a reader can judge
+the new entries' noise floor. The values are one-sided-conservative:
+if the source run was contended, the stored mins are INFLATED and the
+raw channel under-flags, but the normalized channel (stored alongside)
+corrects for exactly that, and the dual-channel rule requires BOTH to
+exceed 1.5x before flagging.
+
+Usage: python3 tools/promote_anchor.py [--augment] [candidate] [anchor]
        (defaults: bench_out.json BENCH_BASELINE.json)
-Exit 0 = promoted, 3 = rejected (dominance fails), 2 = bad input.
+Exit 0 = promoted/augmented, 3 = rejected (dominance fails) or
+nothing to augment, 2 = bad input.
 """
 import json
 import os
@@ -60,9 +77,42 @@ def dominates(cand, inc):
             and cand["max"] <= inc["max"])
 
 
+def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
+    """Add per-query entries the anchor lacks; never touch existing ones."""
+    new = [q for q in sorted(cand.get("queries", {}))
+           if q not in anchor.get("queries", {})
+           and cand["queries"][q] >= 0]
+    entry = {
+        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "augmented": new,
+        "source_probe": cand_probe,
+        "incumbent_probe": inc_probe,
+    }
+    if not new:
+        print("AUGMENT: nothing to add (anchor already covers every "
+              "candidate query)")
+        return 3
+    for section in ("queries", "queries_norm", "queries_median", "reps"):
+        src = cand.get(section) or {}
+        dst = anchor.setdefault(section, {})
+        for q in new:
+            if q in src:
+                dst[q] = src[q]
+    anchor["promotion_log"] = anchor.get("promotion_log", []) + [entry]
+    with open(anchor_path, "w") as f:
+        json.dump(anchor, f)
+        f.write("\n")
+    print(f"AUGMENTED: added {len(new)} new-query entries {new} "
+          f"(existing entries, probe stats and totals untouched; "
+          f"source probe {cand_probe})")
+    return 0
+
+
 def main():
-    cand_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
-    anchor_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    argv = [a for a in sys.argv[1:] if a != "--augment"]
+    do_augment = "--augment" in sys.argv[1:]
+    cand_path = argv[0] if len(argv) > 0 else "bench_out.json"
+    anchor_path = argv[1] if len(argv) > 1 else "BENCH_BASELINE.json"
     try:
         with open(cand_path) as f:
             cand = json.load(f)
@@ -94,6 +144,13 @@ def main():
             return 2
     else:
         anchor, inc_probe = None, None  # bootstrap: no incumbent file
+
+    if do_augment:
+        if anchor is None:
+            print("nothing to augment: no anchor exists (run a plain "
+                  "promotion to bootstrap one)", file=sys.stderr)
+            return 2
+        return augment(cand, anchor, anchor_path, cand_probe, inc_probe)
 
     entry = {
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
