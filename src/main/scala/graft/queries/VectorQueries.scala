@@ -235,13 +235,46 @@ object VectorQueries {
     ivfAssignedFrom(e, ivfCentroids(e))
   }
 
-  private def ivfAssignedFrom(e: DataFrame, carr: DataFrame): DataFrame =
+  /** Cell assignment with the centroid similarity riding along:
+    * (vec_id, cell, embedding, cdot) via ONE bounded-state max_by —
+    * the single definition of the (adot DESC, clabel ASC) assignment
+    * tie-break for every batch consumer (the IVF family's inverted
+    * lists, SemDeDup's clusters, the streaming admission index), so
+    * the parity-critical arithmetic cannot drift between them
+    * (code-review r12 session 2: three verbatim copies existed).
+    */
+  private def ivfAssignedScored(e: DataFrame, carr: DataFrame): DataFrame =
     ivfScoredCells(e, carr)
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("clabel"), col("embedding")),
+      .agg(max_by(struct(col("clabel"), col("embedding"), col("adot")),
         struct(col("adot"), -col("clabel"))).as("m"))
-      .select(col("vec_id").as("nn_id"),
-        col("m.clabel").as("cell"), col("m.embedding").as("embedding"))
+      .select(col("vec_id"), col("m.clabel").as("cell"),
+        col("m.embedding").as("embedding"), col("m.adot").as("cdot"))
+
+  private def ivfAssignedFrom(e: DataFrame, carr: DataFrame): DataFrame =
+    ivfAssignedScored(e, carr)
+      .select(col("vec_id").as("nn_id"), col("cell"), col("embedding"))
+
+  /** One-row broadcastable centroid table: the array of (clabel, carr)
+    * structs in deterministic label order.
+    */
+  private def centsRowOf(carr: DataFrame): DataFrame =
+    carr.agg(array_sort(collect_list(struct(col("clabel"), col("carr"))))
+      .as("cents"))
+
+  /** An arriving row's cells by proximity, as a PURE EXPRESSION over
+    * the one-row centroid array: ascending (−adot, clabel) structs —
+    * exactly the batch window's (adot DESC, clabel ASC) tie-break, and
+    * the fold inside cdot is the identical index-ordered sum. ONE
+    * definition shared by the streaming probe list (annStreamIvfTopk,
+    * slice nprobe) and streaming cell assignment (semdedupStreamAdmit,
+    * slice 1), so the two serving gates' oracle-parity arithmetic is
+    * the same expression tree.
+    */
+  private def sortedCellsExpr(cents: Column, v: Column): Column =
+    array_sort(transform(cents,
+      c => struct((-cdot(c.getField("carr"), v)).as("nadot"),
+        c.getField("clabel").as("clabel"))))
 
   /** Probe selection over a scored-cells frame: each query's top
     * `nprobe` cells under the (adot DESC, clabel ASC) rank, post
@@ -276,14 +309,10 @@ object VectorQueries {
     val e = Tables.embeddings(s, d)
     val carr = ivfCentroids(e)
     val assigned = ivfAssignedFrom(e, carr)
-    val centsRow = carr
-      .agg(array_sort(collect_list(struct(col("clabel"), col("carr"))))
-        .as("cents"))
-    val probes = qs.crossJoin(broadcast(centsRow))
+    val probes = qs.crossJoin(broadcast(centsRowOf(carr)))
       .select(col("qid"), col("qe"),
-        explode(slice(array_sort(transform(col("cents"),
-          c => struct((-cdot(c.getField("carr"), col("qe"))).as("nadot"),
-            c.getField("clabel").as("clabel")))), 1, nprobe)).as("p"))
+        explode(slice(sortedCellsExpr(col("cents"), col("qe")),
+          1, nprobe)).as("p"))
       .select(col("qid"), col("qe"), col("p.clabel").as("cell"))
     probes.join(assigned, "cell") // stream-static equi join: probed cells only
       .filter(col("nn_id") =!= col("qid"))
@@ -320,21 +349,14 @@ object VectorQueries {
     val carr = ivfCentroids(e)
     // static members with their dominance key — the admission index;
     // checkpointed so the corpus×NCells scoring runs once per gate
-    val statics = ivfScoredCells(e, carr)
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("clabel"), col("embedding"), col("adot")),
-        struct(col("adot"), -col("clabel"))).as("m"))
-      .select(col("m.clabel").as("cell"), col("vec_id").as("nb_id"),
-        col("m.embedding").as("eb"), col("m.adot").as("ncdot"))
+    val statics = ivfAssignedScored(e, carr)
+      .select(col("cell"), col("vec_id").as("nb_id"),
+        col("embedding").as("eb"), col("cdot").as("ncdot"))
       .localCheckpoint()
-    val centsRow = carr
-      .agg(array_sort(collect_list(struct(col("clabel"), col("carr"))))
-        .as("cents"))
-    val arriving = qs.crossJoin(broadcast(centsRow))
+    val arriving = qs.crossJoin(broadcast(centsRowOf(carr)))
       .select(col("vec_id"), col("qe"),
-        slice(array_sort(transform(col("cents"),
-          c => struct((-cdot(c.getField("carr"), col("qe"))).as("nadot"),
-            c.getField("clabel").as("clabel")))), 1, 1).getItem(0).as("m"))
+        slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1)
+          .getItem(0).as("m"))
       .select(col("vec_id"), col("qe"),
         col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot"))
     arriving.join(statics, Seq("cell"), "left")
@@ -1123,15 +1145,9 @@ object VectorQueries {
     "dedup_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val carr = ivfCentroids(e)
-      // assignment + centroid similarity in one bounded-state max_by;
+      // assignment + centroid similarity (shared ivfAssignedScored);
       // consumed by both self-join sides and the output projection
-      val assigned = ivfScoredCells(e, carr)
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("clabel"), col("embedding"), col("adot")),
-          struct(col("adot"), -col("clabel"))).as("m"))
-        .select(col("vec_id"), col("m.clabel").as("cell"),
-          col("m.embedding").as("embedding"), col("m.adot").as("cdot"))
-        .localCheckpoint()
+      val assigned = ivfAssignedScored(e, carr).localCheckpoint()
       val dropped = assigned.select(col("cell"), col("vec_id").as("a"),
           col("embedding").as("ea"), col("cdot").as("ca"))
         .join(assigned.select(col("cell"), col("vec_id").as("b"),

@@ -78,9 +78,15 @@ def dominates(cand, inc):
 
 
 def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
-    """Add per-query entries the anchor lacks; never touch existing ones."""
+    """Add per-query entries the anchor lacks; never touch a HEALTHY
+    existing entry. A failed sentinel (value < 0: Bench records -1 when
+    every rep failed, and its diff skips b <= 0 entries) is NOT
+    coverage — it is the exact guardless state this operation exists to
+    close — so a clean candidate value replaces it, coherently across
+    all four per-query sections, and the log names it."""
+    inc_q = anchor.get("queries", {})
     new = [q for q in sorted(cand.get("queries", {}))
-           if q not in anchor.get("queries", {})
+           if (q not in inc_q or inc_q[q] < 0)
            and cand["queries"][q] >= 0]
     entry = {
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -92,18 +98,22 @@ def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
         print("AUGMENT: nothing to add (anchor already covers every "
               "candidate query)")
         return 3
-    for section in ("queries", "queries_norm", "queries_median", "reps"):
-        src = cand.get(section) or {}
-        dst = anchor.setdefault(section, {})
-        for q in new:
-            if q in src:
+    for q in new:
+        replacing_failed = q in inc_q and inc_q[q] < 0
+        for section in ("queries", "queries_norm", "queries_median", "reps"):
+            src = cand.get(section) or {}
+            dst = anchor.setdefault(section, {})
+            # never clobber a healthy entry in ANY section: a mangled
+            # anchor (q in queries_norm but not queries) keeps what it
+            # has unless we are coherently replacing a failed sentinel
+            if q in src and (replacing_failed or q not in dst):
                 dst[q] = src[q]
     anchor["promotion_log"] = anchor.get("promotion_log", []) + [entry]
     with open(anchor_path, "w") as f:
         json.dump(anchor, f)
         f.write("\n")
     print(f"AUGMENTED: added {len(new)} new-query entries {new} "
-          f"(existing entries, probe stats and totals untouched; "
+          f"(healthy existing entries, probe stats and totals untouched; "
           f"source probe {cand_probe})")
     return 0
 
@@ -144,6 +154,17 @@ def main():
             return 2
     else:
         anchor, inc_probe = None, None  # bootstrap: no incumbent file
+
+    # Scale-factor guard, BOTH paths: probe traces are SF-independent
+    # (pure-CPU probes), so a dominating sf0.01 run would otherwise
+    # replace — or augment-graft ~10x-smaller per-query mins into — an
+    # sf0.1 anchor, permanently corrupting the per-query diff in one
+    # direction or the other. Mixed scales are refused, never merged.
+    if anchor is not None and cand.get("sf") != anchor.get("sf"):
+        print(f"scale-factor mismatch: candidate sf={cand.get('sf')!r} vs "
+              f"anchor sf={anchor.get('sf')!r} -- refusing to "
+              f"{'augment' if do_augment else 'promote'}", file=sys.stderr)
+        return 2
 
     if do_augment:
         if anchor is None:
