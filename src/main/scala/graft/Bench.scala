@@ -80,16 +80,12 @@ import org.apache.spark.sql.functions._
   * stored normalized channel corrects — the dual-channel rule needs
   * BOTH to exceed 1.5×.
   *
-  * Anchor-protocol provenance: the committed anchor predates the warm
-  * rep (its mins are cold-protocol). Cold mins can only sit AT or
-  * ABOVE steady state, so comparing warm candidates against them can
-  * only UNDER-flag — and only for queries whose anchor min embedded a
-  * warm-up transient (the r12 run measured the anchor's raw mins
-  * BELOW its own by 10–30%, i.e. the anchor was mostly steady-state
-  * already). The first probe-dominating run under the warm protocol
-  * refreshes the anchor and retires this caveat; until then a
-  * borderline regression on a JIT-heavy query may need the
-  * in-artifact reps to adjudicate.
+  * Anchor-protocol provenance: RETIRED r12 — the committed anchor is
+  * a warm-protocol run (the mid-r12 dominating promotion replaced the
+  * last cold-protocol anchor; see promotion_log), so candidates and
+  * the anchor now measure the same steady state. Recorded because the
+  * cold-era caveat (warm-vs-cold comparison can only UNDER-flag)
+  * governed diffs up to that promotion.
   */
 object Bench {
   private val Reps = 3
