@@ -24,7 +24,8 @@ object ScalingCheck {
     "q1_agg", "text_bpe_count", "docs_curation", "events_sessionize",
     "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_minhash_lsh_capped",
-    "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline")
+    "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline",
+    "dedup_e2e_pipeline_capped")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

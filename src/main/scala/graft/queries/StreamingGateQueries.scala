@@ -224,6 +224,66 @@ object StreamingGateQueries {
         "arrival_ts", "1 day", "split", "chunk_fp")
       .select(col("split"), col("chunk_fp"))
 
+  /** The bounded-regime serving twins' shared geometry (r12 verdict #1):
+    * each `*_wm` serving gate stages its arriving keys as FOUR
+    * micro-batches (key % 4) under the STAGED arrival clock — batch b's
+    * rows all carry arrival_ts = 2024-03-01 + b days, a pure function
+    * of batch membership (the chunks_wm_evict device), so the oracle
+    * replays the watermark exactly. The stateful aggregation keys by
+    * (1-day arrival window, key) under a 1-hour watermark in APPEND
+    * mode through the production parquet sink: closed windows EVICT
+    * (state plateaus at the open horizon — StreamingSpec measures it
+    * against the Complete twin's accretion) and a window emits once
+    * the final watermark (max arrival − 1 h = day 3 − 1 h) passes its
+    * end — windows 0..1 emit, 2..3 are withheld, the same Append
+    * cutoff as stream_dedup_substring_wm, stated in the oracle. Each
+    * key's group is wholly inside its own arrival window, so the
+    * emitted rows are the batch results of the emitted keys verbatim.
+    */
+  private val WmServeBatches = 4
+
+  /** arrival_ts as a pure function of the arriving key (staged clock). */
+  private def stagedArrival(keyExpr: String): org.apache.spark.sql.Column =
+    expr(s"cast('2024-03-01 00:00:00' as timestamp) + make_interval(" +
+      s"0, 0, 0, cast(($keyExpr) % $WmServeBatches as int), 0, 0, 0)")
+
+  /** The serving twins' oracle wrapper: the BATCH oracle verbatim,
+    * restricted to the keys of the emitted (watermark-closed) windows,
+    * each row carrying its window start — the staged clock replayed in
+    * SQL. batches − 2 of the 4 staged windows emit (final watermark =
+    * day 3 − 1 h).
+    */
+  private def wmServeOracle(batchSql: String, keyCol: String): String = s"""
+      SELECT TIMESTAMP '2024-03-01 00:00:00'
+               + to_days(CAST($keyCol % $WmServeBatches AS INT)) AS wstart, t.*
+      FROM ($batchSql) t
+      WHERE $keyCol % $WmServeBatches < ${WmServeBatches - 2}"""
+
+  /** BPE serving body shared by stream_bpe_tokenize and its bounded
+    * `_wm` twin (one definition, zero drift): explode arriving docs to
+    * words, broadcast-join the offline-trained vocab map, meter per-doc
+    * budgets — keyed by doc_id alone (Complete) or by
+    * (arrival window, doc_id) under the watermark (Append).
+    */
+  private[graft] def bpeServe(df: DataFrame, nsub: DataFrame,
+                              windowed: Boolean,
+                              arrival: => org.apache.spark.sql.Column =
+                                stagedArrival("doc_id")): DataFrame = {
+    val joined = df.select(col("doc_id"),
+        explode(TextQueries.words(col("text"))).as("word"))
+      .join(broadcast(nsub), "word")
+    if (windowed)
+      joined.withColumn("arrival_ts", arrival)
+        .withWatermark("arrival_ts", "1 hour")
+        .groupBy(window(col("arrival_ts"), "1 day"), col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+          col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    else
+      joined.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
+  }
+
   /** Body of stream_dedup_events_wm (the gate wraps it in the
     * no-data-micro-batch pin): four time-ordered staged batches, one
     * row per user_id per batch at that batch's MIN event time, deduped
@@ -537,15 +597,83 @@ object StreamingGateQueries {
       Tables.load(s, d, "region")
       val nsub = TextQueries.bpeSubtokenMap(s, d).localCheckpoint()
       runStream(s, s"$d/documents.parquet", identity,
-        df => df.select(col("doc_id"),
-            explode(TextQueries.words(col("text"))).as("word"))
-          .join(broadcast(nsub), "word")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("nb")).as("n_bpe_tokens")),
+        df => bpeServe(df, nsub, windowed = false),
         OutputMode.Complete(),
         stageBatchedStream(_, _, _, _,
           (0 until 4).map(i => col("doc_id") % 4 === i)))
+    }),
+
+    // ---- The BOUNDED-regime serving twins (r12 verdict #1) ----------
+    // Each Complete-mode serving gate above has exactly one unbounded-
+    // state property: its per-key aggregation state accretes one group
+    // per key EVER served, and every micro-batch re-emits the full
+    // accumulated table. These four twins run the SAME serving bodies
+    // (shared definitions — annStreamTopk / annStreamIvfTopk /
+    // semdedupStreamAdmit / bpeServe, `windowed = true`) with the
+    // state keyed by the (1-day arrival window, key) under a 1-hour
+    // watermark, in APPEND mode through the PRODUCTION parquet sink:
+    // closed windows evict (the dedup family's `_wm` regime, now on
+    // the serving family), emission is exactly-once per window, and
+    // the oracle is the batch SQL restricted to the emitted windows'
+    // keys with the staged clock replayed (wmServeOracle). See
+    // WmServeBatches for the shared geometry.
+
+    // Exact-cosine ANN serving, bounded: arriving query vectors keyed
+    // by (arrival window, qid); per-group state is the ≤ k-row heap,
+    // evicted when the window closes.
+    "stream_ann_topk_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id").as("nn_id"), col("embedding"))
+      runFileSinkStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.annStreamTopk(
+          df.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+            .withColumn("arrival_ts", stagedArrival("qid")),
+          corpus, windowed = true),
+        stageBatchedStream(_, _, _, _,
+          (0 until WmServeBatches).map(i => col("vec_id") % WmServeBatches === i),
+          prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
+    }),
+
+    // IVF-pruned ANN serving, bounded: same probe-list devices as
+    // stream_ann_ivf_topk; only the state regime changes.
+    "stream_ann_ivf_topk_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runFileSinkStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.annStreamIvfTopk(
+          df.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+            .withColumn("arrival_ts", stagedArrival("qid")),
+          s, d, windowed = true),
+        stageBatchedStream(_, _, _, _,
+          (0 until WmServeBatches).map(i => col("vec_id") % WmServeBatches === i),
+          prepare = df => df.filter(col("vec_id") < VectorQueries.NQueries)))
+    }),
+
+    // SemDeDup admission, bounded: the keep/drop decision per arriving
+    // vector is unchanged (it depends only on the static cell index);
+    // the admission flag's state row now lives in its arrival window
+    // and evicts with it.
+    "stream_semdedup_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runFileSinkStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.semdedupStreamAdmit(
+          df.select(col("vec_id"), col("embedding").as("qe"))
+            .withColumn("arrival_ts", stagedArrival("vec_id")),
+          s, d, windowed = true),
+        stageBatchedStream(_, _, _, _,
+          (0 until WmServeBatches).map(i => col("vec_id") % WmServeBatches === i)))
+    }),
+
+    // BPE token metering, bounded: per-doc budgets keyed by the
+    // arrival window — the served-corpus shape where a document's
+    // budget row retires with its ingest horizon.
+    "stream_bpe_tokenize_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      val nsub = TextQueries.bpeSubtokenMap(s, d).localCheckpoint()
+      runFileSinkStream(s, s"$d/documents.parquet", identity,
+        df => bpeServe(df, nsub, windowed = true),
+        stageBatchedStream(_, _, _, _,
+          (0 until WmServeBatches).map(i => col("doc_id") % WmServeBatches === i)))
     }),
 
     // The duplicated-gram inventory in the BOUNDED regime — the _wm
@@ -945,6 +1073,18 @@ object StreamingGateQueries {
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.
     "stream_bpe_tokenize" -> TextQueries.oracle("text_bpe_tokenize"),
+    // The bounded serving twins: the batch oracle verbatim, restricted
+    // to the emitted windows' keys with the staged clock replayed
+    // (wmServeOracle — windows 0..1 of 4 emit under the final
+    // watermark, the stream_dedup_substring_wm cutoff).
+    "stream_ann_topk_wm" ->
+      wmServeOracle(VectorQueries.oracle("ann_brute_topk"), "qid"),
+    "stream_ann_ivf_topk_wm" ->
+      wmServeOracle(VectorQueries.oracle("ann_ivf_topk"), "qid"),
+    "stream_semdedup_wm" ->
+      wmServeOracle(VectorQueries.oracle("dedup_semdedup"), "vec_id"),
+    "stream_bpe_tokenize_wm" ->
+      wmServeOracle(TextQueries.oracle("text_bpe_tokenize"), "doc_id"),
     // Watermark-bounded inventory: per-arrival-day duplicated-gram
     // counts with the Append cutoff stated explicitly (batches − 2 of
     // the 4 staged windows emit; shared gram enumeration CTE).

@@ -971,6 +971,43 @@ object TextQueries {
       .select(col("doc_id"), col("sid"))
   }
 
+  /** The dedup family composed end-to-end — exact canonicalization,
+    * then near-dup cluster canonicalization (the `clusters` stage: the
+    * lossless or the bucket-capped generator — both registered), then
+    * the per-source doc/token budget a training run is provisioned
+    * from. Each stage is the SAME public operator the driver gates
+    * individually; the joins carry doc_id (+ n_tokens) only — never
+    * text.
+    *
+    * ONE localCheckpointed base projection feeds both the exact-keep
+    * aggregation and the final budget join (previously two full text
+    * scans: one for md5, one for tokenization). The checkpoint holds
+    * only (doc_id, source, fp, n_tokens) — text never materializes.
+    * Sharing deeper with the MinHash stage was assessed (round 6)
+    * and declined: base and the shingle explode have DISJOINT
+    * projections — only the parquet text scan overlaps, which the
+    * columnar reader already serves cheaply — and the measured
+    * median fell 10.4 → 8.6 s without it (bench_out.json reps).
+    */
+  private def e2ePipelineFrom(s: SparkSession, d: String,
+                              clusters: DataFrame): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val exactKeep = base
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDrop = clusters
+      .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+    base.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(exactKeep, "doc_id")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Exact Jaccard over ALL pairs sharing ≥1 shingle, in one pass: the
     * shingle self-join feeds a (da,db) count aggregate directly — no
     * candidate materialization, no re-expansion. The join output is
@@ -1657,43 +1694,31 @@ object TextQueries {
     // twin of docs_e2e_pipeline's composition proof). Each stage is
     // the SAME public operator the driver gates individually; the
     // joins carry doc_id (+ n_tokens) only — never text.
-    "dedup_e2e_pipeline" -> ((s, d) => {
-      // Scaling note (SCALING_r12 flagged 3.8× under 10× data): the
-      // composite's super-linear share is entirely its near-dup stage
-      // (dedup_minhash_clusters = the uncapped LSH pair join), whose
-      // growth LshScale attributes to the corpus's duplicate density
-      // hitting permissive 2-row bands (one 3143-doc mega-bucket at
-      // sf0.1 → band-collision volume ×101 under ×10 data). Where the
-      // capped guard's recall trade is acceptable, swapping the stage
-      // to dedup_minhash_lsh_capped's candidate generator is the scale
-      // path (measured: capped candidate growth 3.0× vs uncapped 99×);
-      // the registered composite keeps the LOSSLESS stage because its
-      // oracle is the exact cluster inventory.
-      // ONE localCheckpointed base projection feeds both the exact-keep
-      // aggregation and the final budget join (previously two full text
-      // scans: one for md5, one for tokenization). The checkpoint holds
-      // only (doc_id, source, fp, n_tokens) — text never materializes.
-      // Sharing deeper with the MinHash stage was assessed (round 6)
-      // and declined: base and the shingle explode have DISJOINT
-      // projections — only the parquet text scan overlaps, which the
-      // columnar reader already serves cheaply — and the measured
-      // median fell 10.4 → 8.6 s without it (bench_out.json reps).
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          md5(col("text").cast("binary")).as("fp"),
-          size(words(col("text"))).cast("long").as("n_tokens"))
-        .localCheckpoint()
-      val exactKeep = base
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val nearDrop = queries("dedup_minhash_clusters")(s, d)
-        .filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
-      base.select(col("doc_id"), col("source"), col("n_tokens"))
-        .join(exactKeep, "doc_id")
-        .join(nearDrop, Seq("doc_id"), "left_anti")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    }),
+    // The LOSSLESS composite: near-dup stage = the uncapped LSH
+    // clusters (exact cluster inventory, oracle-exact). Its measured
+    // 4.8× growth under 10× data is entirely that stage's mega-bucket
+    // pair join (SCALING_r12; LshScale attributes it to one 3143-doc
+    // band bucket at sf0.1 → collision volume ×99) — which is why the
+    // capped twin below exists and IS the registered scale path.
+    "dedup_e2e_pipeline" -> ((s, d) =>
+      e2ePipelineFrom(s, d, queries("dedup_minhash_clusters")(s, d))),
+
+    // The composite ON its family's scale-path stage (r12 verdict #2 —
+    // the attribution note above, now USED rather than named): same
+    // exact-canonicalization and budget stages, near-dup clusters from
+    // the BUCKET-CAPPED candidate generator (dedup_minhash_lsh_capped:
+    // over-wide band buckets excised before the self-join, growth
+    // measured at 1.53× vs the uncapped 6.3× under 10× data — and the
+    // composite's own growth re-measured in the SCALING artifact with
+    // this twin in the slice). The documented recall trade (pairs
+    // whose EVERY colliding band is over-wide are missed) moves a few
+    // docs from near-drop to kept; the oracle states the capped
+    // cluster inventory exactly, so the twin is oracle-exact too.
+    "dedup_e2e_pipeline_capped" -> ((s, d) =>
+      e2ePipelineFrom(s, d,
+        Graphs.connectedComponents(
+          queries("dedup_minhash_lsh_capped")(s, d).select(col("da"), col("db")))
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id")))),
 
     // Array/map scalar-function family (§2.6 "scalar functions —
     // array/map") over the token arrays: sort/distinct/slice/contains/
@@ -1978,12 +2003,14 @@ object TextQueries {
            $bandJoins))""")
   }
 
-  /** Transitive closure of the MinHash pairs — dedup_minhash_clusters'
-    * oracle, also embedded by the dedup_e2e_pipeline oracle.
+  /** Transitive closure over a verified-pair query — the clusters
+    * oracle, parametrized by the pair stage so the lossless and the
+    * bucket-capped composites close over THEIR OWN generator with one
+    * definition of the closure.
     */
-  private val minhashClustersSql = s"""
+  private def minhashClustersSqlFrom(pairsSql: String): String = s"""
       WITH RECURSIVE pairs AS (
-        SELECT da, db FROM ($minhashPairsSql) jp),
+        SELECT da, db FROM ($pairsSql) jp),
       e AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
       reach(a, b) AS (
         SELECT a, b FROM e
@@ -1991,6 +2018,24 @@ object TextQueries {
         SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b)
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
       FROM reach GROUP BY a"""
+
+  private val minhashClustersSql = minhashClustersSqlFrom(minhashPairsSql)
+
+  /** The composite's oracle, parametrized by its near-dup cluster
+    * stage (the Spark side's e2ePipelineFrom, statement for statement).
+    */
+  private def e2eSqlFrom(clustersSql: String): String = s"""
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      drops AS (
+        SELECT doc_id FROM ($clustersSql) c
+        WHERE cluster_id != doc_id),
+      $toksCte
+      SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+      FROM toks t JOIN keepers k USING (doc_id)
+      WHERE t.doc_id NOT IN (SELECT doc_id FROM drops)
+      GROUP BY t.source"""
 
   val oracle: Map[String, String] = Map(
     "tfidf_top_terms" -> s"""
@@ -2259,18 +2304,11 @@ object TextQueries {
     // pairs — the unique fixpoint Graphs.connectedComponents converges
     // to (identical construction to dedup_clusters' oracle).
     "dedup_minhash_clusters" -> minhashClustersSql,
-    "dedup_e2e_pipeline" -> s"""
-      WITH keepers AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-      drops AS (
-        SELECT doc_id FROM ($minhashClustersSql) c
-        WHERE cluster_id != doc_id),
-      $toksCte
-      SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
-      FROM toks t JOIN keepers k USING (doc_id)
-      WHERE t.doc_id NOT IN (SELECT doc_id FROM drops)
-      GROUP BY t.source""",
+    "dedup_e2e_pipeline" -> e2eSqlFrom(minhashClustersSql),
+    // The scale-path composite: identical budget statement, clusters
+    // closed over the CAPPED pair generator's SQL.
+    "dedup_e2e_pipeline_capped" ->
+      e2eSqlFrom(minhashClustersSqlFrom(minhashPairsCappedSql)),
     "dedup_simhash" -> s"""
       WITH $shinglesCte,
       hv AS (SELECT doc_id, (2971 * $shingleValSql + 433) % $P AS h FROM shing),

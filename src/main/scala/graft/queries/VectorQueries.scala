@@ -181,15 +181,54 @@ object VectorQueries {
     * ann_brute_topk's tie-break, so the ranked output is identical).
     * `qs` must carry (qid, qe), `corpus` (nn_id, embedding).
     */
-  private[graft] def annStreamTopk(qs: DataFrame, corpus: DataFrame): DataFrame =
-    qs.join(corpus, col("nn_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qe"), col("embedding")))
-      .groupBy(col("qid"))
+  private[graft] def annStreamTopk(qs: DataFrame, corpus: DataFrame,
+                                   windowed: Boolean = false): DataFrame =
+    servingTopkRank(
+      watermarked(qs, windowed).join(corpus, col("nn_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("embedding"))),
+      windowed)
+
+  /** The BOUNDED-STATE serving regime shared by the four `*_wm` serving
+    * twins (r12 verdict #1): when `windowed`, the arriving frame must
+    * carry an `arrival_ts` event-time column (the staged-clock device —
+    * a pure function of the arriving key, so the oracle can replay the
+    * watermark exactly); the stateful aggregation keys by the
+    * (1-day arrival window, key...) instead of the bare key, under a
+    * 1-hour watermark in APPEND mode. Closed windows EVICT — the state
+    * store holds only the open-horizon arrivals, never one group per
+    * key EVER served (the Complete-mode accretion StreamingSpec
+    * measures against this twin) — and a window's results emit exactly
+    * once, when the watermark passes its end. The serving results
+    * themselves are unchanged: each arriving key's group is wholly
+    * inside its own arrival window, so windowing changes the STATE
+    * REGIME, not the per-key answer.
+    */
+  private def watermarked(qs: DataFrame, windowed: Boolean): DataFrame =
+    if (windowed) qs.withWatermark("arrival_ts", "1 hour") else qs
+
+  private def servingGroup(scored: DataFrame, windowed: Boolean,
+                           keys: Column*): org.apache.spark.sql.RelationalGroupedDataset =
+    if (windowed)
+      scored.groupBy(window(col("arrival_ts"), "1 day") +: keys: _*)
+    else scored.groupBy(keys: _*)
+
+  private def wstartCols(windowed: Boolean): Seq[Column] =
+    if (windowed)
+      Seq(col("window.start").cast("timestamp_ntz").as("wstart"))
+    else Nil
+
+  /** Shared bounded-heap ranking tail of the two ANN serving gates
+    * (brute + IVF-pruned), in both state regimes.
+    */
+  private def servingTopkRank(scored: DataFrame, windowed: Boolean): DataFrame =
+    servingGroup(scored, windowed, col("qid"))
       .agg(graft.functions.Aggregators.topK(3)(col("cos"), col("nn_id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col._2").as("nn_id"),
+      .select(wstartCols(windowed) ++
+        Seq(col("qid"), posexplode(col("top"))): _*)
+      .select((if (windowed) Seq(col("wstart")) else Nil) ++ Seq(
+        col("qid"), col("col._2").as("nn_id"),
         (col("pos") + 1L).as("rnk"),
-        round(col("col._1"), 6).as("cos_sim"))
+        round(col("col._1"), 6).as("cos_sim")): _*)
 
   /** ANN serving WITH IVF pruning on the streaming face — the
     * composition stream_ann_topk's comment promised (r10 verdict #5):
@@ -305,24 +344,24 @@ object VectorQueries {
 
   private[graft] def annStreamIvfTopk(qs: DataFrame,
                                       s: SparkSession, d: String,
-                                      nprobe: Int = NProbe): DataFrame = {
+                                      nprobe: Int = NProbe,
+                                      windowed: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
     val carr = ivfCentroids(e)
     val assigned = ivfAssignedFrom(e, carr)
-    val probes = qs.crossJoin(broadcast(centsRowOf(carr)))
-      .select(col("qid"), col("qe"),
+    val carry = if (windowed) Seq(col("arrival_ts")) else Nil
+    val probes = watermarked(qs, windowed)
+      .crossJoin(broadcast(centsRowOf(carr)))
+      .select(Seq(col("qid"), col("qe"),
         explode(slice(sortedCellsExpr(col("cents"), col("qe")),
-          1, nprobe)).as("p"))
-      .select(col("qid"), col("qe"), col("p.clabel").as("cell"))
-    probes.join(assigned, "cell") // stream-static equi join: probed cells only
-      .filter(col("nn_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qe"), col("embedding")))
-      .groupBy(col("qid"))
-      .agg(graft.functions.Aggregators.topK(3)(col("cos"), col("nn_id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col._2").as("nn_id"),
-        (col("pos") + 1L).as("rnk"),
-        round(col("col._1"), 6).as("cos_sim"))
+          1, nprobe)).as("p")) ++ carry: _*)
+      .select(Seq(col("qid"), col("qe"),
+        col("p.clabel").as("cell")) ++ carry: _*)
+    servingTopkRank(
+      probes.join(assigned, "cell") // stream-static equi join: probed cells only
+        .filter(col("nn_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("embedding"))),
+      windowed)
   }
 
   /** SemDeDup admission on the streaming face — shared by
@@ -344,7 +383,8 @@ object VectorQueries {
     * `qs` must carry (vec_id, qe).
     */
   private[graft] def semdedupStreamAdmit(qs: DataFrame,
-                                         s: SparkSession, d: String): DataFrame = {
+                                         s: SparkSession, d: String,
+                                         windowed: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
     val carr = ivfCentroids(e)
     // static members with their dominance key — the admission index;
@@ -353,22 +393,78 @@ object VectorQueries {
       .select(col("cell"), col("vec_id").as("nb_id"),
         col("embedding").as("eb"), col("cdot").as("ncdot"))
       .localCheckpoint()
-    val arriving = qs.crossJoin(broadcast(centsRowOf(carr)))
-      .select(col("vec_id"), col("qe"),
+    val carry = if (windowed) Seq(col("arrival_ts")) else Nil
+    val arriving = watermarked(qs, windowed)
+      .crossJoin(broadcast(centsRowOf(carr)))
+      .select(Seq(col("vec_id"), col("qe"),
         slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1)
-          .getItem(0).as("m"))
-      .select(col("vec_id"), col("qe"),
-        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot"))
-    arriving.join(statics, Seq("cell"), "left")
-      .withColumn("dominated",
-        col("nb_id").isNotNull && col("nb_id") =!= col("vec_id") &&
-          dot(col("qe"), col("eb")) >= DedupCos &&
-          struct(col("ncdot"), col("nb_id")) < struct(col("cdot"), col("vec_id")))
-      .groupBy(col("vec_id"), col("cell"), col("cdot"))
+          .getItem(0).as("m")) ++ carry: _*)
+      .select(Seq(col("vec_id"), col("qe"),
+        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot")) ++ carry: _*)
+    servingGroup(
+      arriving.join(statics, Seq("cell"), "left")
+        .withColumn("dominated",
+          col("nb_id").isNotNull && col("nb_id") =!= col("vec_id") &&
+            dot(col("qe"), col("eb")) >= DedupCos &&
+            struct(col("ncdot"), col("nb_id")) < struct(col("cdot"), col("vec_id"))),
+      windowed, col("vec_id"), col("cell"), col("cdot"))
       .agg(max(when(col("dominated"), 1L).otherwise(0L)).as("dr"))
+      .select(wstartCols(windowed) ++ Seq(col("vec_id"), col("cell"),
+        round(col("cdot"), 6).as("cent_sim"),
+        (lit(1L) - col("dr")).as("kept")): _*)
+  }
+
+  /** SemDeDup with the pair scan's CELL COVERAGE as a knob (r12
+    * verdict #3 — the paper's "multiple assignments" mitigation for
+    * cluster-boundary loss, Abbas et al. 2303.09540): membership and
+    * the dominance key stay PRIMARY-cell (cent_sim is the crn=1
+    * similarity, output identical in shape to dedup_semdedup), but
+    * each vector's pair scan additionally probes its top-`nprobe`
+    * cells, so a near-copy whose perturbation flipped its nearest
+    * centroid is still paired with its original (the planted-fixture
+    * 19/20 → 20/20 — VectorSpec). Devices:
+    *  - probe lists as the PURE EXPRESSION over the one-row broadcast
+    *    centroid array (sortedCellsExpr — no window, no shuffle, the
+    *    same tie-break as ranked_cells; at nprobe=1 the probe list IS
+    *    the primary assignment and the scan reduces to the paper's
+    *    base case, spec-pinned against the registered query);
+    *  - candidate pairs from probe-side × primary-side on cell — an
+    *    ordered pair may appear in ONE orientation only (x probes y's
+    *    primary cell but not vice versa), so the dominated member is
+    *    selected per pair (the larger (cdot, vec_id) key), which is
+    *    orientation-independent.
+    * Scale shape: per-vector scan cost ×nprobe (the serving NProbe
+    * trade, now on the curation face), per-cell quadratic bound
+    * unchanged at (n/k)·(nprobe·n/k), still ONE shuffle keyed by cell
+    * against the cell-partitioned store.
+    */
+  private[graft] def semdedupKept(s: SparkSession, d: String,
+                                  nprobe: Int = 1): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    val assigned = ivfAssignedScored(e, carr).localCheckpoint()
+    val probes = e.crossJoin(broadcast(centsRowOf(carr)))
+      .select(col("vec_id"),
+        explode(slice(sortedCellsExpr(col("cents"), col("embedding")),
+          1, nprobe)).as("p"))
+      .select(col("vec_id").as("a"), col("p.clabel").as("cell"))
+    val aSide = probes.join(
+      assigned.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("cdot").as("ca")), "a")
+    val dropped = aSide.join(assigned.select(col("cell"),
+        col("vec_id").as("b"), col("embedding").as("eb"),
+        col("cdot").as("cb")), Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", dot(col("ea"), col("eb")))
+      .filter(col("cos") >= DedupCos)
+      .select(when(struct(col("ca"), col("a")) < struct(col("cb"), col("b")),
+        col("b")).otherwise(col("a")).as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         round(col("cdot"), 6).as("cent_sim"),
-        (lit(1L) - col("dr")).as("kept"))
+        when(col("is_drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
   /** 64-bit random-hyperplane signature (vector SimHash). */
@@ -1164,6 +1260,16 @@ object VectorQueries {
           when(col("is_drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
     }),
 
+    // SemDeDup with the MULTI-CELL probe knob at nprobe=2 (the paper's
+    // multiple-assignments mitigation, semdedupKept doc): the pair
+    // scan covers each vector's top-2 cells, recovering the
+    // cell-boundary near-dups the single-cell scan documents as its
+    // loss mode (planted fixture 19/20 → 20/20, VectorSpec). The
+    // single-cell query above stays the registered default — it is the
+    // paper's protocol and its scan cost is half — so the boundary
+    // loss is now a measured KNOB, not a known-miss.
+    "dedup_semdedup_probe2" -> ((s, d) => semdedupKept(s, d, nprobe = 2)),
+
     // Product quantization — the billion-scale ANN compression step
     // (IVF-PQ's second stage): each vector splits into PqM subvectors;
     // each subvector is assigned its nearest of PqK codewords, so the
@@ -1502,6 +1608,31 @@ object VectorQueries {
         FROM assigned a JOIN assigned b
           ON a.cell = b.cell AND a.vec_id != b.vec_id
           AND (a.adot, a.vec_id) < (b.adot, b.vec_id)
+        WHERE ${dotSql("a.embedding", "b.embedding")} >= $DedupCos)
+      SELECT s.vec_id, s.cell, ROUND(s.adot, 6) AS cent_sim,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM assigned s LEFT JOIN sdropped d ON d.vec_id = s.vec_id""",
+
+    // The multi-probe knob's oracle: same assigned CTE (primary cell +
+    // dominance key), probe lists from ranked_cells at crn <= 2, the
+    // dominated member selected per ordered pair (orientation-
+    // independent CASE — mirroring the Spark when/otherwise exactly).
+    "dedup_semdedup_probe2" -> s"""
+      WITH $ivfCellCtesSql,
+      assigned AS MATERIALIZED (
+        SELECT s.vec_id, s.clabel AS cell, s.adot, e.embedding
+        FROM scored_cells s
+        JOIN ranked_cells r ON r.vec_id = s.vec_id AND r.clabel = s.clabel
+                           AND r.crn = 1
+        JOIN embeddings e ON e.vec_id = s.vec_id),
+      probes AS (
+        SELECT vec_id, clabel AS cell FROM ranked_cells WHERE crn <= 2),
+      sdropped AS (
+        SELECT DISTINCT CASE WHEN (a.adot, a.vec_id) < (b.adot, b.vec_id)
+                             THEN b.vec_id ELSE a.vec_id END AS vec_id
+        FROM probes p
+        JOIN assigned a ON a.vec_id = p.vec_id
+        JOIN assigned b ON b.cell = p.cell AND b.vec_id != a.vec_id
         WHERE ${dotSql("a.embedding", "b.embedding")} >= $DedupCos)
       SELECT s.vec_id, s.cell, ROUND(s.adot, 6) AS cent_sim,
              CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept

@@ -668,6 +668,141 @@ class StreamingSpec extends GraftSpec {
     assert(recall >= 0.30, s"streamed IVF recall@3 $recall below the family floor")
   }
 
+  // ---- Serving-quartet state regimes (r12 verdict #1) --------------
+  // The four `*_wm` serving twins' 100 TB claim, measured per gate:
+  // the Complete-mode gate accretes one state group per key EVER
+  // served (and would grow without bound over a serving ingest), while
+  // the windowed twin under the arrival watermark EVICTS closed
+  // windows — state plateaus at the open horizon. Eight staged arrival
+  // days (key % 8, one day apart, 1-hour delay): after batch b the
+  // watermark is day b − 1 h, so windows ≤ b−2 are evicted during the
+  // run and the bounded trace can never exceed ~3 open windows' groups;
+  // the final watermark emits windows 0..5, so the bounded output is
+  // exactly the Complete result restricted to keys ≡ 0..5 (mod 8).
+
+  /** Run a serving body in one regime over 8 staged MemoryStream
+    * batches; returns (emitted rows, state-row trace).
+    */
+  private def servingStateTrace(out: org.apache.spark.sql.DataFrame,
+                                windowed: Boolean,
+                                feed: Int => Unit,
+                                name: String): (Set[org.apache.spark.sql.Row], Seq[Long]) = {
+    val q = out.writeStream
+      .outputMode(if (windowed) OutputMode.Append() else OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try {
+      (0 until 8).foreach { b => feed(b); q.processAllAvailable() }
+      (spark.table(name).drop("wstart").collect().toSet,
+        q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)))
+    } finally q.stop()
+  }
+
+  /** The shared assertion: bounded rows == Complete rows restricted to
+    * the emitted keys; Complete state accretes every group; bounded
+    * state plateaus at the open horizon (≤ half the groups).
+    */
+  private def assertServingPlateau(gate: String,
+                                   run: Boolean => (Set[org.apache.spark.sql.Row], Seq[Long]),
+                                   keyOf: org.apache.spark.sql.Row => Long,
+                                   groupsPerKey: Int = 1): Unit = {
+    val (uRows, uState) = run(false)
+    val (bRows, bState) = run(true)
+    val nGroups = uRows.map(keyOf).size * groupsPerKey
+    assert(nGroups > 8, s"$gate: fixture too small to show a plateau")
+    assert(bRows === uRows.filter(r => keyOf(r) % 8 <= 5),
+      s"$gate: bounded twin must emit exactly the closed windows' results")
+    assert(uState.max === nGroups.toLong,
+      s"$gate: Complete twin must accrete every group: $uState")
+    assert(bState.max <= nGroups / 2,
+      s"$gate: bounded state must plateau at the open horizon: $bState")
+  }
+
+  private val servingArrival8 = expr(
+    "cast('2024-01-01 00:00:00' as timestamp) + " +
+      "make_interval(0, 0, 0, cast(qid % 8 as int), 0, 0, 0)")
+
+  test("stream_ann_topk_wm: serving state plateaus while the Complete twin accretes") {
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select(col("vec_id").as("nn_id"), col("embedding"))
+    val qemb = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def run(windowed: Boolean) = {
+      val ms = MemoryStream[Long]
+      servingStateTrace(
+        graft.queries.VectorQueries.annStreamTopk(
+          ms.toDF().toDF("qid").join(qemb, "qid")
+            .withColumn("arrival_ts", servingArrival8),
+          corpus, windowed),
+        windowed,
+        b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
+        s"ann_serve_$windowed")
+    }
+    assertServingPlateau("stream_ann_topk_wm", run, _.getLong(0))
+  }
+
+  test("stream_ann_ivf_topk_wm: serving state plateaus while the Complete twin accretes") {
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def run(windowed: Boolean) = {
+      val ms = MemoryStream[Long]
+      servingStateTrace(
+        graft.queries.VectorQueries.annStreamIvfTopk(
+          ms.toDF().toDF("qid").join(qemb, "qid")
+            .withColumn("arrival_ts", servingArrival8),
+          spark, d, windowed = windowed),
+        windowed,
+        b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
+        s"ivf_serve_$windowed")
+    }
+    assertServingPlateau("stream_ann_ivf_topk_wm", run, _.getLong(0))
+  }
+
+  test("stream_semdedup_wm: admission state plateaus while the Complete twin accretes") {
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def run(windowed: Boolean) = {
+      val ms = MemoryStream[Long]
+      servingStateTrace(
+        graft.queries.VectorQueries.semdedupStreamAdmit(
+          ms.toDF().toDF("qid").join(qemb, "qid")
+            .select(col("qid").as("vec_id"), col("qe"))
+            .withColumn("arrival_ts", expr(
+              "cast('2024-01-01 00:00:00' as timestamp) + " +
+                "make_interval(0, 0, 0, cast(vec_id % 8 as int), 0, 0, 0)")),
+          spark, d, windowed = windowed),
+        windowed,
+        b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
+        s"sdd_serve_$windowed")
+    }
+    assertServingPlateau("stream_semdedup_wm", run, _.getLong(0))
+  }
+
+  test("stream_bpe_tokenize_wm: budget state plateaus while the Complete twin accretes") {
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val nsub = graft.queries.TextQueries.bpeSubtokenMap(spark, d).localCheckpoint()
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def run(windowed: Boolean) = {
+      val ms = MemoryStream[(Long, String)]
+      servingStateTrace(
+        graft.queries.StreamingGateQueries.bpeServe(
+          ms.toDF().toDF("doc_id", "text"), nsub, windowed,
+          arrival = expr(
+            "cast('2024-01-01 00:00:00' as timestamp) + " +
+              "make_interval(0, 0, 0, cast(doc_id % 8 as int), 0, 0, 0)")),
+        windowed,
+        b => ms.addData(docs.filter(_._1 % 8 == b).toIndexedSeq: _*),
+        s"bpe_serve_$windowed")
+    }
+    assertServingPlateau("stream_bpe_tokenize_wm", run, _.getLong(0))
+  }
+
   test("stream-static incremental dedup: state holds the delta's fingerprints, not the store's") {
     // stream_dedup_incremental's scale property: the historical store
     // joins as a STATIC side — planned per micro-batch, never entered

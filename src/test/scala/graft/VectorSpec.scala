@@ -457,6 +457,52 @@ class VectorSpec extends GraftSpec {
     assert(missed.size <= 2, s"too many boundary misses: $missed")
   }
 
+  test("semdedup multi-cell probe: nprobe=1 reduces to the paper's base case; nprobe=2 recovers the boundary misses") {
+    // r12 verdict #3: the single-cell scan's documented loss mode is
+    // cluster-boundary near-dups; the multi-probe knob (semdedupKept,
+    // the paper's multiple-assignments mitigation) must (a) reduce to
+    // the registered query at nprobe=1 — the knob changes COVERAGE,
+    // never the dominance semantics — and (b) recover the planted
+    // fixture's boundary crossings at nprobe=2 (19/20 → 20/20).
+    val d = "/root/testdata/sf0.01"
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val registered = decisions(
+      graft.queries.VectorQueries.queries("dedup_semdedup")(spark, d))
+    val base = decisions(graft.queries.VectorQueries.semdedupKept(spark, d, 1))
+    assert(base === registered,
+      "nprobe=1 must reproduce the registered single-cell decisions")
+    // same planted construction as the dedup_semdedup spec: 20
+    // near-copies (cos ~0.99) whose perturbation occasionally flips
+    // the nearest centroid — exactly the pairs nprobe=2 must recover
+    val out = tmpDir("semdedup-probe-emb")
+    val orig = graft.Tables.embeddings(spark, d)
+    val rnd = new scala.util.Random(7)
+    val planted = orig.filter(col("vec_id") < 20).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val noisy = v.map(x => x + 0.08f * (rnd.nextFloat() - 0.5f))
+      val norm = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+      (100000L + r.getLong(r.fieldIndex("vec_id")),
+        noisy.map(_ / norm).toSeq,
+        r.getInt(r.fieldIndex("label")))
+    }.toSeq
+    orig.unionByName(planted.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    def missedAt(nprobe: Int): Seq[Long] = {
+      val kept = graft.queries.VectorQueries.semdedupKept(spark, out, nprobe)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (0L until 20L).filter(q => kept(q) == 1L && kept(100000L + q) == 1L)
+    }
+    val m1 = missedAt(1)
+    val m2 = missedAt(2)
+    info(s"planted pairs missed: nprobe=1 → ${m1.size} (${m1.mkString(",")}); " +
+      s"nprobe=2 → ${m2.size}")
+    assert(m2.isEmpty,
+      s"nprobe=2 must recover every planted boundary pair, missed: $m2")
+    assert(m2.size <= m1.size, "coverage must be monotone in nprobe")
+  }
+
   test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
     // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
     // ships on by default — on THIS corpus it measures at-or-below the
