@@ -119,19 +119,31 @@ object VectorQueries {
     * touches. The refine cost is R exact distances per query — R·100
     * rows total here, R point-lookups per query at any corpus size —
     * so R is a pure recall knob with corpus-independent cost.
-    * Measured recall@3 vs brute on the gate corpus at (k=128, np=3):
-    * ADC order alone 0.207 (ann_ivfpq_topk) → refine R=10 0.353 →
-    * R=20 0.453, against the 0.533 of ann_ivf_topk's
-    * exact-within-cells order — the reference point for what exact
-    * ranking over the same probed cells achieves (refine sees only
-    * the R candidates ADC ranked highest, so neighbors ADC ranks
-    * below the shortlist stay lost; R trades them back at R exact
-    * distances per query). Recall is PROVABLY monotone in R — a
+    * REGISTERED R = 20, selected from the JOINT (np, R) grid
+    * (graft.RefineGrid, sf0.01, recall@3 vs brute at k = 128 — the
+    * r12 verdict's point that the two knobs interact: refine can
+    * never resurrect a neighbor whose cell np did not probe, so each
+    * np row saturates toward its exact-within-probed-cells ceiling):
+    * {{{
+    *   np=3  adc 0.207  R=10 0.353  R=20 0.453  R=40 0.493  ceiling 0.533
+    *   np=4  adc 0.233  R=10 0.437  R=20 0.547  R=40 0.623  ceiling 0.677
+    *   np=5  adc 0.270  R=10 0.480  R=20 0.603  R=40 0.723  ceiling 0.793
+    * }}}
+    * The choice repeats the IvfPqK precedent — keep the family's
+    * pinned NProbe = 3 pruning fraction (np is the CORPUS-proportional
+    * axis: scan cost O(N·np/NCells)) and buy recall on the
+    * corpus-independent axis instead: R=20 sits at the knee of the
+    * np=3 row (+0.100 recall over R=10 for 10 more point lookups;
+    * R=40 adds only +0.040 more against the 0.533 ceiling —
+    * saturation). A deployment that needs recall past the np=3
+    * ceiling moves BOTH knobs along the measured grid (np=5/R=40 →
+    * 0.723 at 5/3× scan cost). Recall is PROVABLY monotone in R — a
     * candidate displacing a brute-top-3 member from the re-ranked
     * top-3 has higher exact cosine, so it is itself a brute-top-3
-    * member — direction + monotonicity pinned in VectorSpec.
+    * member — direction + monotonicity + the registered point's floor
+    * pinned in VectorSpec.
     */
-  private[graft] val RefineR = 10
+  private[graft] val RefineR = 20
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is

@@ -390,18 +390,23 @@ class VectorSpec extends GraftSpec {
     info(s"recall@3 vs brute: adc=$rAdc refine=$rRef ivf-exact-within-cells=$rIvf")
     assert(rRef > rAdc,
       s"refine recall $rRef must beat the raw ADC order's $rAdc")
+    // The registered point (np=3, R=20 — selected from the RefineGrid
+    // joint surface, see the RefineR doc) must hold its measured
+    // recall: 0.453 on this corpus, floored with margin.
+    assert(rRef >= 0.40,
+      s"registered refine recall $rRef fell below the grid-selected floor")
     // R is a PROVABLY monotone recall knob: a candidate that displaces
     // a brute-top-3 member from the re-ranked top-3 has higher exact
     // cosine, so it is itself a brute-top-3 member — growing the
     // shortlist can only swap true positives for true positives or add
-    // them. Assert the direction at R=20 (values at the RefineR doc).
-    val refined20 = graft.queries.VectorQueries
-      .ivfpqRefineTopk(spark, d, shortlist = 20)
+    // them. Assert the direction at R=40 (values at the RefineR doc).
+    val refined40 = graft.queries.VectorQueries
+      .ivfpqRefineTopk(spark, d, shortlist = 40)
       .select(col("qid"), col("nn_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rRef20 = refined20.intersect(brute).size.toDouble / brute.size
-    info(s"refine recall@3: R=10 -> $rRef, R=20 -> $rRef20")
-    assert(rRef20 >= rRef, s"recall must be monotone in R: $rRef20 < $rRef")
+    val rRef40 = refined40.intersect(brute).size.toDouble / brute.size
+    info(s"refine recall@3: R=${graft.queries.VectorQueries.RefineR} -> $rRef, R=40 -> $rRef40")
+    assert(rRef40 >= rRef, s"recall must be monotone in R: $rRef40 < $rRef")
   }
 
   test("dedup_semdedup: full-corpus decision; the least-prototypical cell member survives; planted copies dedup") {
