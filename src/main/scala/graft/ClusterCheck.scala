@@ -73,13 +73,24 @@ object ClusterCheck {
     * TopKAggregator's ExpressionEncoder-encoded Seq buffers serialize
     * between partial and merge phases ACROSS executor JVMs (every
     * other Aggregator use in the suite runs single-JVM), under a
-    * streaming stream-static join).
+    * streaming stream-static join;
+    * stream_semdedup adds the r12 serving composition (r12 verdict
+    * #5): the one-row broadcast centroid array built FROM a
+    * checkpointed aggregate, the pure-expression cell assignment
+    * (sortedCellsExpr under crossJoin(broadcast(...))) evaluated in
+    * executor JVMs per micro-batch, and the stream-static LEFT join
+    * against the checkpointed admission index;
+    * ann_ivfpq_refine adds the full three-stage IVFADC+R chain under
+    * multi-JVM execution — the ADC shortlist (itself a broadcast-fed
+    * windowed plan) re-broadcast against the raw-vector table for the
+    * exact re-rank.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
-    "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk")
+    "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
+    "stream_semdedup", "ann_ivfpq_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

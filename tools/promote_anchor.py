@@ -77,36 +77,70 @@ def dominates(cand, inc):
             and cand["max"] <= inc["max"])
 
 
+SECTIONS = ("queries", "queries_norm", "queries_median", "reps")
+
+
+def healthy_in_all_sections(cand, q):
+    """A candidate query is usable only if EVERY per-query section holds
+    a clean value for it: a healthy raw min next to a failed sentinel in
+    queries_norm would otherwise graft -1 into the anchor's normalized
+    channel, where the dual-channel diff skips b <= 0 entries and the
+    1.5x-on-BOTH flag could then never fire for that query — the guard
+    augment exists to create would be silently absent (ADVICE r12).
+    Unreachable with Bench-produced files (all four sections fail
+    together), enforced so a hand-assembled candidate can't break it."""
+    for section in SECTIONS:
+        v = (cand.get(section) or {}).get(q)
+        if v is None:
+            return False
+        if isinstance(v, list):
+            if any(not isinstance(x, (int, float)) or x < 0 for x in v):
+                return False
+        elif not isinstance(v, (int, float)) or v < 0:
+            return False
+    return True
+
+
 def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
     """Add per-query entries the anchor lacks; never touch a HEALTHY
     existing entry. A failed sentinel (value < 0: Bench records -1 when
     every rep failed, and its diff skips b <= 0 entries) is NOT
     coverage — it is the exact guardless state this operation exists to
     close — so a clean candidate value replaces it, coherently across
-    all four per-query sections, and the log names it."""
+    all four per-query sections, and the log names it. Candidates
+    missing ANY section for a query are skipped and logged (all four
+    sections move together or not at all — a partial graft would leave
+    a stale sentinel next to fresh values, ADVICE r12)."""
     inc_q = anchor.get("queries", {})
-    new = [q for q in sorted(cand.get("queries", {}))
-           if (q not in inc_q or inc_q[q] < 0)
-           and cand["queries"][q] >= 0]
+    candidates = [q for q in sorted(cand.get("queries", {}))
+                  if (q not in inc_q or inc_q[q] < 0)
+                  and cand["queries"][q] >= 0]
+    new = [q for q in candidates if healthy_in_all_sections(cand, q)]
+    skipped = [q for q in candidates if q not in set(new)]
     entry = {
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "augmented": new,
         "source_probe": cand_probe,
         "incumbent_probe": inc_probe,
     }
+    if skipped:
+        entry["skipped_incomplete"] = skipped
+        print(f"AUGMENT: skipping {skipped} (candidate lacks a clean value "
+              f"in every per-query section; all four move together)")
     if not new:
         print("AUGMENT: nothing to add (anchor already covers every "
               "candidate query)")
         return 3
     for q in new:
         replacing_failed = q in inc_q and inc_q[q] < 0
-        for section in ("queries", "queries_norm", "queries_median", "reps"):
+        for section in SECTIONS:
             src = cand.get(section) or {}
             dst = anchor.setdefault(section, {})
             # never clobber a healthy entry in ANY section: a mangled
             # anchor (q in queries_norm but not queries) keeps what it
             # has unless we are coherently replacing a failed sentinel
-            if q in src and (replacing_failed or q not in dst):
+            # (healthy_in_all_sections guarantees src covers all four)
+            if replacing_failed or q not in dst:
                 dst[q] = src[q]
     anchor["promotion_log"] = anchor.get("promotion_log", []) + [entry]
     with open(anchor_path, "w") as f:
@@ -160,7 +194,18 @@ def main():
     # replace — or augment-graft ~10x-smaller per-query mins into — an
     # sf0.1 anchor, permanently corrupting the per-query diff in one
     # direction or the other. Mixed scales are refused, never merged.
-    if anchor is not None and cand.get("sf") != anchor.get("sf"):
+    # Bench stores the data-dir PATH, so normalize before comparing
+    # (ADVICE r12: a trailing slash or relative spelling of the SAME
+    # scale was refused — fail-closed but blocking legitimate
+    # promotions): prefer the sfN basename when it parses, else the
+    # normalized path.
+    def sf_key(v):
+        if not isinstance(v, str):
+            return v
+        base = os.path.basename(os.path.normpath(v))
+        return base if base.startswith("sf") else os.path.normpath(v)
+
+    if anchor is not None and sf_key(cand.get("sf")) != sf_key(anchor.get("sf")):
         print(f"scale-factor mismatch: candidate sf={cand.get('sf')!r} vs "
               f"anchor sf={anchor.get('sf')!r} -- refusing to "
               f"{'augment' if do_augment else 'promote'}", file=sys.stderr)
