@@ -406,13 +406,7 @@ object VectorQueries {
         col("embedding").as("eb"), col("cdot").as("ncdot"))
       .localCheckpoint()
     val carry = if (windowed) Seq(col("arrival_ts")) else Nil
-    val arriving = watermarked(qs, windowed)
-      .crossJoin(broadcast(centsRowOf(carr)))
-      .select(Seq(col("vec_id"), col("qe"),
-        slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1)
-          .getItem(0).as("m")) ++ carry: _*)
-      .select(Seq(col("vec_id"), col("qe"),
-        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot")) ++ carry: _*)
+    val arriving = semdedupArriving(watermarked(qs, windowed), carr, carry)
     servingGroup(
       arriving.join(statics, Seq("cell"), "left")
         .withColumn("dominated",
@@ -425,6 +419,28 @@ object VectorQueries {
         round(col("cdot"), 6).as("cent_sim"),
         (lit(1L) - col("dr")).as("kept")): _*)
   }
+
+  /** An arriving vector's PRIMARY cell + centroid similarity as the
+    * pure broadcast expression (slice 1 of sortedCellsExpr — the batch
+    * max_by's tie-break): the admission gate's arrival-side
+    * assignment, ONE definition shared by semdedupStreamAdmit and
+    * PartitioningSpec's per-micro-batch admission-pruning measurement.
+    * `qs` carries (vec_id, qe); extra columns ride via `carry`.
+    */
+  private[graft] def semdedupArriving(qs: DataFrame, carr: DataFrame,
+                                      carry: Seq[Column] = Nil): DataFrame =
+    qs.crossJoin(broadcast(centsRowOf(carr)))
+      .select(Seq(col("vec_id"), col("qe"),
+        slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1)
+          .getItem(0).as("m")) ++ carry: _*)
+      .select(Seq(col("vec_id"), col("qe"),
+        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot")) ++ carry: _*)
+
+  /** The trained centroid table for a data dir — ivfCentroids exposed
+    * for the spec that measures admission-side partition pruning.
+    */
+  private[graft] def ivfCentroidsOf(s: SparkSession, d: String): DataFrame =
+    ivfCentroids(Tables.embeddings(s, d))
 
   /** SemDeDup with the pair scan's CELL COVERAGE as a knob (r12
     * verdict #3 — the paper's "multiple assignments" mitigation for
