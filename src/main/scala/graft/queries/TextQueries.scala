@@ -1324,6 +1324,21 @@ object TextQueries {
     // reference AND the exact-vs-batched divergence fixtures.
     "text_bpe_train_batched" -> ((s, d) => bpeTrainBatchedAt(s, d)),
 
+    // The DEEP batched geometry (r12 verdict #6): 16 rounds × m = 8 —
+    // a 128-merge budget, 8× the registered gate's, driver-gated
+    // through VOCABULARY EXHAUSTION (measured on this corpus: rounds
+    // 1-9 admit the full 8 disjoint pairs, rounds 10-13 thin to
+    // 6/6/3/2 as the blocked-token rule runs out of disjoint
+    // candidates, rounds 14-16 admit ZERO), so the oracle must agree
+    // on partial admissions, the greedy blocked-token order, empty
+    // rounds, and the marker-element cascade exclusion round after
+    // round — exactly the dense-interaction regime where a batch-apply
+    // bug would surface that the shallow 4×4 gate cannot reach. The
+    // 30k throughput claim itself stays BpeCurve's measured number;
+    // this row pins the CORRECTNESS of the machinery at depth.
+    "text_bpe_train_batched_deep" -> ((s, d) =>
+      bpeTrainBatchedAt(s, d, rounds = 16, m = 8)),
+
     // BPE ENCODE — the serving face: train on the doc_id-even split,
     // tokenize the held-out split by merge RANK (full design +
     // unseen-word capability in bpeEncode's doc). Completes the
@@ -2075,6 +2090,7 @@ object TextQueries {
       FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""",
     "text_bpe_train" -> bpeTrainSql(),
     "text_bpe_train_batched" -> bpeTrainBatchedSql(),
+    "text_bpe_train_batched_deep" -> bpeTrainBatchedSql(rounds = 16, m = 8),
     "text_bpe_encode" -> bpeEncodeSql(),
     "text_bpe_tokenize" -> bpeTokenizeSql(),
     "text_bpe_count" -> s"""
