@@ -41,7 +41,12 @@ object ClusterBench {
     // r12 additions: the IVFADC+R shortlist re-rank (broadcast
     // shortlist lookups over executor JVMs) and SemDeDup admission
     // (stream-static cell join + dominance across JVMs)
-    "ann_ivfpq_refine", "stream_semdedup")
+    "ann_ivfpq_refine", "stream_semdedup",
+    // r13 additions: the capped composite (its near-dup stage's
+    // bucket-width aggregate + self-join under cluster shuffle) and a
+    // bounded serving twin (windowed TopKAggregator state + Append
+    // eviction on executor state stores)
+    "dedup_e2e_pipeline_capped", "stream_ann_ivf_topk_wm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1722,13 +1722,15 @@ object TextQueries {
     // the attribution note above, now USED rather than named): same
     // exact-canonicalization and budget stages, near-dup clusters from
     // the BUCKET-CAPPED candidate generator (dedup_minhash_lsh_capped:
-    // over-wide band buckets excised before the self-join, growth
-    // measured at 1.53× vs the uncapped 6.3× under 10× data — and the
-    // composite's own growth re-measured in the SCALING artifact with
-    // this twin in the slice). The documented recall trade (pairs
-    // whose EVERY colliding band is over-wide are missed) moves a few
-    // docs from near-drop to kept; the oracle states the capped
-    // cluster inventory exactly, so the twin is oracle-exact too.
+    // over-wide band buckets excised before the self-join). MEASURED
+    // in SCALING_r13 with this twin in the slice: the capped composite
+    // grows 1.50× under 10× data vs the lossless composite's 3.49×
+    // (the capped LSH stage itself 1.35× vs uncapped 5.27×) — the
+    // composite now scales at its linear stages' rate, not its pair
+    // join's. The documented recall trade (pairs whose EVERY colliding
+    // band is over-wide are missed) moves a few docs from near-drop to
+    // kept; the oracle states the capped cluster inventory exactly, so
+    // the twin is oracle-exact too.
     "dedup_e2e_pipeline_capped" -> ((s, d) =>
       e2ePipelineFrom(s, d,
         Graphs.connectedComponents(
