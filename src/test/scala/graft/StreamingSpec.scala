@@ -703,11 +703,10 @@ class StreamingSpec extends GraftSpec {
     */
   private def assertServingPlateau(gate: String,
                                    run: Boolean => (Set[org.apache.spark.sql.Row], Seq[Long]),
-                                   keyOf: org.apache.spark.sql.Row => Long,
-                                   groupsPerKey: Int = 1): Unit = {
+                                   keyOf: org.apache.spark.sql.Row => Long): Unit = {
     val (uRows, uState) = run(false)
     val (bRows, bState) = run(true)
-    val nGroups = uRows.map(keyOf).size * groupsPerKey
+    val nGroups = uRows.map(keyOf).size
     assert(nGroups > 8, s"$gate: fixture too small to show a plateau")
     assert(bRows === uRows.filter(r => keyOf(r) % 8 <= 5),
       s"$gate: bounded twin must emit exactly the closed windows' results")
@@ -717,9 +716,14 @@ class StreamingSpec extends GraftSpec {
       s"$gate: bounded state must plateau at the open horizon: $bState")
   }
 
-  private val servingArrival8 = expr(
-    "cast('2024-01-01 00:00:00' as timestamp) + " +
-      "make_interval(0, 0, 0, cast(qid % 8 as int), 0, 0, 0)")
+  /** The 8-day staged arrival clock over an arbitrary key column —
+    * one definition for all four serving-plateau tests (code-review
+    * r13: three verbatim copies over qid/vec_id/doc_id could drift if
+    * the 8-batch geometry changes).
+    */
+  private def servingArrival8(key: String) = expr(
+    s"cast('2024-01-01 00:00:00' as timestamp) + " +
+      s"make_interval(0, 0, 0, cast($key % 8 as int), 0, 0, 0)")
 
   test("stream_ann_topk_wm: serving state plateaus while the Complete twin accretes") {
     implicit val sql = spark.sqlContext
@@ -732,7 +736,7 @@ class StreamingSpec extends GraftSpec {
       servingStateTrace(
         graft.queries.VectorQueries.annStreamTopk(
           ms.toDF().toDF("qid").join(qemb, "qid")
-            .withColumn("arrival_ts", servingArrival8),
+            .withColumn("arrival_ts", servingArrival8("qid")),
           corpus, windowed),
         windowed,
         b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
@@ -751,7 +755,7 @@ class StreamingSpec extends GraftSpec {
       servingStateTrace(
         graft.queries.VectorQueries.annStreamIvfTopk(
           ms.toDF().toDF("qid").join(qemb, "qid")
-            .withColumn("arrival_ts", servingArrival8),
+            .withColumn("arrival_ts", servingArrival8("qid")),
           spark, d, windowed = windowed),
         windowed,
         b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
@@ -771,9 +775,7 @@ class StreamingSpec extends GraftSpec {
         graft.queries.VectorQueries.semdedupStreamAdmit(
           ms.toDF().toDF("qid").join(qemb, "qid")
             .select(col("qid").as("vec_id"), col("qe"))
-            .withColumn("arrival_ts", expr(
-              "cast('2024-01-01 00:00:00' as timestamp) + " +
-                "make_interval(0, 0, 0, cast(vec_id % 8 as int), 0, 0, 0)")),
+            .withColumn("arrival_ts", servingArrival8("vec_id")),
           spark, d, windowed = windowed),
         windowed,
         b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
@@ -793,9 +795,7 @@ class StreamingSpec extends GraftSpec {
       servingStateTrace(
         graft.queries.StreamingGateQueries.bpeServe(
           ms.toDF().toDF("doc_id", "text"), nsub, windowed,
-          arrival = expr(
-            "cast('2024-01-01 00:00:00' as timestamp) + " +
-              "make_interval(0, 0, 0, cast(doc_id % 8 as int), 0, 0, 0)")),
+          arrival = servingArrival8("doc_id")),
         windowed,
         b => ms.addData(docs.filter(_._1 % 8 == b).toIndexedSeq: _*),
         s"bpe_serve_$windowed")

@@ -87,14 +87,18 @@ def healthy_in_all_sections(cand, q):
     channel, where the dual-channel diff skips b <= 0 entries and the
     1.5x-on-BOTH flag could then never fire for that query — the guard
     augment exists to create would be silently absent (ADVICE r12).
-    Unreachable with Bench-produced files (all four sections fail
-    together), enforced so a hand-assembled candidate can't break it."""
+    The three SCALAR sections must be >= 0 (with Bench-produced files
+    they fail together); the reps LIST is the raw per-rep record and
+    may legitimately contain an individual -1 rep next to good ones
+    (Bench keeps min/median from the good reps), so it only needs to
+    be a non-empty numeric list with at least one good rep."""
     for section in SECTIONS:
         v = (cand.get(section) or {}).get(q)
         if v is None:
             return False
         if isinstance(v, list):
-            if any(not isinstance(x, (int, float)) or x < 0 for x in v):
+            if (not v or any(not isinstance(x, (int, float)) for x in v)
+                    or all(x < 0 for x in v)):
                 return False
         elif not isinstance(v, (int, float)) or v < 0:
             return False
@@ -116,7 +120,8 @@ def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
                   if (q not in inc_q or inc_q[q] < 0)
                   and cand["queries"][q] >= 0]
     new = [q for q in candidates if healthy_in_all_sections(cand, q)]
-    skipped = [q for q in candidates if q not in set(new)]
+    new_set = set(new)
+    skipped = [q for q in candidates if q not in new_set]
     entry = {
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "augmented": new,
@@ -128,8 +133,20 @@ def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
         print(f"AUGMENT: skipping {skipped} (candidate lacks a clean value "
               f"in every per-query section; all four move together)")
     if not new:
-        print("AUGMENT: nothing to add (anchor already covers every "
-              "candidate query)")
+        # even an all-skipped attempt must reach the artifact — the
+        # contract is that promotion_log records what was CONSIDERED,
+        # and the skipped case is exactly what the section guard
+        # introduces (code-review r13)
+        if skipped:
+            anchor["promotion_log"] = anchor.get("promotion_log", []) + [entry]
+            with open(anchor_path, "w") as f:
+                json.dump(anchor, f)
+                f.write("\n")
+            print(f"AUGMENT: nothing added — every candidate query was "
+                  f"skipped as incomplete (attempt logged)")
+        else:
+            print("AUGMENT: nothing to add (anchor already covers every "
+                  "candidate query)")
         return 3
     for q in new:
         replacing_failed = q in inc_q and inc_q[q] < 0
