@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.queries.VectorQueries
+
+/** Training curve + recall payoff of the unsupervised coarse quantizer
+  * (the Lloyd k-means face, vec_kmeans_assign / ann_ivf_kmeans_topk):
+  *
+  *  - DIST round=r — total assigned distortion (Σ per-vector min L2²)
+  *    under the quantizer trained for r rounds. Lloyd guarantees
+  *    non-increase (each assign step and each mean step separately
+  *    lowers the objective); the curve locates the knee that picks
+  *    the registered KmRounds.
+  *  - RECALL — recall@3 vs the exact brute-force baseline at the
+  *    family's pinned NProbe = 3, for the TRAINED cells
+  *    (ann_ivf_kmeans_topk) next to the supervised label cells
+  *    (ann_ivf_topk) on the same corpus: whether Lloyd cells beat the
+  *    labels they replace at the identical pruning fraction.
+  *
+  * Measured numbers and the registered choice: see the KmRounds doc in
+  * VectorQueries.
+  *
+  * {{{ runMain graft.KmeansCurve [sfDir] }}}
+  */
+object KmeansCurve {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = GraftSession.local("graft-kmeans-curve")
+    try {
+      for (r <- 0 to 3) {
+        val dist = VectorQueries.kmTotalDistortion(spark, d, r)
+          .collect()(0).getDouble(0)
+        println(f"DIST round=$r distortion=$dist%.3f")
+      }
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("nn_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(VectorQueries.queries("ann_brute_topk")(spark, d))
+      def recall(s: Set[(Long, Long)]): Double =
+        s.intersect(brute).size.toDouble / brute.size
+      val km = recall(pairs(VectorQueries.queries("ann_ivf_kmeans_topk")(spark, d)))
+      val lbl = recall(pairs(VectorQueries.queries("ann_ivf_topk")(spark, d)))
+      println(f"RECALL np=3 kmeans=$km%.3f label=$lbl%.3f")
+    } finally spark.stop()
+  }
+}

@@ -652,6 +652,141 @@ object VectorQueries {
       .localCheckpoint()
   }
 
+  // ---- Unsupervised coarse quantizer: Lloyd k-means ----
+  // (vec_kmeans_assign / ann_ivf_kmeans_topk)
+  //
+  // The registered IVF family derives its cells from the corpus's
+  // `label` column — supervised cells, which a real corpus rarely has.
+  // The published protocol (Lloyd 1982; FAISS trains every coarse
+  // quantizer this way — Clustering in faiss/Clustering.cpp) is
+  // k-means over the vectors themselves. This face removes the label
+  // dependency: deterministic seed (the first KmCells vectors), then
+  // KmRounds Lloyd rounds of nearest-centroid assignment (exact
+  // index-ordered double L2²) and integer-exact mean recomputation
+  // (the CentScale fixed-point device — order-independent sums, so
+  // the trained centroids hash-match the oracle's).
+  //
+  // Scale shape: each round is ONE corpus scan (narrow crossJoin with
+  // the broadcast 10-row centroid table, bounded-state min_by — one
+  // row per vector survives to the shuffle) plus a 10-group × 64-col
+  // mean aggregate with map-side partials. T rounds = T scans; at
+  // 100 TB a production run trains on a deterministic SAMPLE (FAISS
+  // caps at max_points_per_centroid ≈ 256 training points per cell —
+  // a `e.filter(...)` before kmCentroids, nothing else changes) and
+  // assigns the full corpus once, exactly the shape below minus the
+  // per-round full scans.
+
+  /** k-means cell count — matches the label-cell geometry (10 cells at
+    * every SF) so the trained quantizer's recall is directly comparable
+    * to the supervised ivfCentroids family at the same NProbe pruning
+    * fraction.
+    */
+  private[graft] val KmCells = 10
+
+  /** Lloyd rounds for the coarse quantizer. Measured on the sf0.01
+    * corpus (graft.KmeansCurve; VectorSpec pins non-increase through
+    * rounds = 3): total assigned distortion falls 791.5 (seed) →
+    * 466.0 (r1) → 461.8 (r2) → 459.7 (r3) — the knee is at 1-2
+    * rounds — and recall@3 vs brute at the family's pinned NProbe=3
+    * measures 0.633 for the trained cells vs 0.533 for the
+    * supervised label cells (ann_ivf_topk) at the IDENTICAL pruning
+    * fraction: the trained quantizer BEATS the labels it replaces,
+    * because Lloyd cells follow the embedding geometry the synthetic
+    * labels only loosely track. 2 rounds is the registered point.
+    */
+  private[graft] val KmRounds = 2
+
+  /** Deterministic seed: the first KmCells vectors widened to double
+    * (the pqSeedCodebook device — no RNG, both engines pick the same
+    * rows). 10 rows — localCheckpoint is free and keeps the Lloyd
+    * loop's plan depth linear in rounds.
+    */
+  private def kmSeed(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < KmCells)
+      .select(col("vec_id").as("kcell"),
+        transform(col("embedding"), v => v.cast("double")).as("karr"))
+      .localCheckpoint()
+
+  /** Index-ordered exact L2²: left fold of (c_i − (double)v_i)² —
+    * deterministic IEEE doubles in a fixed order, mirrored term-for-
+    * term by the oracle's list_reduce (the cdot device, squared).
+    */
+  private def kmL2(c: Column, v: Column): Column =
+    aggregate(zip_with(c, v,
+      (a, b) => (a - b.cast("double")) * (a - b.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+
+  /** Every (vector, cell) L2² — narrow scan × broadcast, no exchange
+    * (the ivfScoredCells shape).
+    */
+  private def kmScored(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("kdist", kmL2(col("karr"), col("embedding")))
+
+  /** Nearest-centroid assignment with the embedding riding along: ONE
+    * bounded-state min_by on the (kdist, kcell) struct — exactly the
+    * oracle window's (kdist ASC, kcell ASC) tie-break; partial
+    * aggregation collapses the ×KmCells rows map-side (the
+    * ivfAssignedScored device under the opposite ordering).
+    */
+  private def kmAssigned(e: DataFrame, cents: DataFrame): DataFrame =
+    kmScored(e, cents)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("kcell"), col("embedding")),
+        struct(col("kdist"), col("kcell"))).as("m"))
+      .select(col("vec_id"), col("m.kcell").as("kcell"),
+        col("m.embedding").as("embedding"))
+
+  /** Lloyd-trained coarse centroids: `rounds` rounds of assign →
+    * integer-exact per-dimension means (the ivfCentroids fixed-point
+    * sum, grouped by the assigned cell instead of the label). EMPTY
+    * CELLS ARE PRESERVED via the left join + coalesce (the pqCodebook
+    * device), so the table is KmCells rows at any round count; each
+    * round's 10-row table localCheckpoints so the corpus-side
+    * assignment subtree is never re-derived transitively.
+    */
+  private def kmCentroids(e: DataFrame, rounds: Int = KmRounds): DataFrame = {
+    var cents = kmSeed(e)
+    for (_ <- 1 to rounds) {
+      val assigned = kmAssigned(e, cents)
+      val sums = assigned.groupBy(col("kcell")).agg(
+        count(lit(1)).as("n"),
+        (0 until Dim).map(i =>
+          sum(floor(element_at(col("embedding"), i + 1).cast("double")
+            * lit(CentScale.toDouble) + lit(0.5))).as(s"c$i")): _*)
+      val means = sums.select(col("kcell"),
+        array((0 until Dim).map(i =>
+          col(s"c$i").cast("double")
+            / (col("n") * lit(CentScale)).cast("double")): _*).as("marr"))
+      cents = cents.select(col("kcell"), col("karr").as("prev"))
+        .join(means, Seq("kcell"), "left")
+        .select(col("kcell"), coalesce(col("marr"), col("prev")).as("karr"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** The trained centroid table at an arbitrary round count — exposed
+    * for the VectorSpec training contracts (distortion non-increase,
+    * seed-differs, shape invariance).
+    */
+  private[graft] def kmCentroidsAt(s: SparkSession, d: String,
+                                   rounds: Int): DataFrame =
+    kmCentroids(Tables.embeddings(s, d), rounds)
+
+  /** Total assigned distortion (Σ per-vector min L2²) under the
+    * quantizer trained for `rounds` — the Lloyd objective, for the
+    * non-increase spec.
+    */
+  private[graft] def kmTotalDistortion(s: SparkSession, d: String,
+                                       rounds: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    kmScored(e, kmCentroids(e, rounds))
+      .groupBy(col("vec_id"))
+      .agg(min(col("kdist")).as("kd"))
+      .agg(sum(col("kd")).as("distortion"))
+  }
+
   /** Index-ordered centroid-dot: fold of carr[i] * (double)v[i] —
     * engine-portable (mirrored in the oracle's list_reduce).
     */
@@ -972,6 +1107,61 @@ object VectorQueries {
                                   ORDER BY dist, code_id) AS rnk
         FROM pqdists)"""
 
+  /** One oracle Lloyd round for the COARSE quantizer: L2² distances vs
+    * km{r-1}, ranked assignment, integer-floored fixed-point means,
+    * and the empty-cell-preserving left join + COALESCE — mirroring
+    * kmCentroids' loop body statement-for-statement (the pqRoundSql
+    * device over full-dimension double vectors).
+    */
+  private def kmRoundSql(r: Int): String = s"""kd$r AS (
+        SELECT e.vec_id, c.kcell,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                 i -> (c.karr[i] - CAST(e.embedding[i] AS DOUBLE))
+                      * (c.karr[i] - CAST(e.embedding[i] AS DOUBLE)))),
+                 (a, x) -> a + x) AS kdist
+        FROM embeddings e CROSS JOIN km${r - 1} c),
+      ka$r AS MATERIALIZED (
+        SELECT vec_id, kcell FROM (
+          SELECT vec_id, kcell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rnk
+          FROM kd$r) t WHERE rnk = 1),
+      kt$r AS (
+        SELECT a.kcell, i,
+               SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS c,
+               COUNT(*) AS n
+        FROM ka$r a JOIN embeddings e USING (vec_id),
+             (SELECT unnest(range(1, ${Dim + 1})) AS i) dims$r
+        GROUP BY 1, 2),
+      km$r AS MATERIALIZED (
+        SELECT p.kcell, COALESCE(m.karr, p.karr) AS karr
+        FROM km${r - 1} p LEFT JOIN (
+          SELECT kcell, list(CAST(c AS DOUBLE) / CAST(n * $CentScale AS DOUBLE) ORDER BY i) AS karr
+          FROM kt$r GROUP BY kcell) m
+        ON m.kcell = p.kcell)"""
+
+  /** Shared k-means CTEs: seed (km0), the `rounds`-times Lloyd-trained
+    * centroid table (kmc), all (vector, cell) distances (kmdist) and
+    * the ranked assignment (kmranked) — vec_kmeans_assign and
+    * ann_ivf_kmeans_topk close over these. `rounds` must match the
+    * Spark side's kmCentroids call (default KmRounds).
+    */
+  private def kmCtesSql(rounds: Int = KmRounds): String = s"""km0 AS MATERIALIZED (
+        SELECT vec_id AS kcell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS karr
+        FROM embeddings WHERE vec_id < $KmCells),
+      ${(1 to rounds).map(kmRoundSql(_) + ",\n      ").mkString}kmc AS (SELECT * FROM km$rounds),
+      kmdist AS (
+        SELECT e.vec_id, c.kcell,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                 i -> (c.karr[i] - CAST(e.embedding[i] AS DOUBLE))
+                      * (c.karr[i] - CAST(e.embedding[i] AS DOUBLE)))),
+                 (a, x) -> a + x) AS kdist
+        FROM embeddings e CROSS JOIN kmc c),
+      kmranked AS MATERIALIZED (
+        SELECT vec_id, kcell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
+        FROM kmdist)"""
+
   /** Shared IVF coarse-quantizer CTEs (csum → carr → scored_cells →
     * ranked_cells), mirroring ivfCentroids/ivfScoredCells
     * constant-for-constant — ann_ivf_topk and ann_ivfpq_topk close
@@ -1120,6 +1310,54 @@ object VectorQueries {
       // queries probe their NProbe nearest cells: the rank window runs
       // AFTER the query filter, over NQueries×NCells rows only
       val probed = probeSelection(scoredCells, NProbe)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nn_id"))
+      assigned.join(broadcast(probed), "cell")
+        .filter(col("nn_id") =!= col("qid"))
+        .join(broadcast(q), "qid")
+        .withColumn("cos", dot(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("nn_id"),
+          col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+    }),
+
+    // Unsupervised coarse-quantizer training — Lloyd k-means over the
+    // vectors themselves (the published FAISS protocol; see the
+    // kmCentroids section doc). Output: the full-corpus cell
+    // assignment under the trained quantizer — the inverted-list
+    // building block when no label column exists.
+    "vec_kmeans_assign" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      kmAssigned(e, kmCentroids(e))
+        .select(col("vec_id"), col("kcell").cast("long").as("cell"))
+    }),
+
+    // IVF top-k on the TRAINED (k-means) coarse quantizer — the same
+    // probe-NProbe-cells/exact-within shape as ann_ivf_topk with cells
+    // from kmCentroids instead of the label means: what the IVF family
+    // runs on a label-less corpus. Assignment and probe selection rank
+    // by ascending exact L2² (the quantizer's own training metric,
+    // tie to the smaller cell id); recall@3 vs brute measured at the
+    // KmRounds doc (0.633 vs the label cells' 0.533 at NProbe=3 —
+    // trained cells beat the supervised ones they replace here).
+    "ann_ivf_kmeans_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = kmCentroids(e)
+      def scored = kmScored(e, cents)
+      val assigned = kmAssigned(e, cents)
+        .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+          col("embedding"))
+      val probed = scored
+        .filter(col("vec_id") < NQueries)
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("kdist"), col("kcell"))))
+        .filter(col("crn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("kcell").as("cell"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("qid"))
@@ -1484,6 +1722,26 @@ object VectorQueries {
       WITH $ivfCellCtesSql,
       assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
       probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
+                 WHERE vec_id < $NQueries AND crn <= $NProbe),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT p.qid, a.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
+        FROM probed p JOIN assigned a ON a.cell = p.cell AND a.nn_id != p.qid
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.nn_id),
+      ranked AS (
+        SELECT qid, nn_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
+        FROM scored)
+      SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rnk <= 3""",
+    "vec_kmeans_assign" -> s"""
+      WITH ${kmCtesSql()}
+      SELECT vec_id, CAST(kcell AS BIGINT) AS cell FROM kmranked WHERE crn = 1""",
+    "ann_ivf_kmeans_topk" -> s"""
+      WITH ${kmCtesSql()},
+      assigned AS (SELECT vec_id AS nn_id, kcell AS cell FROM kmranked WHERE crn = 1),
+      probed AS (SELECT vec_id AS qid, kcell AS cell FROM kmranked
                  WHERE vec_id < $NQueries AND crn <= $NProbe),
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
       scored AS (

@@ -286,6 +286,58 @@ class VectorSpec extends GraftSpec {
     }
   }
 
+  test("k-means coarse quantizer: distortion non-increasing across Lloyd rounds 0..3") {
+    // The Lloyd objective's contract for the UNSUPERVISED coarse
+    // quantizer (vec_kmeans_assign / ann_ivf_kmeans_topk): each
+    // assign + integer-exact-mean round must not increase total
+    // assigned distortion. Fixed-point means shift each centroid
+    // component < 2^-24 from the true minimizer — not enough to
+    // regress the objective on this corpus (measured at sf0.01:
+    // 791.5 → 466.0 → 461.8 → 459.7, graft.KmeansCurve).
+    val d = "/root/testdata/sf0.001"
+    val dist = (0 to 3).map { r =>
+      graft.queries.VectorQueries.kmTotalDistortion(spark, d, r)
+        .head.getDouble(0)
+    }
+    info(s"distortion by rounds: ${dist.mkString(" -> ")}")
+    dist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"distortion increased across a Lloyd round: $dist")
+    }
+  }
+
+  test("k-means centroid table is KmCells rows at any round count (empty cells preserved)") {
+    // A cell that attracts no members keeps its previous centroid via
+    // the left-join + coalesce (the pqCodebook device) — the quantizer
+    // shape is training-invariant, so probe geometry never changes
+    // under retraining.
+    val d = "/root/testdata/sf0.001"
+    (0 to 3).foreach { r =>
+      val n = graft.queries.VectorQueries.kmCentroidsAt(spark, d, r).count()
+      assert(n === graft.queries.VectorQueries.KmCells.toLong,
+        s"centroid table at rounds=$r has $n rows")
+    }
+  }
+
+  test("trained k-means cells beat the supervised label cells at the same NProbe (gate corpus)") {
+    // The reason the unsupervised face exists: at the IDENTICAL
+    // pruning fraction (NProbe of KmCells = 10 cells), cells trained
+    // on the embedding geometry recover more true neighbors than the
+    // synthetic label partition (measured 0.633 vs 0.533 recall@3 at
+    // sf0.01 — the KmRounds doc). Everything is deterministic
+    // arithmetic, so the comparison is exact, not statistical.
+    val d = "/root/testdata/sf0.01"
+    def pairs(q: String): Set[(Long, Long)] =
+      graft.queries.VectorQueries.queries(q)(spark, d)
+        .select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("ann_brute_topk")
+    val km = pairs("ann_ivf_kmeans_topk").intersect(brute).size
+    val lbl = pairs("ann_ivf_topk").intersect(brute).size
+    info(s"recall@3 x |brute|: kmeans=$km label=$lbl of ${brute.size}")
+    assert(km > lbl,
+      s"trained cells ($km) should beat label cells ($lbl) on the gate corpus")
+  }
+
   test("PQ codebook size is the recall knob: k=64 beats the k=16 default") {
     // The Lloyd-rounds measurement showed recall is bound by CODEBOOK
     // SIZE, not training convergence — this is the other half of that
