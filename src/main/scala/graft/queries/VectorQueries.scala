@@ -495,6 +495,32 @@ object VectorQueries {
         when(col("is_drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
+  /** The SemDeDup keep/drop decision over a scored assignment
+    * (vec_id, cell, embedding, cdot): within-cell pair scan at
+    * DedupCos, drop the MORE-prototypical member of each near-dup
+    * pair ((cdot, vec_id) dominance — keep-least-prototypical), emit
+    * (vec_id, cell, cent_sim, kept). ONE definition shared by the
+    * label-cell face (dedup_semdedup) and the trained-quantizer face
+    * (dedup_semdedup_kmeans), so the decision arithmetic cannot drift
+    * between quantizers.
+    */
+  private def semdedupDecisions(assigned: DataFrame): DataFrame = {
+    val dropped = assigned.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("cdot").as("ca"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("cdot").as("cb")), Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", dot(col("ea"), col("eb")))
+      .filter(col("cos") >= DedupCos)
+      .filter(struct(col("ca"), col("a")) < struct(col("cb"), col("b")))
+      .select(col("b").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("cdot"), 6).as("cent_sim"),
+        when(col("is_drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** 64-bit random-hyperplane signature (vector SimHash). */
   private def sig(v: Column): Column = VectorFunctions.hyperplaneSig(v, W)
 
@@ -1506,24 +1532,37 @@ object VectorQueries {
     // pre-filter hiding the paper's actual arithmetic).
     "dedup_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val carr = ivfCentroids(e)
       // assignment + centroid similarity (shared ivfAssignedScored);
-      // consumed by both self-join sides and the output projection
-      val assigned = ivfAssignedScored(e, carr).localCheckpoint()
-      val dropped = assigned.select(col("cell"), col("vec_id").as("a"),
-          col("embedding").as("ea"), col("cdot").as("ca"))
-        .join(assigned.select(col("cell"), col("vec_id").as("b"),
-          col("embedding").as("eb"), col("cdot").as("cb")), Seq("cell"))
-        .filter(col("a") =!= col("b"))
-        .withColumn("cos", dot(col("ea"), col("eb")))
-        .filter(col("cos") >= DedupCos)
-        .filter(struct(col("ca"), col("a")) < struct(col("cb"), col("b")))
-        .select(col("b").as("vec_id")).distinct()
-      assigned
-        .join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          round(col("cdot"), 6).as("cent_sim"),
-          when(col("is_drop").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      // consumed by both self-join sides and the output projection,
+      // so the corpus aggregate behind it runs once
+      semdedupDecisions(
+        ivfAssignedScored(e, ivfCentroids(e)).localCheckpoint())
+    }),
+
+    // SemDeDup on the TRAINED quantizer — the paper's actual protocol
+    // (Abbas et al. 2303.09540 §3 cluster with k-means, not with
+    // labels): cells from kmCentroids, prototypicality = dot with the
+    // TRAINED cell centroid, decision body shared verbatim with the
+    // registered label-cell face (semdedupDecisions — one definition).
+    // The label-cell query above stays registered alongside: it is the
+    // supervised comparison point and the streaming admission gate's
+    // oracle anchor. On the planted fixture the trained cells recover
+    // 20/20 near-copy pairs where the label cells miss 1 (the pinned
+    // boundary crossing — vec 9's perturbation flips its label-mean
+    // cell but not its Lloyd cell; VectorSpec). Scale shape identical:
+    // per-cell quadratic bounded at (n/k)², cell the partition key;
+    // the one new cost is the KmRounds training scans (see the
+    // kmCentroids section doc).
+    "dedup_semdedup_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = kmCentroids(e)
+      semdedupDecisions(
+        kmAssigned(e, cents)
+          .join(broadcast(cents), "kcell")
+          .withColumn("cdot", cdot(col("karr"), col("embedding")))
+          .select(col("vec_id"), col("kcell").as("cell"),
+            col("embedding"), col("cdot"))
+          .localCheckpoint())
     }),
 
     // SemDeDup with the MULTI-CELL probe knob at nprobe=2 (the paper's
@@ -1889,6 +1928,33 @@ object VectorQueries {
         JOIN ranked_cells r ON r.vec_id = s.vec_id AND r.clabel = s.clabel
                            AND r.crn = 1
         JOIN embeddings e ON e.vec_id = s.vec_id),
+      sdropped AS (
+        SELECT DISTINCT b.vec_id AS vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id != b.vec_id
+          AND (a.adot, a.vec_id) < (b.adot, b.vec_id)
+        WHERE ${dotSql("a.embedding", "b.embedding")} >= $DedupCos)
+      SELECT s.vec_id, s.cell, ROUND(s.adot, 6) AS cent_sim,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM assigned s LEFT JOIN sdropped d ON d.vec_id = s.vec_id""",
+
+    // The trained-quantizer face: kmCtesSql's Lloyd chain, assignment
+    // from kmranked at crn = 1, prototypicality = the index-ordered
+    // dot with the TRAINED centroid (karr is double, embedding widens
+    // — exactly the Spark side's cdot), then the identical sdropped /
+    // kept tail as dedup_semdedup.
+    "dedup_semdedup_kmeans" -> s"""
+      WITH ${kmCtesSql()},
+      assigned AS MATERIALIZED (
+        SELECT r.vec_id, r.kcell AS cell,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                 i -> c.karr[i] * CAST(e.embedding[i] AS DOUBLE))),
+                 (a, x) -> a + x) AS adot,
+               e.embedding
+        FROM kmranked r
+        JOIN kmc c ON c.kcell = r.kcell
+        JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.crn = 1),
       sdropped AS (
         SELECT DISTINCT b.vec_id AS vec_id
         FROM assigned a JOIN assigned b

@@ -540,6 +540,38 @@ class VectorSpec extends GraftSpec {
       s"nprobe=2 must recover every planted boundary pair, missed: $m2")
   }
 
+  test("dedup_semdedup_kmeans: the paper's k-means protocol — decision contract on trained cells; planted copies dedup") {
+    // Abbas et al. cluster with k-means, not labels — this face IS the
+    // paper's protocol. The shared decision body (semdedupDecisions)
+    // must show the same contracts on trained cells: one decision per
+    // corpus row, the least-prototypical member of every cell kept,
+    // and planted near-copies deduplicated up to boundary crossings.
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.queries.VectorQueries
+      .queries("dedup_semdedup_kmeans")(spark, d).collect()
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(rows.length.toLong === n, "one keep/drop decision per corpus row")
+    rows.groupBy(_.getLong(1)).foreach { case (_, cell) =>
+      val least = cell.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(least.getLong(3) === 1L,
+        s"least-prototypical member ${least.getLong(0)} must be kept")
+    }
+    val out = plantNearCopies("semdedup-km-emb", seed = 7, noise = 0.08f)
+    val outRows = graft.queries.VectorQueries
+      .queries("dedup_semdedup_kmeans")(spark, out)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val missed = (0L until 20L).filter { q =>
+      outRows(q)._2 == 1L && outRows(100000L + q)._2 == 1L
+    }
+    missed.foreach { q =>
+      assert(outRows(q)._1 !== outRows(100000L + q)._1,
+        s"same-cell planted pair ($q, ${100000L + q}) must lose one member")
+    }
+    info(s"planted pairs deduplicated: ${20 - missed.size}/20 on trained" +
+      s" cells (boundary crossings: ${missed.mkString(",")})")
+    assert(missed.size <= 2, s"too many boundary misses: $missed")
+  }
+
   test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
     // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
     // ships on by default — on THIS corpus it measures at-or-below the
