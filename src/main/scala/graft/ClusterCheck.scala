@@ -83,14 +83,19 @@ object ClusterCheck {
     * ann_ivfpq_refine adds the full three-stage IVFADC+R chain under
     * multi-JVM execution — the ADC shortlist (itself a broadcast-fed
     * windowed plan) re-broadcast against the raw-vector table for the
-    * exact re-rank.
+    * exact re-rank;
+    * ann_ivf_kmeans_topk adds the ITERATIVE Lloyd training loop —
+    * each round's 10-row centroid localCheckpoint lives as executor
+    * blocks, and the next round's assignment broadcast is built FROM
+    * those blocks, a block-manager round-trip per round that local[32]
+    * never exercises across JVM boundaries.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
-    "stream_semdedup", "ann_ivfpq_refine")
+    "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

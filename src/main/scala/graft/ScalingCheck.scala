@@ -25,7 +25,11 @@ object ScalingCheck {
     "dedup_substring_spans", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_minhash_lsh_capped",
     "ann_brute_topk", "ann_ivfpq_topk", "dedup_e2e_pipeline",
-    "dedup_e2e_pipeline_capped")
+    "dedup_e2e_pipeline_capped",
+    // iterative-training regime: KmRounds full corpus scans (Lloyd)
+    // ahead of the probed IVF lookup — growth should track the scans'
+    // linear term, not the per-cell quadratic
+    "ann_ivf_kmeans_topk")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -580,6 +580,23 @@ object StreamingGateQueries {
           (0 until 4).map(i => col("vec_id") % 4 === i)))
     }),
 
+    // SemDeDup admission on the TRAINED quantizer — the same gate with
+    // the Lloyd k-means cells (dedup_semdedup_kmeans's quantizer, the
+    // paper's actual protocol): centroids trained offline, arriving
+    // vectors assign by the quantizer's OWN min-L2 metric as a pure
+    // broadcast expression, LEFT join their trained cell's static
+    // members only. Oracle is dedup_semdedup_kmeans's SQL verbatim.
+    "stream_semdedup_kmeans" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.semdedupStreamAdmit(
+          df.select(col("vec_id"), col("embedding").as("qe")), s, d,
+          trained = true),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 4).map(i => col("vec_id") % 4 === i)))
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -660,6 +677,19 @@ object StreamingGateQueries {
           df.select(col("vec_id"), col("embedding").as("qe"))
             .withColumn("arrival_ts", stagedArrival("vec_id")),
           s, d, windowed = true),
+        stageBatchedStream(_, _, _, _,
+          (0 until WmServeBatches).map(i => col("vec_id") % WmServeBatches === i)))
+    }),
+
+    // The trained-quantizer admission gate, bounded: same Lloyd-cell
+    // admission body under the arrival-window/watermark regime.
+    "stream_semdedup_kmeans_wm" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      runFileSinkStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.semdedupStreamAdmit(
+          df.select(col("vec_id"), col("embedding").as("qe"))
+            .withColumn("arrival_ts", stagedArrival("vec_id")),
+          s, d, windowed = true, trained = true),
         stageBatchedStream(_, _, _, _,
           (0 until WmServeBatches).map(i => col("vec_id") % WmServeBatches === i)))
     }),
@@ -1069,6 +1099,7 @@ object StreamingGateQueries {
     // keep/drop decision depends only on the STATIC cell index, never
     // on other arrivals, so the oracle is the batch SemDeDup verbatim.
     "stream_semdedup" -> VectorQueries.oracle("dedup_semdedup"),
+    "stream_semdedup_kmeans" -> VectorQueries.oracle("dedup_semdedup_kmeans"),
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.
@@ -1083,6 +1114,8 @@ object StreamingGateQueries {
       wmServeOracle(VectorQueries.oracle("ann_ivf_topk"), "qid"),
     "stream_semdedup_wm" ->
       wmServeOracle(VectorQueries.oracle("dedup_semdedup"), "vec_id"),
+    "stream_semdedup_kmeans_wm" ->
+      wmServeOracle(VectorQueries.oracle("dedup_semdedup_kmeans"), "vec_id"),
     "stream_bpe_tokenize_wm" ->
       wmServeOracle(TextQueries.oracle("text_bpe_tokenize"), "doc_id"),
     // Watermark-bounded inventory: per-arrival-day duplicated-gram

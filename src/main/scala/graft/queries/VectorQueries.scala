@@ -327,6 +327,20 @@ object VectorQueries {
       c => struct((-cdot(c.getField("carr"), v)).as("nadot"),
         c.getField("clabel").as("clabel"))))
 
+  /** The TRAINED quantizer's arriving-row assignment as the same pure
+    * broadcast expression, under ITS training metric: ascending
+    * (L2², clabel) structs — exactly kmAssigned's min_by
+    * (kdist ASC, kcell ASC) tie-break — with the trained-centroid dot
+    * riding along as a trailing struct field (it cannot affect the
+    * order: (kdist, clabel) is already unique per cell), so slice 1
+    * yields both the cell and the dominance key in one expression.
+    */
+  private def sortedCellsL2Expr(cents: Column, v: Column): Column =
+    array_sort(transform(cents,
+      c => struct(kmL2(c.getField("carr"), v).as("kdist"),
+        c.getField("clabel").as("clabel"),
+        cdot(c.getField("carr"), v).as("adot"))))
+
   /** Probe selection over a scored-cells frame: each query's top
     * `nprobe` cells under the (adot DESC, clabel ASC) rank, post
     * query filter. ONE definition shared by ann_ivf_topk, both IVFADC
@@ -396,17 +410,33 @@ object VectorQueries {
     */
   private[graft] def semdedupStreamAdmit(qs: DataFrame,
                                          s: SparkSession, d: String,
-                                         windowed: Boolean = false): DataFrame = {
+                                         windowed: Boolean = false,
+                                         trained: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val carr = ivfCentroids(e)
+    // `trained` selects the quantizer: label-mean cells under the max-
+    // dot assignment (the registered batch face) or Lloyd-trained
+    // cells under their OWN min-L2 training metric (the
+    // dedup_semdedup_kmeans face) — everything downstream of the
+    // (cell, dominance-key) pair is the same admission body.
     // static members with their dominance key — the admission index;
     // checkpointed so the corpus×NCells scoring runs once per gate
-    val statics = ivfAssignedScored(e, carr)
+    // (and the Lloyd training loop runs ONCE for both its consumers)
+    val (carr, scored) =
+      if (trained) {
+        val cents = kmCentroids(e)
+        (cents.select(col("kcell").as("clabel"), col("karr").as("carr")),
+          kmAssignedScored(e, cents))
+      } else {
+        val c = ivfCentroids(e)
+        (c, ivfAssignedScored(e, c))
+      }
+    val statics = scored
       .select(col("cell"), col("vec_id").as("nb_id"),
         col("embedding").as("eb"), col("cdot").as("ncdot"))
       .localCheckpoint()
     val carry = if (windowed) Seq(col("arrival_ts")) else Nil
-    val arriving = semdedupArriving(watermarked(qs, windowed), carr, carry)
+    val arriving = semdedupArriving(watermarked(qs, windowed), carr, carry,
+      byL2 = trained)
     servingGroup(
       arriving.join(statics, Seq("cell"), "left")
         .withColumn("dominated",
@@ -428,13 +458,23 @@ object VectorQueries {
     * `qs` carries (vec_id, qe); extra columns ride via `carry`.
     */
   private[graft] def semdedupArriving(qs: DataFrame, carr: DataFrame,
-                                      carry: Seq[Column] = Nil): DataFrame =
+                                      carry: Seq[Column] = Nil,
+                                      byL2: Boolean = false): DataFrame = {
+    // `byL2` selects the arriving-side assignment metric to match the
+    // quantizer's batch assignment: max dot for the label-mean cells
+    // (sortedCellsExpr = ivfAssignedScored's tie-break), min L2² for
+    // the trained cells (sortedCellsL2Expr = kmAssigned's) — the
+    // dominance key is the trained-centroid dot in both cases.
+    val m =
+      if (byL2) slice(sortedCellsL2Expr(col("cents"), col("qe")), 1, 1)
+        .getItem(0)
+      else slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1).getItem(0)
+    val cdotCol = if (byL2) col("m.adot") else -col("m.nadot")
     qs.crossJoin(broadcast(centsRowOf(carr)))
+      .select(Seq(col("vec_id"), col("qe"), m.as("m")) ++ carry: _*)
       .select(Seq(col("vec_id"), col("qe"),
-        slice(sortedCellsExpr(col("cents"), col("qe")), 1, 1)
-          .getItem(0).as("m")) ++ carry: _*)
-      .select(Seq(col("vec_id"), col("qe"),
-        col("m.clabel").as("cell"), (-col("m.nadot")).as("cdot")) ++ carry: _*)
+        col("m.clabel").as("cell"), cdotCol.as("cdot")) ++ carry: _*)
+  }
 
   /** The trained centroid table for a data dir — ivfCentroids exposed
     * for the spec that measures admission-side partition pruning.
@@ -799,6 +839,20 @@ object VectorQueries {
   private[graft] def kmCentroidsAt(s: SparkSession, d: String,
                                    rounds: Int): DataFrame =
     kmCentroids(Tables.embeddings(s, d), rounds)
+
+  /** Trained-cell assignment with the prototypicality key riding
+    * along: (vec_id, cell, embedding, cdot), cdot = the index-ordered
+    * dot with the TRAINED cell centroid — the k-means twin of
+    * ivfAssignedScored, ONE definition shared by the batch SemDeDup
+    * face (dedup_semdedup_kmeans) and the streaming admission index,
+    * so the dominance arithmetic cannot drift between them.
+    */
+  private def kmAssignedScored(e: DataFrame, cents: DataFrame): DataFrame =
+    kmAssigned(e, cents)
+      .join(broadcast(cents), "kcell")
+      .withColumn("cdot", cdot(col("karr"), col("embedding")))
+      .select(col("vec_id"), col("kcell").as("cell"),
+        col("embedding"), col("cdot"))
 
   /** Total assigned distortion (Σ per-vector min L2²) under the
     * quantizer trained for `rounds` — the Lloyd objective, for the
@@ -1555,14 +1609,8 @@ object VectorQueries {
     // kmCentroids section doc).
     "dedup_semdedup_kmeans" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = kmCentroids(e)
       semdedupDecisions(
-        kmAssigned(e, cents)
-          .join(broadcast(cents), "kcell")
-          .withColumn("cdot", cdot(col("karr"), col("embedding")))
-          .select(col("vec_id"), col("kcell").as("cell"),
-            col("embedding"), col("cdot"))
-          .localCheckpoint())
+        kmAssignedScored(e, kmCentroids(e)).localCheckpoint())
     }),
 
     // SemDeDup with the MULTI-CELL probe knob at nprobe=2 (the paper's

@@ -784,6 +784,30 @@ class StreamingSpec extends GraftSpec {
     assertServingPlateau("stream_semdedup_wm", run, _.getLong(0))
   }
 
+  test("stream_semdedup_kmeans_wm: trained-quantizer admission state plateaus while the Complete twin accretes") {
+    // The same plateau contract on the TRAINED quantizer's admission
+    // gate: the Lloyd training loop and the min-L2 arriving assignment
+    // change which cell a vector checks, not the state regime — the
+    // bounded twin's store must still track the open horizon only.
+    implicit val sql = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def run(windowed: Boolean) = {
+      val ms = MemoryStream[Long]
+      servingStateTrace(
+        graft.queries.VectorQueries.semdedupStreamAdmit(
+          ms.toDF().toDF("qid").join(qemb, "qid")
+            .select(col("qid").as("vec_id"), col("qe"))
+            .withColumn("arrival_ts", servingArrival8("vec_id")),
+          spark, d, windowed = windowed, trained = true),
+        windowed,
+        b => ms.addData((0L until 40L).filter(_ % 8 == b): _*),
+        s"sddkm_serve_$windowed")
+    }
+    assertServingPlateau("stream_semdedup_kmeans_wm", run, _.getLong(0))
+  }
+
   test("stream_bpe_tokenize_wm: budget state plateaus while the Complete twin accretes") {
     implicit val sql = spark.sqlContext
     val d = "/root/testdata/sf0.001"
