@@ -43,10 +43,13 @@ object ClusterBench {
     // (stream-static cell join + dominance across JVMs)
     "ann_ivfpq_refine", "stream_semdedup",
     // r13 additions: the capped composite (its near-dup stage's
-    // bucket-width aggregate + self-join under cluster shuffle) and a
+    // bucket-width aggregate + self-join under cluster shuffle), a
     // bounded serving twin (windowed TopKAggregator state + Append
-    // eviction on executor state stores)
-    "dedup_e2e_pipeline_capped", "stream_ann_ivf_topk_wm")
+    // eviction on executor state stores), and the trained-quantizer
+    // admission gate (Lloyd training + min-L2 broadcast assignment +
+    // stream-static cell join per micro-batch across JVMs)
+    "dedup_e2e_pipeline_capped", "stream_ann_ivf_topk_wm",
+    "stream_semdedup_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -28,11 +28,14 @@ object KmeansCurve {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.local("graft-kmeans-curve")
     try {
-      for (r <- 0 to 3) {
-        val dist = VectorQueries.kmTotalDistortion(spark, d, r)
-          .collect()(0).getDouble(0)
-        println(f"DIST round=$r distortion=$dist%.3f")
-      }
+      // one training run; each round's table scored without re-running
+      // earlier rounds (kmCentroidTables — the loop's own checkpoints)
+      VectorQueries.kmCentroidTables(spark, d, 3).zipWithIndex
+        .foreach { case (c, r) =>
+          val dist = VectorQueries.kmDistortionOf(spark, d, c)
+            .collect()(0).getDouble(0)
+          println(f"DIST round=$r distortion=$dist%.3f")
+        }
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select(col("qid"), col("nn_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet

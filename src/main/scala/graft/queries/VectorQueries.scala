@@ -286,6 +286,28 @@ object VectorQueries {
     ivfAssignedFrom(e, ivfCentroids(e))
   }
 
+  /** The IVF probe-join / exact re-rank tail shared by ann_ivf_topk
+    * and ann_ivf_kmeans_topk (ONE definition — the tie-break and k
+    * cannot drift between the supervised and trained quantizer
+    * faces): inverted lists join the broadcast probe table,
+    * self-matches drop, exact cosine ranks within each query's probed
+    * cells, top 3 kept.
+    */
+  private def ivfTopkTail(assigned: DataFrame, probed: DataFrame,
+                          q: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("nn_id") =!= col("qid"))
+      .join(broadcast(q), "qid")
+      .withColumn("cos", dot(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nn_id"),
+        col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Cell assignment with the centroid similarity riding along:
     * (vec_id, cell, embedding, cdot) via ONE bounded-state max_by —
     * the single definition of the (adot DESC, clabel ASC) assignment
@@ -811,8 +833,21 @@ object VectorQueries {
     * round's 10-row table localCheckpoints so the corpus-side
     * assignment subtree is never re-derived transitively.
     */
-  private def kmCentroids(e: DataFrame, rounds: Int = KmRounds): DataFrame = {
+  private def kmCentroids(e: DataFrame, rounds: Int = KmRounds): DataFrame =
+    kmCentroidSeq(e, rounds).last
+
+  /** Every round's centroid table from ONE training run — element r is
+    * the quantizer after r rounds (element 0 the seed). The loop body
+    * lives only here; kmCentroids takes `.last`, and the curve
+    * consumers (KmeansCurve, the VectorSpec training contracts) score
+    * each table without re-running earlier rounds per point
+    * (code-review r13: per-round retraining repeated the corpus
+    * scans quadratically in the round count).
+    */
+  private def kmCentroidSeq(e: DataFrame, rounds: Int): Seq[DataFrame] = {
     var cents = kmSeed(e)
+    val all = Seq.newBuilder[DataFrame]
+    all += cents
     for (_ <- 1 to rounds) {
       val assigned = kmAssigned(e, cents)
       val sums = assigned.groupBy(col("kcell")).agg(
@@ -828,17 +863,30 @@ object VectorQueries {
         .join(means, Seq("kcell"), "left")
         .select(col("kcell"), coalesce(col("marr"), col("prev")).as("karr"))
         .localCheckpoint()
+      all += cents
     }
-    cents
+    all.result()
   }
 
-  /** The trained centroid table at an arbitrary round count — exposed
-    * for the VectorSpec training contracts (distortion non-increase,
-    * seed-differs, shape invariance).
+  /** The per-round centroid tables for a data dir — ONE training run
+    * (seq element r = the quantizer after r rounds), exposed for the
+    * VectorSpec training contracts (distortion non-increase, shape
+    * invariance) and graft.KmeansCurve.
     */
-  private[graft] def kmCentroidsAt(s: SparkSession, d: String,
-                                   rounds: Int): DataFrame =
-    kmCentroids(Tables.embeddings(s, d), rounds)
+  private[graft] def kmCentroidTables(s: SparkSession, d: String,
+                                      rounds: Int): Seq[DataFrame] =
+    kmCentroidSeq(Tables.embeddings(s, d), rounds)
+
+  /** Total assigned distortion (Σ per-vector min L2²) under an
+    * arbitrary centroid table — the Lloyd objective, for the
+    * non-increase contracts.
+    */
+  private[graft] def kmDistortionOf(s: SparkSession, d: String,
+                                    cents: DataFrame): DataFrame =
+    kmScored(Tables.embeddings(s, d), cents)
+      .groupBy(col("vec_id"))
+      .agg(min(col("kdist")).as("kd"))
+      .agg(sum(col("kd")).as("distortion"))
 
   /** Trained-cell assignment with the prototypicality key riding
     * along: (vec_id, cell, embedding, cdot), cdot = the index-ordered
@@ -853,19 +901,6 @@ object VectorQueries {
       .withColumn("cdot", cdot(col("karr"), col("embedding")))
       .select(col("vec_id"), col("kcell").as("cell"),
         col("embedding"), col("cdot"))
-
-  /** Total assigned distortion (Σ per-vector min L2²) under the
-    * quantizer trained for `rounds` — the Lloyd objective, for the
-    * non-increase spec.
-    */
-  private[graft] def kmTotalDistortion(s: SparkSession, d: String,
-                                       rounds: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    kmScored(e, kmCentroids(e, rounds))
-      .groupBy(col("vec_id"))
-      .agg(min(col("kdist")).as("kd"))
-      .agg(sum(col("kd")).as("distortion"))
-  }
 
   /** Index-ordered centroid-dot: fold of carr[i] * (double)v[i] —
     * engine-portable (mirrored in the oracle's list_reduce).
@@ -1187,19 +1222,25 @@ object VectorQueries {
                                   ORDER BY dist, code_id) AS rnk
         FROM pqdists)"""
 
+  /** The oracle L2² distance CTE body against a named centroid CTE —
+    * ONE definition of the parity-critical fold (code-review r13:
+    * kmRoundSql and kmdist carried two hand-maintained copies).
+    */
+  private def kmDistSql(centCte: String): String = s"""
+        SELECT e.vec_id, c.kcell,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                 i -> (c.karr[i] - CAST(e.embedding[i] AS DOUBLE))
+                      * (c.karr[i] - CAST(e.embedding[i] AS DOUBLE)))),
+                 (a, x) -> a + x) AS kdist
+        FROM embeddings e CROSS JOIN $centCte c"""
+
   /** One oracle Lloyd round for the COARSE quantizer: L2² distances vs
     * km{r-1}, ranked assignment, integer-floored fixed-point means,
     * and the empty-cell-preserving left join + COALESCE — mirroring
     * kmCentroids' loop body statement-for-statement (the pqRoundSql
     * device over full-dimension double vectors).
     */
-  private def kmRoundSql(r: Int): String = s"""kd$r AS (
-        SELECT e.vec_id, c.kcell,
-               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
-                 i -> (c.karr[i] - CAST(e.embedding[i] AS DOUBLE))
-                      * (c.karr[i] - CAST(e.embedding[i] AS DOUBLE)))),
-                 (a, x) -> a + x) AS kdist
-        FROM embeddings e CROSS JOIN km${r - 1} c),
+  private def kmRoundSql(r: Int): String = s"""kd$r AS (${kmDistSql(s"km${r - 1}")}),
       ka$r AS MATERIALIZED (
         SELECT vec_id, kcell FROM (
           SELECT vec_id, kcell,
@@ -1230,13 +1271,7 @@ object VectorQueries {
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS karr
         FROM embeddings WHERE vec_id < $KmCells),
       ${(1 to rounds).map(kmRoundSql(_) + ",\n      ").mkString}kmc AS (SELECT * FROM km$rounds),
-      kmdist AS (
-        SELECT e.vec_id, c.kcell,
-               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
-                 i -> (c.karr[i] - CAST(e.embedding[i] AS DOUBLE))
-                      * (c.karr[i] - CAST(e.embedding[i] AS DOUBLE)))),
-                 (a, x) -> a + x) AS kdist
-        FROM embeddings e CROSS JOIN kmc c),
+      kmdist AS (${kmDistSql("kmc")}),
       kmranked AS MATERIALIZED (
         SELECT vec_id, kcell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
@@ -1279,6 +1314,23 @@ object VectorQueries {
       lut AS MATERIALIZED (
         SELECT vec_id AS qid, sub_id, code_id AS code, dist AS d2
         FROM pqdists WHERE vec_id < $NQueries)"""
+
+  /** The oracle twin of ivfTopkTail, closing over `assigned`, `probed`
+    * and `q` CTEs — ONE definition shared by ann_ivf_topk and
+    * ann_ivf_kmeans_topk (code-review r13: the scored/ranked tail was
+    * copied verbatim between the two quantizer faces).
+    */
+  private lazy val ivfTopkTailSql: String = s"""scored AS (
+        SELECT p.qid, a.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
+        FROM probed p JOIN assigned a ON a.cell = p.cell AND a.nn_id != p.qid
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.nn_id),
+      ranked AS (
+        SELECT qid, nn_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
+        FROM scored)
+      SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rnk <= 3"""
 
   private def dotSql(x: String, y: String): String =
     (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)")
@@ -1392,17 +1444,7 @@ object VectorQueries {
       val probed = probeSelection(scoredCells, NProbe)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nn_id"))
-      assigned.join(broadcast(probed), "cell")
-        .filter(col("nn_id") =!= col("qid"))
-        .join(broadcast(q), "qid")
-        .withColumn("cos", dot(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("nn_id"),
-          col("rnk").cast("long").as("rnk"),
-          round(col("cos"), 6).as("cos_sim"))
+      ivfTopkTail(assigned, probed, q)
     }),
 
     // Unsupervised coarse-quantizer training — Lloyd k-means over the
@@ -1440,17 +1482,7 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("kcell").as("cell"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nn_id"))
-      assigned.join(broadcast(probed), "cell")
-        .filter(col("nn_id") =!= col("qid"))
-        .join(broadcast(q), "qid")
-        .withColumn("cos", dot(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("nn_id"),
-          col("rnk").cast("long").as("rnk"),
-          round(col("cos"), 6).as("cos_sim"))
+      ivfTopkTail(assigned, probed, q)
     }),
 
     // Embedding-cosine near-dup: exact-band candidate pairs (da < db),
@@ -1811,17 +1843,7 @@ object VectorQueries {
       probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
                  WHERE vec_id < $NQueries AND crn <= $NProbe),
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
-      scored AS (
-        SELECT p.qid, a.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
-        FROM probed p JOIN assigned a ON a.cell = p.cell AND a.nn_id != p.qid
-        JOIN q ON q.qid = p.qid
-        JOIN embeddings e ON e.vec_id = a.nn_id),
-      ranked AS (
-        SELECT qid, nn_id, cos,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
-        FROM scored)
-      SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
-      FROM ranked WHERE rnk <= 3""",
+      $ivfTopkTailSql""",
     "vec_kmeans_assign" -> s"""
       WITH ${kmCtesSql()}
       SELECT vec_id, CAST(kcell AS BIGINT) AS cell FROM kmranked WHERE crn = 1""",
@@ -1831,17 +1853,7 @@ object VectorQueries {
       probed AS (SELECT vec_id AS qid, kcell AS cell FROM kmranked
                  WHERE vec_id < $NQueries AND crn <= $NProbe),
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
-      scored AS (
-        SELECT p.qid, a.nn_id, ${dotSql("q.qe", "e.embedding")} AS cos
-        FROM probed p JOIN assigned a ON a.cell = p.cell AND a.nn_id != p.qid
-        JOIN q ON q.qid = p.qid
-        JOIN embeddings e ON e.vec_id = a.nn_id),
-      ranked AS (
-        SELECT qid, nn_id, cos,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rnk
-        FROM scored)
-      SELECT qid, nn_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos_sim
-      FROM ranked WHERE rnk <= 3""",
+      $ivfTopkTailSql""",
     "dedup_embedding" -> s"""
       WITH $dedupScoredCtes
       SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= $DedupCos""",

@@ -295,10 +295,10 @@ class VectorSpec extends GraftSpec {
     // regress the objective on this corpus (measured at sf0.01:
     // 791.5 → 466.0 → 461.8 → 459.7, graft.KmeansCurve).
     val d = "/root/testdata/sf0.001"
-    val dist = (0 to 3).map { r =>
-      graft.queries.VectorQueries.kmTotalDistortion(spark, d, r)
-        .head.getDouble(0)
-    }
+    val tables = graft.queries.VectorQueries.kmCentroidTables(spark, d, 3)
+    val dist = tables.map(c =>
+      graft.queries.VectorQueries.kmDistortionOf(spark, d, c)
+        .head.getDouble(0))
     info(s"distortion by rounds: ${dist.mkString(" -> ")}")
     dist.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a, s"distortion increased across a Lloyd round: $dist")
@@ -311,11 +311,12 @@ class VectorSpec extends GraftSpec {
     // shape is training-invariant, so probe geometry never changes
     // under retraining.
     val d = "/root/testdata/sf0.001"
-    (0 to 3).foreach { r =>
-      val n = graft.queries.VectorQueries.kmCentroidsAt(spark, d, r).count()
-      assert(n === graft.queries.VectorQueries.KmCells.toLong,
-        s"centroid table at rounds=$r has $n rows")
-    }
+    graft.queries.VectorQueries.kmCentroidTables(spark, d, 3)
+      .zipWithIndex.foreach { case (c, r) =>
+        val n = c.count()
+        assert(n === graft.queries.VectorQueries.KmCells.toLong,
+          s"centroid table at rounds=$r has $n rows")
+      }
   }
 
   test("trained k-means cells beat the supervised label cells at the same NProbe (gate corpus)") {
