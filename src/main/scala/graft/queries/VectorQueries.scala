@@ -888,6 +888,45 @@ object VectorQueries {
       .agg(min(col("kdist")).as("kd"))
       .agg(sum(col("kd")).as("distortion"))
 
+  /** Probe selection over the trained quantizer's scored frame: each
+    * query's top `nprobe` cells by (kdist ASC, kcell ASC) —
+    * kmAssigned's own metric. ONE definition shared by
+    * ann_ivf_kmeans_topk and the trained ADC face, the probeSelection
+    * twin for the k-means family.
+    */
+  private def kmProbeSelection(scored: DataFrame, nprobe: Int): DataFrame =
+    scored.filter(col("vec_id") < NQueries)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("kdist"), col("kcell"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("kcell").as("cell"))
+
+  /** The (cells, probed, centroids) triple every IVF consumer needs,
+    * under either quantizer: label-mean cells with max-dot assignment
+    * (`trained = false`, the registered family default) or
+    * Lloyd-trained cells under their OWN min-L2 metric
+    * (`trained = true`) — centroids always surfaced as
+    * (clabel, carr), so residual encoding and LUT builds are
+    * quantizer-agnostic downstream.
+    */
+  private def ivfQuantizer(e: DataFrame, nprobe: Int,
+                           trained: Boolean): (DataFrame, DataFrame, DataFrame) =
+    if (trained) {
+      val cents = kmCentroids(e)
+      def scored = kmScored(e, cents)
+      (kmAssigned(e, cents).select(col("vec_id"), col("kcell").as("cell")),
+        kmProbeSelection(scored, nprobe),
+        cents.select(col("kcell").as("clabel"), col("karr").as("carr")))
+    } else {
+      val carr = ivfCentroids(e)
+      def scored = ivfScoredCells(e, carr)
+      (scored.groupBy(col("vec_id"))
+        .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
+          .as("cell")),
+        probeSelection(scored, nprobe), carr)
+    }
+
   /** Trained-cell assignment with the prototypicality key riding
     * along: (vec_id, cell, embedding, cdot), cdot = the index-ordered
     * dot with the TRAINED cell centroid — the k-means twin of
@@ -986,17 +1025,13 @@ object VectorQueries {
   private[graft] def ivfpqTopk(s: SparkSession, d: String,
                                k: Int = IvfPqK,
                                nprobe: Int = NProbe,
-                               topn: Int = 3): DataFrame = {
+                               topn: Int = 3,
+                               trained: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val carr = ivfCentroids(e)
-    def scoredCells = ivfScoredCells(e, carr)
-    // nearest cell per vector: bounded-state max_by (one struct per
-    // vector), tie-break (adot DESC, clabel ASC) as in ann_ivf_topk
-    val cells = scoredCells
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
-        .as("cell"))
-    val probed = probeSelection(scoredCells, nprobe)
+    // nearest cell per vector + the query probe lists, under either
+    // quantizer (label-mean max-dot, or Lloyd-trained min-L2) — the
+    // ADC chain below is quantizer-agnostic
+    val (cells, probed, _) = ivfQuantizer(e, nprobe, trained)
     val subs = pqSubs(s, d).localCheckpoint()
     val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
     val codes = rawCodes.join(cells, "vec_id")
@@ -1082,20 +1117,16 @@ object VectorQueries {
     */
   private[graft] def ivfpqResidualTopk(s: SparkSession, d: String,
                                        k: Int = IvfPqK,
-                                       nprobe: Int = NProbe): DataFrame = {
+                                       nprobe: Int = NProbe,
+                                       trained: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val carr = ivfCentroids(e)
-    def scoredCells = ivfScoredCells(e, carr)
+    val (cells0, probed0, carr) = ivfQuantizer(e, nprobe, trained)
     // both consumed by TWO subtrees each (cells: rsubs + the codes
     // join; probed: the LUT build + the final cell filter) —
     // checkpoint so the corpus×NCells scoring runs once, not four
     // times (code-review r11; probed is NQueries×nprobe rows, free)
-    val cells = scoredCells
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("clabel"), struct(col("adot"), -col("clabel")))
-        .as("cell"))
-      .localCheckpoint()
-    val probed = probeSelection(scoredCells, nprobe).localCheckpoint()
+    val cells = cells0.localCheckpoint()
+    val probed = probed0.localCheckpoint()
     // database residuals vs each vector's OWN cell centroid
     val rsubs = quantizeSubs(
       e.join(cells, "vec_id")
@@ -1309,6 +1340,40 @@ object VectorQueries {
     * assignment ranking used, so the parity-critical arithmetic lives
     * in exactly one CTE (pqCtesSql's pqdists) for both ADC queries.
     */
+  /** The assignment + probe-list CTEs over a ranked-cells CTE — ONE
+    * definition parametrized by the quantizer's ranked table and cell
+    * column (ranked_cells/clabel for the label family, kmranked/kcell
+    * for the trained family), shared by all three ADC oracles.
+    */
+  private def ivfAssignProbeSql(ranked: String, cellCol: String): String =
+    s"""ivf_assigned AS (
+        SELECT vec_id, $cellCol AS cell FROM $ranked WHERE crn = 1),
+      ivf_probed AS (
+        SELECT vec_id AS qid, $cellCol AS cell FROM $ranked
+        WHERE vec_id < $NQueries AND crn <= $NProbe)"""
+
+  /** The ADC distance aggregation (cell filter before the LUT join) —
+    * one definition for ann_ivfpq_topk / _kmeans_topk / _refine.
+    */
+  private lazy val adcDistSql: String = s"""adist AS (
+        SELECT p.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        FROM ivf_probed p
+        JOIN ivf_assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.qid = p.qid AND l.sub_id = c.sub_id AND l.code = c.code
+        GROUP BY 1, 2)"""
+
+  /** The ADC top-3 ranking tail over `adist` — shared by both raw ADC
+    * faces (refine carries its own shortlist/re-rank tail instead).
+    */
+  private lazy val adcTopkTailSql: String = s"""rankedq AS (
+        SELECT qid, vec_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rnk
+        FROM adist)
+      SELECT qid, vec_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, adist
+      FROM rankedq WHERE rnk <= 3"""
+
   private lazy val adcCodesLutSql = s"""codes AS MATERIALIZED (
         SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
       lut AS MATERIALIZED (
@@ -1473,13 +1538,7 @@ object VectorQueries {
       val assigned = kmAssigned(e, cents)
         .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
           col("embedding"))
-      val probed = scored
-        .filter(col("vec_id") < NQueries)
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("kdist"), col("kcell"))))
-        .filter(col("crn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("kcell").as("cell"))
+      val probed = kmProbeSelection(scored, NProbe)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       ivfTopkTail(assigned, probed, q)
@@ -1725,6 +1784,22 @@ object VectorQueries {
     // (cell pruning × PQ distortion) — floor-pinned in VectorSpec.
     "ann_ivfpq_topk" -> ((s, d) => ivfpqTopk(s, d)),
 
+    // IVFADC on the TRAINED coarse quantizer — the fully unsupervised
+    // published stack (FAISS's own shape: k-means coarse quantizer +
+    // PQ codes + ADC scan), nothing derived from the label column
+    // anywhere in the chain. Same ADC machinery (ivfpqTopk is
+    // quantizer-agnostic past the ivfQuantizer triple); cells and
+    // probe lists come from kmCentroids under min-L2. Measured at
+    // sf0.01 (VectorSpec): ADC recall@3 vs brute 0.233 on trained
+    // cells vs 0.207 on label cells (direction pinned); residual
+    // encoding RE-MEASURED on trained cells — the label family's
+    // centroids-near-origin argument is void here, yet residual still
+    // loses (0.153: per-cell re-quantization of near-uniform residuals
+    // costs more than centering buys at this codebook geometry), so
+    // raw stays the registered default ON MEASUREMENT, spec-pinned to
+    // re-open loudly if a corpus change flips it.
+    "ann_ivfpq_kmeans_topk" -> ((s, d) => ivfpqTopk(s, d, trained = true)),
+
     // IVFADC+R — the published third stage of the billion-scale stack
     // (Jégou et al. TPAMI'11 §V): ADC's top-RefineR shortlist per
     // query, re-ranked by the EXACT cosine, final top-3 from the
@@ -1916,26 +1991,22 @@ object VectorQueries {
     "ann_ivfpq_topk" -> s"""
       WITH ${pqCtesSql(k = IvfPqK)},
       $ivfCellCtesSql,
-      ivf_assigned AS (
-        SELECT vec_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
-      ivf_probed AS (
-        SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
-        WHERE vec_id < $NQueries AND crn <= $NProbe),
+      ${ivfAssignProbeSql("ranked_cells", "clabel")},
       $adcCodesLutSql,
-      adist AS (
-        SELECT p.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
-        FROM ivf_probed p
-        JOIN ivf_assigned a ON a.cell = p.cell AND a.vec_id != p.qid
-        JOIN codes c ON c.vec_id = a.vec_id
-        JOIN lut l ON l.qid = p.qid AND l.sub_id = c.sub_id AND l.code = c.code
-        GROUP BY 1, 2),
-      rankedq AS (
-        SELECT qid, vec_id, adist,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                                  ORDER BY adist, vec_id) AS rnk
-        FROM adist)
-      SELECT qid, vec_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, adist
-      FROM rankedq WHERE rnk <= 3""",
+      $adcDistSql,
+      $adcTopkTailSql""",
+
+    // The fully unsupervised stack's oracle: the k-means training CTEs
+    // replace the label-cell CTEs, assignment/probes read kmranked,
+    // and the ADC chain is the shared module text — exactly the Spark
+    // side's quantizer-agnostic split.
+    "ann_ivfpq_kmeans_topk" -> s"""
+      WITH ${pqCtesSql(k = IvfPqK)},
+      ${kmCtesSql()},
+      ${ivfAssignProbeSql("kmranked", "kcell")},
+      $adcCodesLutSql,
+      $adcDistSql,
+      $adcTopkTailSql""",
 
     // ann_ivfpq_topk's CTE chain with the shortlist cut at RefineR,
     // then the exact-cosine re-rank (the same dotSql fold as
@@ -1943,19 +2014,9 @@ object VectorQueries {
     "ann_ivfpq_refine" -> s"""
       WITH ${pqCtesSql(k = IvfPqK)},
       $ivfCellCtesSql,
-      ivf_assigned AS (
-        SELECT vec_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
-      ivf_probed AS (
-        SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
-        WHERE vec_id < $NQueries AND crn <= $NProbe),
+      ${ivfAssignProbeSql("ranked_cells", "clabel")},
       $adcCodesLutSql,
-      adist AS (
-        SELECT p.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
-        FROM ivf_probed p
-        JOIN ivf_assigned a ON a.cell = p.cell AND a.vec_id != p.qid
-        JOIN codes c ON c.vec_id = a.vec_id
-        JOIN lut l ON l.qid = p.qid AND l.sub_id = c.sub_id AND l.code = c.code
-        GROUP BY 1, 2),
+      $adcDistSql,
       short AS (
         SELECT qid, vec_id FROM (
           SELECT qid, vec_id,

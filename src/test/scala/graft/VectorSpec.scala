@@ -600,6 +600,41 @@ class VectorSpec extends GraftSpec {
       s"residual ($rRes) now beats raw ($rRaw) — re-decide the registered default")
   }
 
+  test("IVFADC on trained cells: the unsupervised stack's recall and its raw-vs-residual trade, measured") {
+    // ann_ivfpq_kmeans_topk is the fully unsupervised published stack
+    // (k-means coarse quantizer + PQ + ADC). Two measured contracts:
+    //  1. The trained ADC face must serve every query and beat the
+    //     label-cell face (trained cells probe a better-matched corpus
+    //     fraction — measured 0.233 vs 0.207 at sf0.01; the gap is
+    //     smaller than the exact faces' 0.633 vs 0.533 because PQ
+    //     quantization error dominates both).
+    //  2. The raw-vs-residual default is RE-DECIDED on trained cells:
+    //     the label-cell adjudication rested on centroids-near-origin
+    //     (residual ≈ raw + re-quantization noise), which Lloyd cells
+    //     void — yet residual STILL loses here (0.153 vs 0.233: at
+    //     PqK=128 over 8-dim subspaces the per-cell re-quantization of
+    //     near-uniform residuals costs more than centered data buys),
+    //     so raw stays the registered default ON MEASUREMENT, and the
+    //     pin re-opens the decision loudly on any corpus change.
+    val d = "/root/testdata/sf0.01"
+    val brute = annPairs("ann_brute_topk", d)
+    val kmRaw = annPairs("ann_ivfpq_kmeans_topk", d)
+    val lblRaw = annPairs("ann_ivfpq_topk", d)
+    val kmRes = graft.queries.VectorQueries
+      .ivfpqResidualTopk(spark, d, trained = true)
+      .select(col("qid"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) =
+      s.intersect(brute).size.toDouble / brute.size
+    val (rKm, rLbl, rKmRes) = (recall(kmRaw), recall(lblRaw), recall(kmRes))
+    info(s"ADC recall@3 vs brute: kmeans-raw=$rKm label-raw=$rLbl kmeans-residual=$rKmRes")
+    assert(kmRaw.groupBy(_._1).size === 100, "trained ADC must serve every query")
+    assert(rKm > rLbl,
+      s"trained-cell ADC ($rKm) should beat label-cell ADC ($rLbl) as the exact faces do")
+    assert(rKmRes <= rKm + 0.05,
+      s"residual ($rKmRes) now beats raw ($rKm) on trained cells — re-decide the registered default")
+  }
+
   test("identical vectors share the full signature (near-dup contract)") {
     val w = Array.tabulate(16, 8)((j, i) => ((j * 31 + i * 7) % 11) - 5)
     val v = Seq.tabulate(8)(i => (i * 0.37f) - 1.1f)
