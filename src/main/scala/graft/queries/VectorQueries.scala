@@ -781,6 +781,9 @@ object VectorQueries {
     * fraction: the trained quantizer BEATS the labels it replaces,
     * because Lloyd cells follow the embedding geometry the synthetic
     * labels only loosely track. 2 rounds is the registered point.
+    * The curve REPRODUCES at 10× the data (sf0.1: distortion 3215.8 →
+    * 1902.2 → 1894.9 → 1890.8, same rounds-1-2 knee; recall 0.623 vs
+    * the label cells' 0.540) — the knob is not a gate-corpus artifact.
     */
   private[graft] val KmRounds = 2
 
