@@ -88,14 +88,21 @@ object ClusterCheck {
     * each round's 10-row centroid localCheckpoint lives as executor
     * blocks, and the next round's assignment broadcast is built FROM
     * those blocks, a block-manager round-trip per round that local[32]
-    * never exercises across JVM boundaries.
+    * never exercises across JVM boundaries;
+    * stream_kmeans_update adds streaming TRAINING state — the
+    * per-cell (count, Σ fixed-point) integer sums merge across
+    * micro-batches in EXECUTOR state stores (partial merges cross JVM
+    * boundaries), under a broadcast assignment expression built from
+    * the Lloyd loop's checkpointed blocks, with the batch finish
+    * joining the drained sink table back against those blocks.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
     "stream_count_by_key", "stream_dedup_events_wm",
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
-    "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk")
+    "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
+    "stream_kmeans_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -45,6 +45,20 @@ object KmeansCurve {
       val km = recall(pairs(VectorQueries.queries("ann_ivf_kmeans_topk")(spark, d)))
       val lbl = recall(pairs(VectorQueries.queries("ann_ivf_topk")(spark, d)))
       println(f"RECALL np=3 kmeans=$km%.3f label=$lbl%.3f")
+      // The SAMPLE-TRAINED quantizer (the FAISS max_points_per_centroid
+      // protocol, KmTrainMod doc): distortion of the full corpus under
+      // sample-trained centroids, and recall at the same NProbe — the
+      // sample-vs-full band the registered query's doc records.
+      val sampled = VectorQueries.kmCentroidTables(spark, d, 3,
+        sampled = true)
+      sampled.zipWithIndex.foreach { case (c, r) =>
+        val dist = VectorQueries.kmDistortionOf(spark, d, c)
+          .collect()(0).getDouble(0)
+        println(f"DIST-SAMPLED round=$r distortion=$dist%.3f")
+      }
+      val kmS = recall(pairs(
+        VectorQueries.queries("ann_ivf_kmeans_sampled_topk")(spark, d)))
+      println(f"RECALL np=3 kmeans_sampled=$kmS%.3f (full=$km%.3f)")
     } finally spark.stop()
   }
 }

@@ -597,6 +597,37 @@ object StreamingGateQueries {
           (0 until 4).map(i => col("vec_id") % 4 === i)))
     }),
 
+    // STREAMING QUANTIZER TRAINING — online mini-batch k-means (r13
+    // verdict Next #3: the one trained artifact with no streaming
+    // story): the embeddings table arrives as FOUR deterministic
+    // micro-batches (vec_id % 4); each arriving vector assigns to its
+    // nearest frozen-quantizer cell as a pure broadcast expression and
+    // the state store accumulates per-cell (count, Σ fixed-point
+    // components) — exactly mergeable integer state, ≤ KmCells groups
+    // × 65 longs whatever the stream length (plan + devices in
+    // VectorQueries.kmStreamSums). The drained sums finish in a batch
+    // post-pass (integer-exact means, empty-cell coalesce — the
+    // cmsEstimate two-phase device) into the UPDATED centroid table in
+    // long form. Because integer sums merge exactly across any batch
+    // split, the streamed update over the union of arrived batches IS
+    // batch Lloyd round KmRounds+1 — the oracle runs the training CTE
+    // chain one round deeper, and StreamingSpec pins the same equality
+    // (plus that the update actually moved the centroids) in-process.
+    "stream_kmeans_update" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      // ONE training run shared by the arriving-side assignment and
+      // the finish's empty-cell coalesce (each round's 10-row table is
+      // localCheckpointed inside the loop)
+      val cents = VectorQueries.kmCentroidsOf(s, d)
+      val sums = runStream(s, s"$d/embeddings.parquet", Tables.normalizeTemporal,
+        df => VectorQueries.kmStreamSums(
+          df.select(col("embedding").as("qe")), cents),
+        OutputMode.Complete(),
+        stageBatchedStream(_, _, _, _,
+          (0 until 4).map(i => col("vec_id") % 4 === i)))
+      VectorQueries.kmStreamUpdateFinish(cents, sums)
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -1100,6 +1131,11 @@ object StreamingGateQueries {
     // on other arrivals, so the oracle is the batch SemDeDup verbatim.
     "stream_semdedup" -> VectorQueries.oracle("dedup_semdedup"),
     "stream_semdedup_kmeans" -> VectorQueries.oracle("dedup_semdedup_kmeans"),
+    // Streaming ≡ one more batch Lloyd round: integer per-cell sums
+    // merge exactly across micro-batches, so the drained update over
+    // all arrived batches equals km{KmRounds+1} of the batch training
+    // chain (built in VectorQueries next to the chain it unrolls).
+    "stream_kmeans_update" -> VectorQueries.kmStreamUpdateOracleSql,
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

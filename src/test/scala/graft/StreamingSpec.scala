@@ -354,6 +354,41 @@ class StreamingSpec extends GraftSpec {
       "all four arrival micro-batches must reach the admission table")
   }
 
+  test("streamed mini-batch k-means update equals the next batch Lloyd round") {
+    // stream_kmeans_update's contract: per-cell integer (count, Σ
+    // fixed-point) state merges EXACTLY across micro-batches, so the
+    // drained update over the union of arrived batches IS batch Lloyd
+    // round KmRounds+1. Pin three things: (a) row-exact equality with
+    // the batch training chain run one round deeper; (b) the update
+    // actually MOVED centroids (≠ the frozen round-KmRounds table —
+    // otherwise a sink that re-emitted the broadcast input would
+    // pass (a) trivially... it wouldn't, but a degenerate corpus
+    // could); (c) cross-batch substance — some cell receives arrivals
+    // from ≥ 2 staged batches, so the equality genuinely exercises
+    // state merging, not four disjoint per-batch updates.
+    val d = "/root/testdata/sf0.001"
+    val kr = graft.queries.VectorQueries.KmRounds
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(graft.queries.StreamingGateQueries
+      .queries("stream_kmeans_update")(spark, d))
+    val tables = graft.queries.VectorQueries.kmCentroidTables(spark, d, kr + 1)
+    def unnest(c: org.apache.spark.sql.DataFrame) =
+      rows(c.select(col("kcell"), posexplode(col("karr")).as(Seq("pos", "c")))
+        .select(col("kcell"), col("pos").cast("long"), col("c")))
+    assert(streamed === unnest(tables.last),
+      "streamed update must equal batch Lloyd round KmRounds+1")
+    assert(streamed !== unnest(tables(kr)),
+      "the streamed round should move at least one centroid component")
+    val crossBatch = graft.queries.VectorQueries.kmAssignAt(spark, d,
+        graft.queries.VectorQueries.KmCells)
+      .groupBy(col("kcell"))
+      .agg(countDistinct(col("vec_id") % 4).as("nb"))
+      .filter(col("nb") >= 2L).count()
+    assert(crossBatch > 0L,
+      "no cell receives arrivals from two staged batches — the gate no longer exercises cross-batch state merging")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin

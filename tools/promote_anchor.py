@@ -24,6 +24,23 @@ candidates" requirement). Bench.scala emits the same comparison as
 `anchor_candidate` in bench_out.json, so a run knows at write time
 whether it is promotable.
 
+A third, narrowest operation exists for KNOB CHANGES (ADVICE r13 —
+RefineR moved 10 -> 20 but the anchor still carried R=10 timings, so
+the regression diff compared different computations):
+
+    python3 tools/promote_anchor.py --refresh Q [Q...] [candidate] [anchor]
+
+replaces exactly the NAMED queries' per-query entries (all four
+sections, candidate must be healthy in all) with the candidate run's
+values, leaving every other entry, the probe summary, and the headline
+total untouched. Each refresh is logged with the refreshed names and
+the source probe stats, so the artifact records that those entries'
+provenance differs from the rest of the anchor. Use ONLY when the
+query's registered computation changed (a knob, a geometry) — a
+refresh of an unchanged query would be exactly the flattering-anchor
+bypass the dominance rule exists to prevent, and the log makes such a
+misuse visible.
+
 A second, narrower operation exists for COVERAGE, not replacement:
 
     python3 tools/promote_anchor.py --augment [candidate] [anchor]
@@ -40,13 +57,15 @@ raw channel under-flags, but the normalized channel (stored alongside)
 corrects for exactly that, and the dual-channel rule requires BOTH to
 exceed 1.5x before flagging.
 
-Usage: python3 tools/promote_anchor.py [--augment] [candidate] [anchor]
+Usage: python3 tools/promote_anchor.py [--augment | --refresh Q...]
+       [candidate] [anchor]
        (defaults: bench_out.json BENCH_BASELINE.json)
-Exit 0 = promoted/augmented, 3 = rejected (dominance fails) or
-nothing to augment, 2 = bad input.
+Exit 0 = promoted/augmented/refreshed, 3 = rejected (dominance fails)
+or nothing to augment, 2 = bad input.
 """
 import json
 import os
+import re
 import sys
 import time
 
@@ -169,9 +188,53 @@ def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
     return 0
 
 
+def refresh(names, cand, anchor, anchor_path, cand_probe, inc_probe):
+    """Replace the NAMED queries' entries coherently across all four
+    per-query sections — the knob-change path (module doc). Names the
+    candidate didn't measure cleanly are refused (a partial refresh
+    would mix knob generations inside one query's entries)."""
+    missing = [q for q in names if not healthy_in_all_sections(cand, q)]
+    if missing:
+        print(f"REFRESH refused: candidate lacks a clean value in every "
+              f"per-query section for {missing}", file=sys.stderr)
+        return 2
+    unknown = [q for q in names if q not in anchor.get("queries", {})]
+    if unknown:
+        print(f"REFRESH refused: {unknown} not in the anchor (use --augment "
+              f"for new queries)", file=sys.stderr)
+        return 2
+    for q in names:
+        for section in SECTIONS:
+            anchor.setdefault(section, {})[q] = cand[section][q]
+    anchor["promotion_log"] = anchor.get("promotion_log", []) + [{
+        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "refreshed": sorted(names),
+        "source_probe": cand_probe,
+        "incumbent_probe": inc_probe,
+    }]
+    with open(anchor_path, "w") as f:
+        json.dump(anchor, f)
+        f.write("\n")
+    print(f"REFRESHED: {sorted(names)} re-based on the candidate run "
+          f"(source probe {cand_probe}); all other entries untouched")
+    return 0
+
+
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--augment"]
-    do_augment = "--augment" in sys.argv[1:]
+    args = sys.argv[1:]
+    do_augment = "--augment" in args
+    refresh_names = []
+    if "--refresh" in args:
+        i = args.index("--refresh")
+        rest = args[i + 1:]
+        # names run until the first arg that looks like a json path
+        while rest and not rest[0].endswith(".json"):
+            refresh_names.append(rest.pop(0))
+        args = args[:i] + rest
+        if not refresh_names:
+            print("--refresh needs at least one query name", file=sys.stderr)
+            return 2
+    argv = [a for a in args if a != "--augment"]
     cand_path = argv[0] if len(argv) > 0 else "bench_out.json"
     anchor_path = argv[1] if len(argv) > 1 else "BENCH_BASELINE.json"
     try:
@@ -220,13 +283,24 @@ def main():
         if not isinstance(v, str):
             return v
         base = os.path.basename(os.path.normpath(v))
-        return base if base.startswith("sf") else os.path.normpath(v)
+        # only a REAL scale-factor basename (sf0.1, sf0.01, ...) compares
+        # by basename; anything else (sf_test, sftmp) falls back to the
+        # normalized path so coincidental "sf" prefixes can't alias
+        # distinct data dirs (ADVICE r13)
+        return base if re.fullmatch(r"sf[0-9.]+", base) else os.path.normpath(v)
 
     if anchor is not None and sf_key(cand.get("sf")) != sf_key(anchor.get("sf")):
         print(f"scale-factor mismatch: candidate sf={cand.get('sf')!r} vs "
               f"anchor sf={anchor.get('sf')!r} -- refusing to "
               f"{'augment' if do_augment else 'promote'}", file=sys.stderr)
         return 2
+
+    if refresh_names:
+        if anchor is None:
+            print("nothing to refresh: no anchor exists", file=sys.stderr)
+            return 2
+        return refresh(refresh_names, cand, anchor, anchor_path,
+                       cand_probe, inc_probe)
 
     if do_augment:
         if anchor is None:
