@@ -32,14 +32,13 @@ import graft.Tables
   */
 object CurationQueries {
 
-  /** Pure-integer LCG bucket in [0, 100) — Portable.lcg's high-bit
-    * slice (div 2^16; the low bits of an odd-multiplier LCG are weak).
+  /** Pure-integer LCG bucket in [0, 100) — the shared Portable.bucket
+    * high-bit device (one definition across every deterministic
+    * sampler; code-review r14).
     */
-  private def bucket100(id: Column): Column =
-    Portable.lcg(id).divide(65536L).cast("long") % 100L
+  private def bucket100(id: Column): Column = Portable.bucket(id, 100L)
 
-  private val bucketSql =
-    s"(${Portable.lcgSql("doc_id")} // 65536) % 100"
+  private val bucketSql = Portable.bucketSql("doc_id", 100L)
 
   /** Tokenized docs: (doc_id, w array) — TextQueries' tokenizer,
     * shared so decontamination/packing token counts can never drift

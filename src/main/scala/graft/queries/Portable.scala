@@ -27,4 +27,21 @@ private[queries] object Portable {
 
   /** The same step as oracle SQL over a column expression. */
   def lcgSql(c: String): String = s"((($c % $LcgM) * $LcgA + $LcgB) % $LcgM)"
+
+  /** The HIGH-BIT bucket device in [0, mod): LCG step, slice off the
+    * weak low 16 bits, modulo. ONE definition (with its SQL twin
+    * below) for every deterministic sampler — CurationQueries'
+    * bucket100/splits and the k-means training sample — so the
+    * parity-critical bit slice cannot drift between consumers.
+    * `.divide` (double division) then cast-to-long is exact here:
+    * the LCG value is < 2^31, a power-of-two divide of it is an
+    * integer-representable double, and the cast truncates to the
+    * same floor DuckDB's `//` takes on non-negative values.
+    */
+  def bucket(id: Column, mod: Long): Column =
+    lcg(id).divide(65536L).cast("long") % mod
+
+  /** Oracle twin of [[bucket]]. */
+  def bucketSql(c: String, mod: Long): String =
+    s"((${lcgSql(c)} // 65536) % $mod)"
 }

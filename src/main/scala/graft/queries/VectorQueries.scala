@@ -893,16 +893,16 @@ object VectorQueries {
     */
   private[graft] val KmTrainMod = 2
 
-  /** The deterministic training sample: LCG high-bit bucket of vec_id
-    * ≡ 0 (mod KmTrainMod) — no shuffle, no sort, no RNG state (the
-    * docs_sample device on the embeddings table).
+  /** The deterministic training sample: the shared Portable.bucket
+    * high-bit device on vec_id ≡ 0 (mod KmTrainMod) — no shuffle, no
+    * sort, no RNG state (the docs_sample device on the embeddings
+    * table; one bucket definition across samplers, code-review r14).
     */
   private def kmTrainSample(e: DataFrame): DataFrame =
-    e.filter(Portable.lcg(col("vec_id")).divide(65536L).cast("long")
-      % KmTrainMod === 0L)
+    e.filter(Portable.bucket(col("vec_id"), KmTrainMod) === 0L)
 
   private val kmTrainWhereSql: String =
-    s"(${Portable.lcgSql("vec_id")} // 65536) % $KmTrainMod = 0"
+    s"${Portable.bucketSql("vec_id", KmTrainMod)} = 0"
 
   /** Deterministic seed: the first `cells` vectors widened to double
     * (the pqSeedCodebook device — no RNG, both engines pick the same
@@ -1067,6 +1067,39 @@ object VectorQueries {
           .orderBy(col("kdist"), col("kcell"))))
       .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("kcell").as("cell"))
+
+  /** The trained-quantizer IVF serving chain — ONE definition for both
+    * training regimes (ann_ivf_kmeans_topk / _sampled_topk differ ONLY
+    * in what the trainer scans; code-review r14: the two registered
+    * bodies were verbatim copies): full-corpus assignment + probe
+    * selection under the (full- or sample-) trained centroids, then
+    * the shared exact re-rank tail.
+    */
+  private def kmIvfTopk(s: SparkSession, d: String,
+                        sampled: Boolean): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = kmCentroids(e, sampled = sampled)
+    def scored = kmScored(e, cents)
+    val assigned = kmAssigned(e, cents)
+      .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+        col("embedding"))
+    val probed = kmProbeSelection(scored, NProbe)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfTopkTail(assigned, probed, q)
+  }
+
+  /** Oracle twin of kmIvfTopk — the assignment/probe/tail SQL shared
+    * by both training regimes' oracles (only kmCtesSql's `sampled`
+    * differs).
+    */
+  private def kmIvfTopkSql(sampled: Boolean): String = s"""
+      WITH ${kmCtesSql(sampled = sampled)},
+      assigned AS (SELECT vec_id AS nn_id, kcell AS cell FROM kmranked WHERE crn = 1),
+      probed AS (SELECT vec_id AS qid, kcell AS cell FROM kmranked
+                 WHERE vec_id < $NQueries AND crn <= $NProbe),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+      $ivfTopkTailSql"""
 
   /** The (cells, probed, centroids) triple every IVF consumer needs,
     * under either quantizer: label-mean cells with max-dot assignment
@@ -1712,18 +1745,7 @@ object VectorQueries {
     // tie to the smaller cell id); recall@3 vs brute measured at the
     // KmRounds doc (0.633 vs the label cells' 0.533 at NProbe=3 —
     // trained cells beat the supervised ones they replace here).
-    "ann_ivf_kmeans_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = kmCentroids(e)
-      def scored = kmScored(e, cents)
-      val assigned = kmAssigned(e, cents)
-        .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
-          col("embedding"))
-      val probed = kmProbeSelection(scored, NProbe)
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      ivfTopkTail(assigned, probed, q)
-    }),
+    "ann_ivf_kmeans_topk" -> ((s, d) => kmIvfTopk(s, d, sampled = false)),
 
     // IVF top-k with the quantizer trained on the DETERMINISTIC
     // SUBSAMPLE — the FAISS max_points_per_centroid protocol the
@@ -1745,18 +1767,9 @@ object VectorQueries {
     // geometry is as good; which near-tie cells queries probe is
     // noise-level). VectorSpec pins sampled > label at the gate
     // corpus and the distortion non-increase of the sampled loop.
-    "ann_ivf_kmeans_sampled_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val cents = kmCentroids(e, sampled = true)
-      def scored = kmScored(e, cents)
-      val assigned = kmAssigned(e, cents)
-        .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
-          col("embedding"))
-      val probed = kmProbeSelection(scored, NProbe)
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      ivfTopkTail(assigned, probed, q)
-    }),
+    // ONE serving-chain definition for both training regimes
+    // (kmIvfTopk — only the trainer's input set differs).
+    "ann_ivf_kmeans_sampled_topk" -> ((s, d) => kmIvfTopk(s, d, sampled = true)),
 
     // Embedding-cosine near-dup: exact-band candidate pairs (da < db),
     // verified at cosine >= 0.3 (threshold note in class doc). ONE
@@ -1912,11 +1925,10 @@ object VectorQueries {
     // per-cell quadratic bounded at (n/k)², cell the partition key;
     // the one new cost is the KmRounds training scans (see the
     // kmCentroids section doc).
-    "dedup_semdedup_kmeans" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      semdedupDecisions(
-        kmAssignedScored(e, kmCentroids(e)).localCheckpoint())
-    }),
+    // delegates to semdedupKmeansAt at the registered cell count —
+    // ONE decision body shared with the KmCells-knob measurement face
+    // (code-review r14: the two were verbatim copies).
+    "dedup_semdedup_kmeans" -> ((s, d) => semdedupKmeansAt(s, d, KmCells)),
 
     // SemDeDup with the MULTI-CELL probe knob at nprobe=2 (the paper's
     // multiple-assignments mitigation, semdedupKept doc): the pair
@@ -2136,24 +2148,12 @@ object VectorQueries {
     "vec_kmeans_assign" -> s"""
       WITH ${kmCtesSql()}
       SELECT vec_id, CAST(kcell AS BIGINT) AS cell FROM kmranked WHERE crn = 1""",
-    "ann_ivf_kmeans_topk" -> s"""
-      WITH ${kmCtesSql()},
-      assigned AS (SELECT vec_id AS nn_id, kcell AS cell FROM kmranked WHERE crn = 1),
-      probed AS (SELECT vec_id AS qid, kcell AS cell FROM kmranked
-                 WHERE vec_id < $NQueries AND crn <= $NProbe),
-      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
-      $ivfTopkTailSql""",
+    "ann_ivf_kmeans_topk" -> kmIvfTopkSql(sampled = false),
     // The sampled-training face: identical chain with the Lloyd
     // rounds' CTEs reading the ktrain subsample (kmCtesSql mirrors
     // kmTrainSample's LCG-bucket predicate); assignment, probing and
-    // the exact tail stay full-corpus.
-    "ann_ivf_kmeans_sampled_topk" -> s"""
-      WITH ${kmCtesSql(sampled = true)},
-      assigned AS (SELECT vec_id AS nn_id, kcell AS cell FROM kmranked WHERE crn = 1),
-      probed AS (SELECT vec_id AS qid, kcell AS cell FROM kmranked
-                 WHERE vec_id < $NQueries AND crn <= $NProbe),
-      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
-      $ivfTopkTailSql""",
+    // the exact tail stay full-corpus (one kmIvfTopkSql definition).
+    "ann_ivf_kmeans_sampled_topk" -> kmIvfTopkSql(sampled = true),
     "dedup_embedding" -> s"""
       WITH $dedupScoredCtes
       SELECT da, db, ROUND(cos, 6) AS cos_sim FROM scored WHERE cos >= $DedupCos""",

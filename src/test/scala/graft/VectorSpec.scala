@@ -392,15 +392,18 @@ class VectorSpec extends GraftSpec {
     // dominated members) — the knob trades scan cost against dedup
     // aggressiveness exactly as the paper states.
     val d = "/root/testdata/sf0.01"
-    def pairCount(k: Int): Long =
-      graft.queries.VectorQueries.kmAssignAt(spark, d, k)
-        .groupBy(col("kcell")).count()
+    // ONE training run per k: pair volume and keep decisions both
+    // derive from the same decisions frame (code-review r14 — the
+    // first cut retrained the quantizer once per metric)
+    def stats(k: Int): (Long, Long) = {
+      val dec = graft.queries.VectorQueries.semdedupKmeansAt(spark, d, k)
+        .select(col("cell"), col("kept")).localCheckpoint()
+      val pairs = dec.groupBy(col("cell")).count()
         .agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
-    def keptCount(k: Int): Long =
-      graft.queries.VectorQueries.semdedupKmeansAt(spark, d, k)
-        .filter(col("kept") === 1L).count()
-    val (p10, p32) = (pairCount(10), pairCount(32))
-    val (k10, k32) = (keptCount(10), keptCount(32))
+      (pairs, dec.filter(col("kept") === 1L).count())
+    }
+    val (p10, k10) = stats(10)
+    val (p32, k32) = stats(32)
     info(s"within-cell pairs: k=10 -> $p10, k=32 -> $p32")
     info(s"kept members:      k=10 -> $k10, k=32 -> $k32")
     assert(p32 < p10,

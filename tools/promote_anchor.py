@@ -28,7 +28,7 @@ A third, narrowest operation exists for KNOB CHANGES (ADVICE r13 —
 RefineR moved 10 -> 20 but the anchor still carried R=10 timings, so
 the regression diff compared different computations):
 
-    python3 tools/promote_anchor.py --refresh Q [Q...] [candidate] [anchor]
+    python3 tools/promote_anchor.py --refresh Q1[,Q2...] [candidate] [anchor]
 
 replaces exactly the NAMED queries' per-query entries (all four
 sections, candidate must be healthy in all) with the candidate run's
@@ -57,7 +57,7 @@ raw channel under-flags, but the normalized channel (stored alongside)
 corrects for exactly that, and the dual-channel rule requires BOTH to
 exceed 1.5x before flagging.
 
-Usage: python3 tools/promote_anchor.py [--augment | --refresh Q...]
+Usage: python3 tools/promote_anchor.py [--augment | --refresh Q1[,Q2...]]
        [candidate] [anchor]
        (defaults: bench_out.json BENCH_BASELINE.json)
 Exit 0 = promoted/augmented/refreshed, 3 = rejected (dominance fails)
@@ -225,15 +225,23 @@ def main():
     do_augment = "--augment" in args
     refresh_names = []
     if "--refresh" in args:
+        # ONE comma-separated token — a name list scanned "until the
+        # first path-looking arg" mis-parses a suffixless candidate
+        # path as a query name and mis-diagnoses (code-review r14)
         i = args.index("--refresh")
-        rest = args[i + 1:]
-        # names run until the first arg that looks like a json path
-        while rest and not rest[0].endswith(".json"):
-            refresh_names.append(rest.pop(0))
-        args = args[:i] + rest
+        if i + 1 >= len(args):
+            print("--refresh needs a comma-separated query-name list "
+                  "(e.g. --refresh q1,q2)", file=sys.stderr)
+            return 2
+        refresh_names = [q for q in args[i + 1].split(",") if q]
+        args = args[:i] + args[i + 2:]
         if not refresh_names:
             print("--refresh needs at least one query name", file=sys.stderr)
             return 2
+    if do_augment and refresh_names:
+        print("--augment and --refresh are distinct operations; "
+              "run them separately", file=sys.stderr)
+        return 2
     argv = [a for a in args if a != "--augment"]
     cand_path = argv[0] if len(argv) > 0 else "bench_out.json"
     anchor_path = argv[1] if len(argv) > 1 else "BENCH_BASELINE.json"
@@ -290,9 +298,11 @@ def main():
         return base if re.fullmatch(r"sf[0-9.]+", base) else os.path.normpath(v)
 
     if anchor is not None and sf_key(cand.get("sf")) != sf_key(anchor.get("sf")):
+        mode = ("augment" if do_augment
+                else "refresh" if refresh_names else "promote")
         print(f"scale-factor mismatch: candidate sf={cand.get('sf')!r} vs "
-              f"anchor sf={anchor.get('sf')!r} -- refusing to "
-              f"{'augment' if do_augment else 'promote'}", file=sys.stderr)
+              f"anchor sf={anchor.get('sf')!r} -- refusing to {mode}",
+              file=sys.stderr)
         return 2
 
     if refresh_names:
