@@ -49,7 +49,12 @@ object ClusterBench {
     // admission gate (Lloyd training + min-L2 broadcast assignment +
     // stream-static cell join per micro-batch across JVMs)
     "dedup_e2e_pipeline_capped", "stream_ann_ivf_topk_wm",
-    "stream_semdedup_kmeans")
+    "stream_semdedup_kmeans",
+    // r14 addition: streaming quantizer training — per-cell integer
+    // sums merging in executor state stores under the broadcast
+    // frozen-quantizer assignment, plus the batch finish reading the
+    // drained sink
+    "stream_kmeans_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -29,7 +29,12 @@ object ScalingCheck {
     // iterative-training regime: KmRounds full corpus scans (Lloyd)
     // ahead of the probed IVF lookup — growth should track the scans'
     // linear term, not the per-cell quadratic
-    "ann_ivf_kmeans_topk")
+    "ann_ivf_kmeans_topk",
+    // sample-trained regime: the Lloyd rounds scan only the
+    // 1/KmTrainMod subsample, so training growth should sit at or
+    // below the full-training face's — the production trainer's
+    // scaling measured next to the loop it replaces
+    "ann_ivf_kmeans_sampled_topk")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

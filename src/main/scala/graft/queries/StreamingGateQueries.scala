@@ -628,6 +628,37 @@ object StreamingGateQueries {
       VectorQueries.kmStreamUpdateFinish(cents, sums)
     }),
 
+    // SEQUENTIAL mini-batch k-means — the ONLINE training protocol
+    // next to stream_kmeans_update's order-free merged round:
+    // MacQueen's running-mean update per micro-batch (Sculley
+    // WWW'10), where each arriving batch assigns under the CURRENT
+    // centroids and the centroids move BEFORE the next batch plans.
+    // That feedback (a batch's output in the next batch's plan) is
+    // exactly what foreachBatch exists for; the per-step state is
+    // three ≤ KmCells-row tables (plan + devices in
+    // VectorQueries.KmMiniBatch). Batch membership (vec_id % 4) and
+    // mtime-staged ORDER are part of the contract — the oracle
+    // unrolls the same four MacQueen steps CTE-for-CTE, so a wrong
+    // arrival order would hash-mismatch, not just drift.
+    "stream_kmeans_minibatch" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_kmmb_${runId.incrementAndGet()}"
+        val nb = VectorQueries.KmMbBatches
+        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+          name, Tables.normalizeTemporal,
+          (0 until nb).map(i => col("vec_id") % nb === i))
+        val state = new VectorQueries.KmMiniBatch(s, d)
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, _: Long) => state.update(b))
+          .start()
+        q.awaitTermination()
+        state.result()
+      }
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -1136,6 +1167,12 @@ object StreamingGateQueries {
     // all arrived batches equals km{KmRounds+1} of the batch training
     // chain (built in VectorQueries next to the chain it unrolls).
     "stream_kmeans_update" -> VectorQueries.kmStreamUpdateOracleSql,
+    // The sequential trainer's oracle: four unrolled MacQueen steps
+    // over the deterministic batch split — assignment under the
+    // step's CURRENT centroids, cumulative integer sums, running
+    // means with the frozen-cell coalesce (mbRoundSql, built next to
+    // the loop it unrolls).
+    "stream_kmeans_minibatch" -> VectorQueries.kmMiniBatchOracleSql,
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

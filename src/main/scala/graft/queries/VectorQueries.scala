@@ -540,23 +540,37 @@ object VectorQueries {
           sum(floor(element_at(col("qe"), i + 1).cast("double")
             * lit(CentScale.toDouble) + lit(0.5)).cast("long")).as(s"c$i")): _*)
 
-  /** The batch post-pass over the drained sums: integer-exact means,
-    * empty cells keep their frozen centroid (the kmCentroidSeq
-    * coalesce), unnested to long form (kcell, pos, c) — the shape a
-    * serving layer re-broadcasts.
+  /** Centroids from accumulated (count, Σ fixed-point) sums: cells
+    * with mass take the integer-exact running mean, empty cells keep
+    * the FROZEN centroid (the kmCentroidSeq coalesce). ONE definition
+    * shared by the merged-round finish (stream_kmeans_update) and the
+    * sequential mini-batch loop (stream_kmeans_minibatch), so the
+    * mean arithmetic cannot drift between the two streaming regimes.
     */
-  private[graft] def kmStreamUpdateFinish(cents: DataFrame,
-                                          sums: DataFrame): DataFrame = {
-    val means = sums.select(col("kcell"),
+  private def kmCumCentroids(frozen: DataFrame, cum: DataFrame): DataFrame = {
+    val means = cum.select(col("kcell"),
       array((0 until Dim).map(i =>
         col(s"c$i").cast("double")
           / (col("n") * lit(CentScale)).cast("double")): _*).as("marr"))
-    cents.select(col("kcell"), col("karr").as("prev"))
+    frozen.select(col("kcell"), col("karr").as("prev"))
       .join(means, Seq("kcell"), "left")
       .select(col("kcell"), coalesce(col("marr"), col("prev")).as("karr"))
-      .select(col("kcell"), posexplode(col("karr")).as(Seq("pos", "c")))
-      .select(col("kcell"), col("pos").cast("long").as("pos"), col("c"))
   }
+
+  /** A centroid table unnested to long form (kcell, pos, c) — the
+    * shape a serving layer re-broadcasts and both streaming-training
+    * gates emit.
+    */
+  private def kmUnnest(cents: DataFrame): DataFrame =
+    cents.select(col("kcell"), posexplode(col("karr")).as(Seq("pos", "c")))
+      .select(col("kcell"), col("pos").cast("long").as("pos"), col("c"))
+
+  /** The batch post-pass over the drained sums: integer-exact means,
+    * empty cells keep their frozen centroid, unnested to long form.
+    */
+  private[graft] def kmStreamUpdateFinish(cents: DataFrame,
+                                          sums: DataFrame): DataFrame =
+    kmUnnest(kmCumCentroids(cents, sums))
 
   /** stream_kmeans_update's oracle: the streamed update over ALL
     * arrived batches IS batch Lloyd round KmRounds+1 (integer sums
@@ -568,6 +582,115 @@ object VectorQueries {
       WITH ${kmCtesSql(rounds = KmRounds + 1)}
       SELECT kcell, CAST(i - 1 AS BIGINT) AS pos, karr[i] AS c
       FROM km${KmRounds + 1}, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) t"""
+
+  // ---- SEQUENTIAL mini-batch k-means (stream_kmeans_minibatch) ----
+  //
+  // stream_kmeans_update merges all arrivals into ONE Lloyd round —
+  // order-free, exactly-mergeable, but the centroids move only at the
+  // drain. The published ONLINE protocol moves them DURING the
+  // stream: MacQueen (1967)'s running-mean update applied per
+  // mini-batch (Sculley, WWW'10 §3 — the per-center learning rate
+  // η_c = 1/counts[c] IS the running mean): each arriving batch
+  // assigns under the CURRENT centroids, folds its per-cell integer
+  // sums into the cumulative (count, Σ) state, and the centroids move
+  // to the cumulative means BEFORE the next batch plans. That
+  // feedback loop cannot be one streaming aggregation (a batch's
+  // OUTPUT feeds the next batch's PLAN) — it is exactly what
+  // foreachBatch exists for, and the cumulative state is a
+  // KmCells-row table (at scale: an idempotent upsert keyed by batch
+  // id — the foreachBatch replay contract StreamingSpec pins).
+  // Everything stays engine-exact: assignment is kmAssigned's own
+  // min-L2 tie-break, sums are fixed-point integers, batch membership
+  // and order are deterministic (vec_id % n staged by mtime), so the
+  // oracle unrolls the per-batch chain CTE-for-CTE (mbRoundSql).
+
+  /** Per-cell integer sums of ONE batch under the given centroids —
+    * the foreachBatch body's aggregation (kmAssigned is legal here:
+    * foreachBatch hands a batch frame, not a streaming one).
+    */
+  private def kmBatchSums(batch: DataFrame, cents: DataFrame): DataFrame =
+    kmAssigned(batch, cents).groupBy(col("kcell")).agg(
+      count(lit(1)).as("n"),
+      (0 until Dim).map(i =>
+        sum(floor(element_at(col("embedding"), i + 1).cast("double")
+          * lit(CentScale.toDouble) + lit(0.5)).cast("long")).as(s"c$i")): _*)
+
+  /** The sequential trainer's driver-held state: frozen starting
+    * quantizer, cumulative per-cell sums, current centroids. Each
+    * `update` is one MacQueen step over one micro-batch; `result()`
+    * is the final centroid table in long form. All three tables are
+    * ≤ KmCells rows (localCheckpointed per step — plan depth linear
+    * in batches, blocks freed by the ContextCleaner).
+    */
+  private[graft] final class KmMiniBatch(s: SparkSession, d: String) {
+    private val frozen = kmCentroids(Tables.embeddings(s, d))
+    private var cum: Option[DataFrame] = None
+    private var cents: DataFrame = frozen
+    def update(batch: DataFrame): Unit = synchronized {
+      val sums = kmBatchSums(batch, cents)
+      cum = Some(cum.fold(sums)(prev =>
+        prev.unionAll(sums).groupBy(col("kcell")).agg(
+          sum(col("n")).as("n"),
+          (0 until Dim).map(i => sum(col(s"c$i")).as(s"c$i")): _*))
+        .localCheckpoint())
+      cents = kmCumCentroids(frozen, cum.get).localCheckpoint()
+    }
+    def result(): DataFrame = kmUnnest(cents)
+  }
+
+  /** One oracle mini-batch step r (of `nb`): batch membership, L2²
+    * distances vs the CURRENT centroids mbc$r, ranked assignment,
+    * per-(cell, dim) integer sums, cumulative fold, and the next
+    * centroid table mbc${r+1} (cells with cumulative mass take the
+    * running mean, empty cells keep the FROZEN mbc0) — mirroring
+    * KmMiniBatch.update statement-for-statement (the kmRoundSql
+    * device over batch prefixes).
+    */
+  private def mbRoundSql(r: Int, nb: Int): String = s"""mb$r AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % $nb = $r),
+      mbd$r AS (${kmDistSql(s"mbc$r", s"mb$r")}),
+      mba$r AS MATERIALIZED (
+        SELECT vec_id, kcell FROM (
+          SELECT vec_id, kcell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rnk
+          FROM mbd$r) t WHERE rnk = 1),
+      mbt$r AS (
+        SELECT a.kcell, i,
+               SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * ${CentScale}.0 + 0.5) AS BIGINT)) AS c,
+               COUNT(*) AS n
+        FROM mba$r a JOIN mb$r e USING (vec_id),
+             (SELECT unnest(range(1, ${Dim + 1})) AS i) mdims$r
+        GROUP BY 1, 2),
+      mcum$r AS MATERIALIZED (${
+        if (r == 0) s"SELECT kcell, i, c, n FROM mbt0"
+        else s"""
+        SELECT kcell, i, SUM(c) AS c, SUM(n) AS n
+        FROM (SELECT * FROM mcum${r - 1} UNION ALL SELECT * FROM mbt$r)
+        GROUP BY 1, 2"""}),
+      mbc${r + 1} AS MATERIALIZED (
+        SELECT f.kcell, COALESCE(m.karr, f.karr) AS karr
+        FROM mbc0 f LEFT JOIN (
+          SELECT kcell, list(CAST(c AS DOUBLE) / CAST(n * $CentScale AS DOUBLE) ORDER BY i) AS karr
+          FROM mcum$r GROUP BY kcell) m
+        ON m.kcell = f.kcell)"""
+
+  /** stream_kmeans_minibatch's oracle: the frozen training chain
+    * (mbc0 = kmc), then `KmMbBatches` unrolled MacQueen steps, final
+    * centroids unnested.
+    */
+  private[queries] lazy val kmMiniBatchOracleSql: String = s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until KmMbBatches).map(mbRoundSql(_, KmMbBatches)).mkString(",\n      ")}
+      SELECT kcell, CAST(i - 1 AS BIGINT) AS pos, karr[i] AS c
+      FROM mbc$KmMbBatches, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) t"""
+
+  /** Micro-batch count for the sequential trainer's gate (vec_id %
+    * KmMbBatches membership, staged by mtime — order is part of the
+    * contract: a different arrival order gives a DIFFERENT, equally
+    * valid, online-training trajectory).
+    */
+  private[graft] val KmMbBatches = 4
 
   /** SemDeDup with the pair scan's CELL COVERAGE as a knob (r12
     * verdict #3 — the paper's "multiple assignments" mitigation for

@@ -389,6 +389,33 @@ class StreamingSpec extends GraftSpec {
       "no cell receives arrivals from two staged batches — the gate no longer exercises cross-batch state merging")
   }
 
+  test("sequential mini-batch k-means follows a genuinely online trajectory") {
+    // stream_kmeans_minibatch's exactness is the oracle's (four
+    // unrolled MacQueen steps); this pins what makes it ONLINE: the
+    // sequential result differs from BOTH the frozen quantizer (the
+    // centroids moved) and stream_kmeans_update's order-free merged
+    // round (assigning under moving centroids is a different — not
+    // just reshuffled — computation). If either equality held, the
+    // foreachBatch feedback loop would be decorative.
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val seqr = rows(graft.queries.StreamingGateQueries
+      .queries("stream_kmeans_minibatch")(spark, d))
+    val merged = rows(graft.queries.StreamingGateQueries
+      .queries("stream_kmeans_update")(spark, d))
+    val kr = graft.queries.VectorQueries.KmRounds
+    val frozen = rows(graft.queries.VectorQueries
+      .kmCentroidTables(spark, d, kr)(kr)
+      .select(col("kcell"), posexplode(col("karr")).as(Seq("pos", "c")))
+      .select(col("kcell"), col("pos").cast("long"), col("c")))
+    assert(seqr.map(_._1) === frozen.map(_._1),
+      "same cell geometry in and out")
+    assert(seqr !== frozen, "the online steps must move the centroids")
+    assert(seqr !== merged,
+      "the online trajectory must differ from the merged one-shot round")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
@@ -679,6 +706,40 @@ class StreamingSpec extends GraftSpec {
       s"unbounded inventory must accrete every gram: $uState")
     assert(bState.max <= 4 * gramsPerBatch,
       s"bounded state must plateau at the open horizon: $bState")
+  }
+
+  test("streaming k-means update state is bounded by the cell geometry, not the stream") {
+    // stream_kmeans_update's 100 TB claim, measured on synthetic
+    // batches: the only stateful operator is the per-cell sum table,
+    // so state rows are ≤ the CELL COUNT whatever the arrival volume
+    // (the CMS property on centroid training). Five batches × 40
+    // fresh vectors against a 3-cell frozen quantizer: 200 arrivals,
+    // state never exceeds 3 rows, and the final sums count all 200 —
+    // cross-batch merging, not per-batch resets.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val cents = (0 until 3).map(k =>
+      (k.toLong, Seq.tabulate(64)(_ => k * 10.0))).toDF("kcell", "karr")
+    val ms = MemoryStream[Seq[Float]]
+    val out = graft.queries.VectorQueries.kmStreamSums(
+      ms.toDF().toDF("qe"), cents)
+    val q = out.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("km_state_bound").start()
+    try {
+      (0 until 5).foreach { b =>
+        ms.addData((0 until 40).map(i =>
+          Seq.tabulate(64)(_ => ((b * 40 + i) % 25).toFloat)): _*)
+        q.processAllAvailable()
+      }
+      val t = spark.table("km_state_bound")
+      assert(t.count() <= 3L, "sums table larger than the cell count")
+      assert(t.agg(sum(col("n"))).head.getLong(0) === 200L,
+        "every arrival must be counted exactly once across batches")
+      val state = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(state.nonEmpty && state.max <= 3L,
+        s"state must be bounded by cell count: $state")
+    } finally q.stop()
   }
 
   test("stream_ann_ivf_topk: probe pruning holds the batch IVF recall on the streaming face") {
