@@ -652,7 +652,7 @@ object StreamingGateQueries {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
-          .foreachBatch((b: DataFrame, _: Long) => state.update(b))
+          .foreachBatch((b: DataFrame, id: Long) => state.update(b, id))
           .start()
         q.awaitTermination()
         state.result()

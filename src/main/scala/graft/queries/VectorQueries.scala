@@ -621,12 +621,22 @@ object VectorQueries {
     * is the final centroid table in long form. All three tables are
     * ≤ KmCells rows (localCheckpointed per step — plan depth linear
     * in batches, blocks freed by the ContextCleaner).
+    *
+    * IDEMPOTENT per batch id — foreachBatch's replay contract (a
+    * failed/restarted micro-batch is REDELIVERED with the same id;
+    * the same contract the foreachBatch-sink spec pins): an
+    * already-applied id is a no-op, so a replay cannot double-count
+    * a batch's vectors into the cumulative sums. At scale this state
+    * is an idempotent upsert keyed by batch id in a transactional
+    * store; here the applied-id set is the driver-held equivalent.
     */
   private[graft] final class KmMiniBatch(s: SparkSession, d: String) {
     private val frozen = kmCentroids(Tables.embeddings(s, d))
     private var cum: Option[DataFrame] = None
     private var cents: DataFrame = frozen
-    def update(batch: DataFrame): Unit = synchronized {
+    private val applied = scala.collection.mutable.Set.empty[Long]
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!applied.add(batchId)) return // replay of a committed batch
       val sums = kmBatchSums(batch, cents)
       cum = Some(cum.fold(sums)(prev =>
         prev.unionAll(sums).groupBy(col("kcell")).agg(

@@ -414,6 +414,19 @@ class StreamingSpec extends GraftSpec {
     assert(seqr !== frozen, "the online steps must move the centroids")
     assert(seqr !== merged,
       "the online trajectory must differ from the merged one-shot round")
+    // foreachBatch replay contract: a redelivered batch id is a no-op
+    // — the cumulative sums cannot double-count a replayed batch.
+    val st = new graft.queries.VectorQueries.KmMiniBatch(spark, d)
+    val b0 = graft.Tables.embeddings(spark, d).filter(col("vec_id") % 4 === 0)
+    st.update(b0, 0L)
+    val once = rows(st.result())
+    st.update(b0, 0L) // replay of the committed id
+    assert(rows(st.result()) === once,
+      "replaying a committed batch id must not change the centroids")
+    val b1 = graft.Tables.embeddings(spark, d).filter(col("vec_id") % 4 === 1)
+    st.update(b1, 1L) // a genuinely new batch id is a real step
+    assert(rows(st.result()) !== once,
+      "a new batch id must fold new data into the cumulative means")
   }
 
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
