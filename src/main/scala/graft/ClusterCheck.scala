@@ -94,7 +94,13 @@ object ClusterCheck {
     * micro-batches in EXECUTOR state stores (partial merges cross JVM
     * boundaries), under a broadcast assignment expression built from
     * the Lloyd loop's checkpointed blocks, with the batch finish
-    * joining the drained sink table back against those blocks.
+    * joining the drained sink table back against those blocks;
+    * stream_kmeans_minibatch adds the foreachBatch FEEDBACK loop —
+    * each MacQueen step's assignment broadcast is built from the
+    * PREVIOUS step's driver-updated, executor-block-checkpointed
+    * centroid table, so every step round-trips the block managers
+    * across JVM boundaries and the per-batch-id idempotence guard
+    * runs against real micro-batch redelivery machinery.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
@@ -102,7 +108,7 @@ object ClusterCheck {
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
-    "stream_kmeans_update")
+    "stream_kmeans_update", "stream_kmeans_minibatch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
