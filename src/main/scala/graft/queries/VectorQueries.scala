@@ -982,9 +982,14 @@ object VectorQueries {
     * collapses the within-cell pair volume 12 363 → 3 931 (≈ n²/2k as
     * the near-balanced bound predicts) and moves kept members 313 →
     * 385 of 500 — scan cost and dedup aggressiveness trade exactly as
-    * the paper states. The registered k stays 10 (the label-cell
-    * comparability point); a production corpus sizes k to hold n/k
-    * constant and pays the same semdedupDecisions body per cell.
+    * the paper states. Serving side at the fixed NProbe = 3, recall@3
+    * × |brute| measures 190 → 165 of 300 — a 13% recall drop for a
+    * 3.2× smaller probed fraction (finer cells track the geometry
+    * better, so recall falls far slower than the scan shrinks — the
+    * reason growing k with the corpus is affordable). The registered
+    * k stays 10 (the label-cell comparability point); a production
+    * corpus sizes k to hold n/k constant and pays the same
+    * semdedupDecisions body per cell.
     */
   private[graft] val KmCells = 10
 
@@ -1208,10 +1213,11 @@ object VectorQueries {
     * selection under the (full- or sample-) trained centroids, then
     * the shared exact re-rank tail.
     */
-  private def kmIvfTopk(s: SparkSession, d: String,
-                        sampled: Boolean): DataFrame = {
+  private[graft] def kmIvfTopk(s: SparkSession, d: String,
+                               sampled: Boolean,
+                               cells: Int = KmCells): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cents = kmCentroids(e, sampled = sampled)
+    val cents = kmCentroids(e, sampled = sampled, cells = cells)
     def scored = kmScored(e, cents)
     val assigned = kmAssigned(e, cents)
       .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
@@ -1243,9 +1249,10 @@ object VectorQueries {
     * quantizer-agnostic downstream.
     */
   private def ivfQuantizer(e: DataFrame, nprobe: Int,
-                           trained: Boolean): (DataFrame, DataFrame, DataFrame) =
+                           trained: Boolean,
+                           sampled: Boolean = false): (DataFrame, DataFrame, DataFrame) =
     if (trained) {
-      val cents = kmCentroids(e)
+      val cents = kmCentroids(e, sampled = sampled)
       def scored = kmScored(e, cents)
       (kmAssigned(e, cents).select(col("vec_id"), col("kcell").as("cell")),
         kmProbeSelection(scored, nprobe),
@@ -1358,12 +1365,14 @@ object VectorQueries {
                                k: Int = IvfPqK,
                                nprobe: Int = NProbe,
                                topn: Int = 3,
-                               trained: Boolean = false): DataFrame = {
+                               trained: Boolean = false,
+                               sampled: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
     // nearest cell per vector + the query probe lists, under either
-    // quantizer (label-mean max-dot, or Lloyd-trained min-L2) — the
-    // ADC chain below is quantizer-agnostic
-    val (cells, probed, _) = ivfQuantizer(e, nprobe, trained)
+    // quantizer (label-mean max-dot, or Lloyd-trained min-L2; the
+    // trained face optionally SAMPLE-trained) — the ADC chain below
+    // is quantizer-agnostic
+    val (cells, probed, _) = ivfQuantizer(e, nprobe, trained, sampled)
     val subs = pqSubs(s, d).localCheckpoint()
     val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
     val codes = rawCodes.join(cells, "vec_id")
@@ -2159,6 +2168,20 @@ object VectorQueries {
     // re-open loudly if a corpus change flips it.
     "ann_ivfpq_kmeans_topk" -> ((s, d) => ivfpqTopk(s, d, trained = true)),
 
+    // The production-trainer IVFADC: the fully unsupervised stack
+    // with the coarse quantizer SAMPLE-TRAINED (kmTrainSample — the
+    // FAISS protocol the sampled IVF face implements), completing the
+    // sampled path through PQ + ADC: at 100 TB this is the
+    // whole-stack shape (train coarse cells on a bounded sample,
+    // assign + encode the corpus once, serve pruned ADC scans).
+    // Everything past the ivfQuantizer triple is the shared
+    // quantizer-agnostic chain. Measured (VectorSpec): ADC recall@3
+    // vs brute 0.230 sampled vs 0.233 full-trained at sf0.01 — PQ
+    // distortion dominates, so halving the training scans costs
+    // nothing measurable at this geometry; band-pinned.
+    "ann_ivfpq_kmeans_sampled_topk" -> ((s, d) =>
+      ivfpqTopk(s, d, trained = true, sampled = true)),
+
     // IVFADC+R — the published third stage of the billion-scale stack
     // (Jégou et al. TPAMI'11 §V): ADC's top-RefineR shortlist per
     // query, re-ranked by the EXACT cosine, final top-3 from the
@@ -2361,6 +2384,16 @@ object VectorQueries {
     "ann_ivfpq_kmeans_topk" -> s"""
       WITH ${pqCtesSql(k = IvfPqK)},
       ${kmCtesSql()},
+      ${ivfAssignProbeSql("kmranked", "kcell")},
+      $adcCodesLutSql,
+      $adcDistSql,
+      $adcTopkTailSql""",
+
+    // The sampled-trainer stack's oracle: identical chain with the
+    // Lloyd CTEs reading the ktrain subsample.
+    "ann_ivfpq_kmeans_sampled_topk" -> s"""
+      WITH ${pqCtesSql(k = IvfPqK)},
+      ${kmCtesSql(sampled = true)},
       ${ivfAssignProbeSql("kmranked", "kcell")},
       $adcCodesLutSql,
       $adcDistSql,

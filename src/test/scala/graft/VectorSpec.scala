@@ -410,6 +410,30 @@ class VectorSpec extends GraftSpec {
       s"pair volume should collapse as k grows: k=10 $p10 vs k=32 $p32")
     assert(k32 >= k10,
       s"kept count should not fall as k grows: k=10 $k10 vs k=32 $k32")
+    // The knob's SERVING-side recall effect, same treatment: at the
+    // family's fixed NProbe = 3, k = 32 cells probe 3/32 of the
+    // corpus instead of 3/10 — recall falls with the scanned
+    // fraction (what a deployment buys back by raising NProbe with
+    // k, holding NProbe/k — and so scan cost — constant). Measured
+    // at sf0.01: recall@3 × |brute| 190 (k=10) → 165 (k=32) of 300 —
+    // a 13% recall drop for a 3.2× smaller scanned fraction (finer
+    // cells track the geometry better, so recall falls far slower
+    // than the scan shrinks — exactly why the paper grows k with the
+    // corpus).
+    def recallAt(k: Int): Int =
+      graft.queries.VectorQueries.kmIvfTopk(spark, d, sampled = false,
+          cells = k)
+        .select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brutePairs).size
+    lazy val brutePairs =
+      graft.queries.VectorQueries.queries("ann_brute_topk")(spark, d)
+        .select(col("qid"), col("nn_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (r10, r32) = (recallAt(10), recallAt(32))
+    info(s"recall@3 x |brute| at np=3: k=10 -> $r10, k=32 -> $r32 of ${brutePairs.size}")
+    assert(r32 <= r10,
+      s"recall should not rise as the probed fraction shrinks: k=10 $r10 vs k=32 $r32")
   }
 
   test("PQ codebook size is the recall knob: k=64 beats the k=16 default") {
@@ -706,6 +730,18 @@ class VectorSpec extends GraftSpec {
       s"trained-cell ADC ($rKm) should beat label-cell ADC ($rLbl) as the exact faces do")
     assert(rKmRes <= rKm + 0.05,
       s"residual ($rKmRes) now beats raw ($rKm) on trained cells — re-decide the registered default")
+    // The SAMPLE-TRAINED stack (ann_ivfpq_kmeans_sampled_topk — the
+    // production trainer through PQ + ADC): recall must hold within
+    // the full-training band (measured 0.230 vs 0.233 at sf0.01 —
+    // PQ distortion dominates, so the sampled quantizer's tiny cell
+    // shift barely registers) and every query must be served.
+    val kmS = annPairs("ann_ivfpq_kmeans_sampled_topk", d)
+    val rKmS = recall(kmS)
+    info(s"ADC recall@3 vs brute: kmeans-sampled-raw=$rKmS (full=$rKm)")
+    assert(kmS.groupBy(_._1).size === 100,
+      "sampled-trained ADC must serve every query")
+    assert(rKmS >= rKm - 0.05,
+      s"sample-trained ADC ($rKmS) fell out of the full-training band ($rKm)")
   }
 
   test("identical vectors share the full signature (near-dup contract)") {
