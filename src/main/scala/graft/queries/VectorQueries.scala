@@ -636,14 +636,22 @@ object VectorQueries {
     private var cents: DataFrame = frozen
     private val applied = scala.collection.mutable.Set.empty[Long]
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (!applied.add(batchId)) return // replay of a committed batch
+      if (applied.contains(batchId)) return // replay of a committed batch
       val sums = kmBatchSums(batch, cents)
-      cum = Some(cum.fold(sums)(prev =>
+      val newCum = cum.fold(sums)(prev =>
         prev.unionAll(sums).groupBy(col("kcell")).agg(
           sum(col("n")).as("n"),
           (0 until Dim).map(i => sum(col(s"c$i")).as(s"c$i")): _*))
-        .localCheckpoint())
-      cents = kmCumCentroids(frozen, cum.get).localCheckpoint()
+        .localCheckpoint()
+      val newCents = kmCumCentroids(frozen, newCum).localCheckpoint()
+      // Commit point: the id joins `applied` only after BOTH state
+      // tables are materialized — a failure anywhere above leaves the
+      // instance untouched, so a redelivery of the same id RE-APPLIES
+      // instead of silently no-oping over half-updated state (the
+      // transactional half of the replay contract).
+      cum = Some(newCum)
+      cents = newCents
+      applied.add(batchId)
     }
     def result(): DataFrame = kmUnnest(cents)
   }

@@ -425,8 +425,25 @@ class StreamingSpec extends GraftSpec {
       "replaying a committed batch id must not change the centroids")
     val b1 = graft.Tables.embeddings(spark, d).filter(col("vec_id") % 4 === 1)
     st.update(b1, 1L) // a genuinely new batch id is a real step
-    assert(rows(st.result()) !== once,
+    val afterB1 = rows(st.result())
+    assert(afterB1 !== once,
       "a new batch id must fold new data into the cumulative means")
+    // The other direction of the replay contract (ADVICE r14): a step
+    // that FAILS before its commit point must leave the id unapplied,
+    // so the foreachBatch redelivery RE-APPLIES instead of silently
+    // dropping the batch over half-updated state.
+    val b2good = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 4 === 2)
+    val embType = b2good.schema("embedding").dataType
+    val b2bad = b2good.select(col("vec_id"),
+      when(col("vec_id") >= 0, raise_error(lit("injected mid-step failure")))
+        .otherwise(lit(null)).cast(embType).as("embedding"))
+    intercept[Exception] { st.update(b2bad, 2L) }
+    assert(rows(st.result()) === afterB1,
+      "a failed step must not move the published centroids")
+    st.update(b2good, 2L) // redelivery of the FAILED id
+    assert(rows(st.result()) !== afterB1,
+      "redelivery of a failed batch id must re-apply, not no-op")
   }
 
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {

@@ -28,18 +28,20 @@ A third, narrowest operation exists for KNOB CHANGES (ADVICE r13 —
 RefineR moved 10 -> 20 but the anchor still carried R=10 timings, so
 the regression diff compared different computations):
 
-    python3 tools/promote_anchor.py --refresh Q1[,Q2...] [candidate] [anchor]
+    python3 tools/promote_anchor.py --refresh Q1[,Q2...] \
+        --reason "<what changed>" [candidate] [anchor]
 
 replaces exactly the NAMED queries' per-query entries (all four
 sections, candidate must be healthy in all) with the candidate run's
 values, leaving every other entry, the probe summary, and the headline
-total untouched. Each refresh is logged with the refreshed names and
-the source probe stats, so the artifact records that those entries'
-provenance differs from the rest of the anchor. Use ONLY when the
-query's registered computation changed (a knob, a geometry) — a
-refresh of an unchanged query would be exactly the flattering-anchor
-bypass the dominance rule exists to prevent, and the log makes such a
-misuse visible.
+total untouched. A refresh bypasses the dominance check (the knob
+changed; old and new timings aren't comparable), so it must carry its
+own audit trail (ADVICE r14): --reason is MANDATORY, and the log entry
+records the reason, the refreshed names, the REPLACED old entries, and
+the source probe stats — a refresh of an unchanged-but-flattering
+query is reviewable from the artifact alone, not just detectable by a
+human correlating timestamps. Use ONLY when the query's registered
+computation changed (a knob, a geometry).
 
 A second, narrower operation exists for COVERAGE, not replacement:
 
@@ -57,8 +59,8 @@ raw channel under-flags, but the normalized channel (stored alongside)
 corrects for exactly that, and the dual-channel rule requires BOTH to
 exceed 1.5x before flagging.
 
-Usage: python3 tools/promote_anchor.py [--augment | --refresh Q1[,Q2...]]
-       [candidate] [anchor]
+Usage: python3 tools/promote_anchor.py [--augment | --refresh Q1[,Q2...]
+       --reason "<justification>"] [candidate] [anchor]
        (defaults: bench_out.json BENCH_BASELINE.json)
 Exit 0 = promoted/augmented/refreshed, 3 = rejected (dominance fails)
 or nothing to augment, 2 = bad input.
@@ -188,11 +190,17 @@ def augment(cand, anchor, anchor_path, cand_probe, inc_probe):
     return 0
 
 
-def refresh(names, cand, anchor, anchor_path, cand_probe, inc_probe):
+def refresh(names, cand, anchor, anchor_path, cand_probe, inc_probe,
+            reason):
     """Replace the NAMED queries' entries coherently across all four
     per-query sections — the knob-change path (module doc). Names the
     candidate didn't measure cleanly are refused (a partial refresh
-    would mix knob generations inside one query's entries)."""
+    would mix knob generations inside one query's entries). A refresh
+    has NO dominance check by design (the knob changed; old and new
+    times aren't comparable), so it must be AUDITABLE instead (ADVICE
+    r14): the mandatory --reason string and the replaced entries are
+    both recorded in the promotion_log, making a refresh of an
+    unchanged-but-flattering query reviewable from the artifact alone."""
     missing = [q for q in names if not healthy_in_all_sections(cand, q)]
     if missing:
         print(f"REFRESH refused: candidate lacks a clean value in every "
@@ -203,12 +211,16 @@ def refresh(names, cand, anchor, anchor_path, cand_probe, inc_probe):
         print(f"REFRESH refused: {unknown} not in the anchor (use --augment "
               f"for new queries)", file=sys.stderr)
         return 2
+    replaced = {q: {section: anchor.get(section, {}).get(q)
+                    for section in SECTIONS} for q in names}
     for q in names:
         for section in SECTIONS:
             anchor.setdefault(section, {})[q] = cand[section][q]
     anchor["promotion_log"] = anchor.get("promotion_log", []) + [{
         "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "refreshed": sorted(names),
+        "reason": reason,
+        "replaced_entries": replaced,
         "source_probe": cand_probe,
         "incumbent_probe": inc_probe,
     }]
@@ -238,6 +250,20 @@ def main():
         if not refresh_names:
             print("--refresh needs at least one query name", file=sys.stderr)
             return 2
+    refresh_reason = None
+    if "--reason" in args:
+        i = args.index("--reason")
+        if i + 1 >= len(args):
+            print("--reason needs a justification string", file=sys.stderr)
+            return 2
+        refresh_reason = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if refresh_names and not (refresh_reason and refresh_reason.strip()):
+        # a refresh bypasses the dominance check, so it must carry its
+        # own audit trail (ADVICE r14): no reason, no refresh
+        print("--refresh requires --reason \"<what knob/computation "
+              "changed>\" (recorded in promotion_log)", file=sys.stderr)
+        return 2
     if do_augment and refresh_names:
         print("--augment and --refresh are distinct operations; "
               "run them separately", file=sys.stderr)
@@ -310,7 +336,7 @@ def main():
             print("nothing to refresh: no anchor exists", file=sys.stderr)
             return 2
         return refresh(refresh_names, cand, anchor, anchor_path,
-                       cand_probe, inc_probe)
+                       cand_probe, inc_probe, refresh_reason.strip())
 
     if do_augment:
         if anchor is None:
