@@ -46,7 +46,7 @@ object KmeansCurve {
       val lbl = recall(pairs(VectorQueries.queries("ann_ivf_topk")(spark, d)))
       println(f"RECALL np=3 kmeans=$km%.3f label=$lbl%.3f")
       // The SAMPLE-TRAINED quantizer (the FAISS max_points_per_centroid
-      // protocol, KmTrainMod doc): distortion of the full corpus under
+      // protocol, KmTrainPerCell doc): distortion of the full corpus under
       // sample-trained centroids, and recall at the same NProbe — the
       // sample-vs-full band the registered query's doc records.
       val sampled = VectorQueries.kmCentroidTables(spark, d, 3,

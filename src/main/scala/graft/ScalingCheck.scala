@@ -31,9 +31,11 @@ object ScalingCheck {
     // linear term, not the per-cell quadratic
     "ann_ivf_kmeans_topk",
     // sample-trained regime: the Lloyd rounds scan only the
-    // 1/KmTrainMod subsample, so training growth should sit at or
-    // below the full-training face's — the production trainer's
-    // scaling measured next to the loop it replaces
+    // SIZE-TARGETED subsample (~KmTrainPerCell*k points whatever the
+    // corpus), so training cost is O(1) in corpus size and growth
+    // should be dominated by the one full-corpus assignment pass —
+    // the production trainer's scaling measured next to the loop it
+    // replaces
     "ann_ivf_kmeans_sampled_topk")
 
   /** The data-growth factor between two sf dirs, derived from the dir

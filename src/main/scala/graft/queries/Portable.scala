@@ -41,7 +41,22 @@ private[queries] object Portable {
   def bucket(id: Column, mod: Long): Column =
     lcg(id).divide(65536L).cast("long") % mod
 
+  /** [[bucket]] with a COMPUTED modulus (a Column — e.g. a corpus-
+    * size-derived one-row broadcast): same bit slice, same arithmetic,
+    * so a data-dependent sampling rate stays engine-portable. Used by
+    * the size-targeted k-means training sample.
+    */
+  def bucket(id: Column, mod: Column): Column =
+    lcg(id).divide(65536L).cast("long") % mod
+
   /** Oracle twin of [[bucket]]. */
   def bucketSql(c: String, mod: Long): String =
     s"((${lcgSql(c)} // 65536) % $mod)"
+
+  /** Oracle twin of the Column-modulus [[bucket]]: `modSql` is any SQL
+    * scalar expression (typically a scalar subquery deriving the
+    * modulus from the corpus size).
+    */
+  def bucketSqlExpr(c: String, modSql: String): String =
+    s"((${lcgSql(c)} // 65536) % ($modSql))"
 }

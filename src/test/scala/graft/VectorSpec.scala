@@ -340,19 +340,22 @@ class VectorSpec extends GraftSpec {
   }
 
   test("sample-based quantizer training: Lloyd objective still non-increasing, recall holds over the label cells") {
-    // The FAISS max_points_per_centroid protocol implemented (r13
-    // verdict Next #1): the Lloyd rounds scan only the deterministic
-    // 1/KmTrainMod LCG-bucket sample, full-corpus assignment runs
-    // once. Two pins: (a) the sampled loop's FULL-CORPUS distortion is
-    // still non-increasing across rounds (the objective the sample
-    // optimizes generalizes to the corpus it came from); (b) at the
-    // gate corpus the sample-trained quantizer still BEATS the label
-    // cells it replaces at the identical NProbe pruning fraction —
-    // recall within the full-training band, at half the training
-    // scans. Measured (graft.KmeansCurve, recall@3 vs brute, np=3):
-    // sf0.01 sampled 0.610 / full 0.633 / label 0.533; sf0.1 sampled
-    // 0.637 / full 0.623 / label 0.540 (sampled vs full is noise-
-    // level on near-uniform data; sampled vs label is the claim).
+    // The FAISS max_points_per_centroid protocol implemented
+    // SIZE-TARGETED (r14 verdict Next #1): the Lloyd rounds scan only
+    // the deterministic LCG-bucket sample whose modulus is DERIVED
+    // FROM THE CORPUS SIZE (ceil(n / (KmTrainPerCell·k)) — an
+    // absolute ~250-point cap, not a fraction), full-corpus
+    // assignment runs once. Two pins: (a) at THIS corpus (sf0.001,
+    // modulus 2) the sampled loop's FULL-CORPUS distortion is still
+    // non-increasing across rounds (at sf0.1's modulus 8 it may tick
+    // up ~0.2%/round past round 1 — the sample's optimum is not the
+    // corpus's; recall unaffected, see the registration doc); (b) at
+    // the gate corpus the sample-trained quantizer still BEATS the
+    // label cells it replaces at the identical NProbe pruning
+    // fraction. Measured (graft.KmeansCurve, recall@3 vs brute,
+    // np=3): sf0.01 sampled 0.610 / full 0.633 / label 0.533 (250 of
+    // 500 train); sf0.1 sampled 0.623 / full 0.623 / label 0.540
+    // (250 of 2000 train — ties full training on 1/8 the points).
     val d = "/root/testdata/sf0.001"
     val tables = graft.queries.VectorQueries.kmCentroidTables(spark, d, 3,
       sampled = true)
@@ -374,6 +377,21 @@ class VectorSpec extends GraftSpec {
     info(s"recall@3 x |brute|: sampled=$sm label=$lbl of ${brute.size}")
     assert(sm > lbl,
       s"sample-trained cells ($sm) should beat label cells ($lbl)")
+    // (c) the SIZE-TARGETING claim itself: the training set stays
+    // ~KmTrainPerCell·k points as the corpus grows 4× (sf0.001 n=500
+    // → sf0.1 n=2000) — the property that makes training O(1) in
+    // corpus size. An LCG bucket is near-uniform, so the realized
+    // sample sits within ±50% of the cap at both scales.
+    val cap = graft.queries.VectorQueries.KmTrainPerCell.toLong *
+      graft.queries.VectorQueries.KmCells
+    val nSmall = graft.queries.VectorQueries
+      .kmTrainSampleOf(spark, d).count()
+    val nLarge = graft.queries.VectorQueries
+      .kmTrainSampleOf(spark, "/root/testdata/sf0.1").count()
+    info(s"training-sample sizes: sf0.001=$nSmall sf0.1=$nLarge (cap=$cap)")
+    for ((n, sf) <- Seq((nSmall, "sf0.001"), (nLarge, "sf0.1")))
+      assert(n >= cap / 2 && n <= cap * 3 / 2,
+        s"$sf training sample $n escaped the size target [${cap / 2}, ${cap * 3 / 2}]")
   }
 
   test("KmCells is the SemDeDup scale knob: per-cell pair volume collapses as k grows") {
