@@ -100,7 +100,15 @@ object ClusterCheck {
     * PREVIOUS step's driver-updated, executor-block-checkpointed
     * centroid table, so every step round-trips the block managers
     * across JVM boundaries and the per-batch-id idempotence guard
-    * runs against real micro-batch redelivery machinery.
+    * runs against real micro-batch redelivery machinery;
+    * stream_ann_topk_wm adds the BOUNDED SERVING regime (r14 verdict
+    * Next #2 — previously only dedup-family `_wm` gates had crossed
+    * executor JVMs): the Append-mode windowed TopK-heap path — the
+    * typed Aggregator's per-(arrival window, qid) heap buffers
+    * serialize between partial and merge phases across executor
+    * JVMs, watermark-closed windows EVICT from executor state
+    * stores, and eviction-gated emission flows through the
+    * production parquet sink.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
@@ -108,7 +116,8 @@ object ClusterCheck {
     "stream_dedup_chunks_wm_evict", "stream_dedup_incremental",
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
-    "stream_kmeans_update", "stream_kmeans_minibatch")
+    "stream_kmeans_update", "stream_kmeans_minibatch",
+    "stream_ann_topk_wm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

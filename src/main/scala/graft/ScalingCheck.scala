@@ -36,7 +36,13 @@ object ScalingCheck {
     // should be dominated by the one full-corpus assignment pass —
     // the production trainer's scaling measured next to the loop it
     // replaces
-    "ann_ivf_kmeans_sampled_topk")
+    "ann_ivf_kmeans_sampled_topk",
+    // bounded-serving regime (r14 verdict Next #3): the Append-mode
+    // windowed TopK-heap eviction path through the production parquet
+    // sink — per-(arrival window, qid) state is a <= k-row heap and
+    // queries are a fixed set, so growth should track the stream's
+    // scan of the corpus side, never the window count
+    "stream_ann_topk_wm")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run
