@@ -659,6 +659,41 @@ object StreamingGateQueries {
       }
     }),
 
+    // ONLINE TRAINING COMPOSED WITH SERVING — the actual
+    // online-deployment shape (r14 verdict Next #5): the minibatch
+    // gate above trains but every serving gate still assigns under a
+    // frozen quantizer; here each arriving batch's vectors are SERVED
+    // (assigned and emitted) under the CURRENT centroids, the same
+    // assignment feeds the MacQueen step, and the foreachBatch loop
+    // re-broadcasts the UPDATED centroids into the NEXT batch's
+    // admission — training and serving in one stream, one
+    // nearest-cell scan per batch covering both halves
+    // (KmMiniBatch.serveAndUpdate). The emitted rows are each batch's
+    // (vec_id, kcell) under its own centroid generation; the oracle
+    // unrolls the same chain and unions the per-batch assignment CTEs
+    // (mba0..mba3), so serving any batch under the wrong generation
+    // hash-mismatches. StreamingSpec pins that later batches really
+    // assign under MOVED centroids (batch 0 matches the frozen
+    // assignment; some later batch differs from it).
+    "stream_kmeans_online_serve" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_kmos_${runId.incrementAndGet()}"
+        val nb = VectorQueries.KmMbBatches
+        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+          name, Tables.normalizeTemporal,
+          (0 until nb).map(i => col("vec_id") % nb === i))
+        val state = new VectorQueries.KmMiniBatch(s, d)
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, id: Long) => state.serveAndUpdate(b, id))
+          .start()
+        q.awaitTermination()
+        state.servedResult()
+      }
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -1173,6 +1208,7 @@ object StreamingGateQueries {
     // means with the frozen-cell coalesce (mbRoundSql, built next to
     // the loop it unrolls).
     "stream_kmeans_minibatch" -> VectorQueries.kmMiniBatchOracleSql,
+    "stream_kmeans_online_serve" -> VectorQueries.kmOnlineServeOracleSql,
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

@@ -604,12 +604,13 @@ object VectorQueries {
   // and order are deterministic (vec_id % n staged by mtime), so the
   // oracle unrolls the per-batch chain CTE-for-CTE (mbRoundSql).
 
-  /** Per-cell integer sums of ONE batch under the given centroids —
-    * the foreachBatch body's aggregation (kmAssigned is legal here:
-    * foreachBatch hands a batch frame, not a streaming one).
+  /** Per-cell integer sums over an ALREADY-ASSIGNED batch frame
+    * (vec_id, kcell, embedding) — the MacQueen step's aggregation,
+    * split from the assignment so the online serve-and-train gate can
+    * feed BOTH the emission and the step from one nearest-cell scan.
     */
-  private def kmBatchSums(batch: DataFrame, cents: DataFrame): DataFrame =
-    kmAssigned(batch, cents).groupBy(col("kcell")).agg(
+  private def kmAssignedSums(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("kcell")).agg(
       count(lit(1)).as("n"),
       (0 until Dim).map(i =>
         sum(floor(element_at(col("embedding"), i + 1).cast("double")
@@ -634,26 +635,63 @@ object VectorQueries {
     private val frozen = kmCentroids(Tables.embeddings(s, d))
     private var cum: Option[DataFrame] = None
     private var cents: DataFrame = frozen
+    private var served: Option[DataFrame] = None
     private val applied = scala.collection.mutable.Set.empty[Long]
-    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+
+    /** One MacQueen training step (stream_kmeans_minibatch's body). */
+    def update(batch: DataFrame, batchId: Long): Unit =
+      step(batch, batchId, serve = false)
+
+    /** Serve-then-train — the online-deployment shape
+      * (stream_kmeans_online_serve's body): the batch's vectors assign
+      * under the CURRENT centroids and that emission is recorded,
+      * then the SAME assignment feeds the MacQueen step, so the moved
+      * centroids are what the NEXT batch's admission broadcasts. One
+      * nearest-cell scan per batch covers both halves.
+      */
+    def serveAndUpdate(batch: DataFrame, batchId: Long): Unit =
+      step(batch, batchId, serve = true)
+
+    private def step(batch: DataFrame, batchId: Long,
+                     serve: Boolean): Unit = synchronized {
       if (applied.contains(batchId)) return // replay of a committed batch
-      val sums = kmBatchSums(batch, cents)
+      // serving checkpoints the batch-sized assignment (read twice:
+      // emission + sums); the train-only path keeps the fused plan
+      val assigned =
+        if (serve) kmAssigned(batch, cents).localCheckpoint()
+        else kmAssigned(batch, cents)
+      val sums = kmAssignedSums(assigned)
       val newCum = cum.fold(sums)(prev =>
         prev.unionAll(sums).groupBy(col("kcell")).agg(
           sum(col("n")).as("n"),
           (0 until Dim).map(i => sum(col(s"c$i")).as(s"c$i")): _*))
         .localCheckpoint()
       val newCents = kmCumCentroids(frozen, newCum).localCheckpoint()
-      // Commit point: the id joins `applied` only after BOTH state
+      // The served emission accumulates as checkpointed executor
+      // blocks — the gate-local stand-in for the production sink
+      // append this emission IS at scale (each batch's rows land in
+      // the sink exactly once, guarded by the same batch-id
+      // idempotence).
+      val newServed = if (!serve) served else Some(served.fold(
+        assigned.select(col("vec_id"), col("kcell")))(prev =>
+          prev.unionAll(assigned.select(col("vec_id"), col("kcell"))))
+        .localCheckpoint())
+      // Commit point: the id joins `applied` only after ALL state
       // tables are materialized — a failure anywhere above leaves the
       // instance untouched, so a redelivery of the same id RE-APPLIES
       // instead of silently no-oping over half-updated state (the
       // transactional half of the replay contract).
       cum = Some(newCum)
       cents = newCents
+      served = newServed
       applied.add(batchId)
     }
     def result(): DataFrame = kmUnnest(cents)
+
+    /** Every batch's served (vec_id, kcell) assignments — batch r's
+      * rows were assigned under the centroids AFTER r prior updates.
+      */
+    def servedResult(): DataFrame = served.get
   }
 
   /** One oracle mini-batch step r (of `nb`): batch membership, L2²
@@ -702,6 +740,20 @@ object VectorQueries {
       ${(0 until KmMbBatches).map(mbRoundSql(_, KmMbBatches)).mkString(",\n      ")}
       SELECT kcell, CAST(i - 1 AS BIGINT) AS pos, karr[i] AS c
       FROM mbc$KmMbBatches, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) t"""
+
+  /** stream_kmeans_online_serve's oracle: the SAME unrolled MacQueen
+    * chain, but the result is the per-batch SERVED assignments — each
+    * step's mba$r CTE already IS batch r's assignment under the
+    * centroids current when it arrived (mbc$r), so the emission is
+    * their union and a batch served under the wrong centroid
+    * generation hash-mismatches, not just drifts.
+    */
+  private[queries] lazy val kmOnlineServeOracleSql: String = s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until KmMbBatches).map(mbRoundSql(_, KmMbBatches)).mkString(",\n      ")}
+      SELECT vec_id, kcell FROM (${(0 until KmMbBatches)
+        .map(r => s"SELECT vec_id, kcell FROM mba$r").mkString(" UNION ALL ")}) u"""
 
   /** Micro-batch count for the sequential trainer's gate (vec_id %
     * KmMbBatches membership, staged by mtime — order is part of the

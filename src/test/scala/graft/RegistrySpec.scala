@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 204 // r14: ann_ivf[pq]_kmeans_sampled_topk (FAISS sample-trained quantizer, IVF + full ADC stack), stream_kmeans_update (merged-round streaming training), stream_kmeans_minibatch (sequential MacQueen/Sculley online training)
+  private val PinnedSize = 205 // r15: stream_kmeans_online_serve (training composed with serving — per-batch emissions under the moving quantizer)
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an

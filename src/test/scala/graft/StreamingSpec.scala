@@ -446,6 +446,34 @@ class StreamingSpec extends GraftSpec {
       "redelivery of a failed batch id must re-apply, not no-op")
   }
 
+  test("online serve-and-train: later batches assign under moved centroids") {
+    // stream_kmeans_online_serve's exactness is the oracle's (the
+    // per-batch mba$r union); this pins what makes the composition
+    // ONLINE SERVING rather than decoration: batch 0's emissions
+    // match the frozen-quantizer assignment exactly (nothing has
+    // moved yet), and at least one later arrival is served into a
+    // DIFFERENT cell than the frozen quantizer would have chosen —
+    // the re-broadcast moved centroids are load-bearing in the
+    // admission path, not just in the trainer's state.
+    val d = "/root/testdata/sf0.001"
+    val served = graft.queries.StreamingGateQueries
+      .queries("stream_kmeans_online_serve")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val frozen = graft.queries.VectorQueries
+      .kmAssignAt(spark, d, graft.queries.VectorQueries.KmCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(served.keySet === frozen.keySet,
+      "every arrival is served exactly once")
+    val nb = graft.queries.VectorQueries.KmMbBatches
+    val batch0 = frozen.keySet.filter(_ % nb == 0)
+    assert(batch0.forall(id => served(id) == frozen(id)),
+      "batch 0 must assign under the still-frozen quantizer")
+    val moved = frozen.keySet.count(id => served(id) != frozen(id))
+    info(s"arrivals served into a different cell than frozen: $moved")
+    assert(moved > 0,
+      "no later arrival was served differently — the moved centroids never reached the admission path")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
