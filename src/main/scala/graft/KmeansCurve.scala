@@ -59,6 +59,23 @@ object KmeansCurve {
       val kmS = recall(pairs(
         VectorQueries.queries("ann_ivf_kmeans_sampled_topk")(spark, d)))
       println(f"RECALL np=3 kmeans_sampled=$kmS%.3f (full=$km%.3f)")
+      // Seed grid (r14 verdict Next #4): farthest-point (Gonzalez)
+      // vs the registered first-K seed at EQUAL rounds, on both the
+      // full and sampled trainers — distortion after each round and
+      // the serving recall the seed buys. Recorded at the KmSeed doc.
+      for (smp <- Seq(false, true)) {
+        val tag = if (smp) "farthest_sampled" else "farthest"
+        VectorQueries.kmCentroidTables(spark, d, 3, sampled = smp,
+          seed = "farthest").zipWithIndex.foreach { case (c, r) =>
+          val dist = VectorQueries.kmDistortionOf(spark, d, c)
+            .collect()(0).getDouble(0)
+          println(f"DIST-${tag.toUpperCase} round=$r distortion=$dist%.3f")
+        }
+        val rc = recall(pairs(
+          VectorQueries.kmIvfTopk(spark, d, sampled = smp,
+            seed = "farthest")))
+        println(f"RECALL np=3 $tag=$rc%.3f")
+      }
     } finally spark.stop()
   }
 }

@@ -305,6 +305,42 @@ class VectorSpec extends GraftSpec {
     }
   }
 
+  test("farthest-point seeding: distinct deterministic seeds, the Lloyd contract holds, and the measured default stands") {
+    // The MEASURED seeding knob (KmSeed doc): Gonzalez farthest-point
+    // traversal as the alternative to first-K. Pins (a) determinism —
+    // two walks produce the identical seed table; (b) geometry — the
+    // seed set is KmCells distinct points and its min pairwise L2² is
+    // at least first-K's (the whole point of a farthest-point walk);
+    // (c) the Lloyd non-increase contract holds from this seed too.
+    val d = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val t1 = vq.kmCentroidTables(spark, d, 2, seed = "farthest")
+    val t2 = vq.kmCentroidTables(spark, d, 2, seed = "farthest")
+    def seedRows(t: Seq[org.apache.spark.sql.DataFrame]) =
+      t.head.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toVector).sortBy(_._1).toVector
+    val s1 = seedRows(t1)
+    assert(s1 === seedRows(t2), "farthest seed walk must be deterministic")
+    assert(s1.map(_._2).distinct.size === vq.KmCells,
+      "farthest seeds must be distinct points")
+    def minPairL2(rows: Vector[(Long, Vector[Double])]): Double =
+      (for {
+        (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex if i < j
+      } yield a._2.zip(b._2).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    val firstK = seedRows(vq.kmCentroidTables(spark, d, 0))
+    assert(minPairL2(s1) >= minPairL2(firstK),
+      "farthest-point seeds must be at least as spread as first-K")
+    val dist = t1.map(c =>
+      vq.kmDistortionOf(spark, d, c).head.getDouble(0))
+    info(s"farthest-seed distortion by rounds: ${dist.mkString(" -> ")}")
+    dist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"distortion increased across a Lloyd round: $dist")
+    }
+    assert(vq.KmSeed === "first",
+      "registered default is the measured winner (KmSeed doc) — " +
+        "changing it requires re-measuring the seed grid AND the oracles")
+  }
+
   test("k-means centroid table is KmCells rows at any round count (empty cells preserved)") {
     // A cell that attracts no members keeps its previous centroid via
     // the left-join + coalesce (the pqCodebook device) — the quantizer
