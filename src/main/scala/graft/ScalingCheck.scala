@@ -42,7 +42,13 @@ object ScalingCheck {
     // sink — per-(arrival window, qid) state is a <= k-row heap and
     // queries are a fixed set, so growth should track the stream's
     // scan of the corpus side, never the window count
-    "stream_ann_topk_wm")
+    "stream_ann_topk_wm",
+    // the full-stack curation composite (r14 verdict Next #6): gate →
+    // exact dedup → k-means SemDeDup → ExactSubstr cutting → decon →
+    // pack in ONE plan — growth should track its linear-scan and
+    // span-inventory stages (each independently in this slice), with
+    // the stage-joining shuffles carrying (doc_id, counts) only
+    "docs_curation_e2e_kmeans")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -730,6 +730,63 @@ object CurationQueries {
           s"- n_tokens) div $PackBudget").as("bin"))
     }),
 
+    // FULL-STACK curation mega-composite on the TRAINED quantizer
+    // (r13 verdict #7 / r14 Next #6) — the end-to-end chain a
+    // training-data run actually ships: language + quality gate and
+    // exact-dup canonicalization (docs_curation), SEMANTIC dedup under
+    // the Lloyd-trained coarse quantizer (dedup_semdedup_kmeans's DROP
+    // set anti-joined on vec_id ≡ doc_id — dedup keeps by default, so
+    // a document with no embedding row has no semantic-dup evidence
+    // and passes through, exactly as docs outside every candidate pair
+    // do in the text-dedup families; at sf0.1 the embedding table
+    // covers 2 000 of 5 000 docs, so the anti-join — not an inner
+    // join — is what keeps the composite a CURATION of the corpus
+    // rather than a restriction to the embedded slice),
+    // ExactSubstr token CUTTING (the span inventory's
+    // dup_tokens subtracted from each survivor's budget — Lee et al.
+    // cut spans, not documents), n-gram benchmark decontamination,
+    // and token-budget packing of what survives — ONE registered plan.
+    //
+    // Scale shape: every stage is the registered operator's own plan
+    // (each already individually adjudicated for 100 TB), composed by
+    // doc_id equi-joins that carry ONLY (doc_id, token counts) — text
+    // never crosses a stage boundary; the full-text scans are the
+    // gate's scan-side filter chain and the span family's gram
+    // explode, exactly as in the standalone queries. The final pack
+    // windows partition by the derived shard key (~PackShardTokens
+    // tokens per shard at any corpus size), so no global sort appears.
+    // At 100 TB each stage would also be independently
+    // checkpointable — the composite is the plan a production run
+    // materializes between stages; registered un-materialized so the
+    // oracle gates the WHOLE chain's semantics end to end.
+    "docs_curation_e2e_kmeans" -> ((s, d) => {
+      val cur = TextQueries.queries("docs_curation")(s, d)
+        .select(col("doc_id"), col("n_tokens"))
+      val semDropped = VectorQueries.queries("dedup_semdedup_kmeans")(s, d)
+        .filter(col("kept") === 0L)
+        .select(col("vec_id").as("doc_id"))
+      val dec = queries("docs_decontaminate")(s, d).select(col("doc_id"))
+      val spans = TextQueries.queries("dedup_substring_spans")(s, d)
+        .select(col("doc_id"), col("dup_tokens"))
+      val kept = cur
+        .join(semDropped, Seq("doc_id"), "left_anti")
+        .join(dec, "doc_id")
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+            .as("kept_tokens"))
+      val ns = kept.agg(greatest(lit(PackShardFloor),
+        expr(s"sum(kept_tokens) div $PackShardTokens")).as("ns"))
+      kept.crossJoin(broadcast(ns))
+        .select(col("doc_id"), (col("doc_id") % col("ns")).as("shard"),
+          col("kept_tokens"))
+        .withColumn("bin",
+          expr(s"(sum(kept_tokens) over " +
+            s"(partition by shard order by doc_id " +
+            s"rows between unbounded preceding and current row) " +
+            s"- kept_tokens) div $PackBudget"))
+    }),
+
     // Incremental ingest dedup — the nightly-batch production shape: a
     // new-arrivals slice is deduplicated AGAINST the historical store
     // and within itself, without re-deduplicating the store. The store
@@ -917,6 +974,38 @@ object CurationQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - n_tokens) // $PackBudget AS BIGINT) AS bin
       FROM sharded""",
+    // Each stage's own oracle embedded verbatim as a CTE (the nested-
+    // WITH device dedup_substring_budget proved), then the composite's
+    // joins and the pack windows mirrored statement-for-statement.
+    "docs_curation_e2e_kmeans" -> s"""
+      WITH cur AS (${TextQueries.oracle("docs_curation")}),
+      sem AS (${VectorQueries.oracle("dedup_semdedup_kmeans")}),
+      dec AS ($deconSql),
+      espans AS (${TextQueries.oracle("dedup_substring_spans")}),
+      ekept AS (
+        SELECT cur.doc_id,
+               CAST(cur.n_tokens - COALESCE(sp.dup_tokens, 0) AS BIGINT)
+                 AS kept_tokens
+        FROM cur
+        JOIN dec ON dec.doc_id = cur.doc_id
+        LEFT JOIN espans sp ON sp.doc_id = cur.doc_id
+        WHERE cur.doc_id NOT IN
+          (SELECT vec_id FROM sem WHERE kept = 0)),
+      eshards AS (
+        SELECT CAST(GREATEST($PackShardFloor,
+                 SUM(kept_tokens) // $PackShardTokens) AS BIGINT) AS ns
+        FROM ekept),
+      esharded AS (
+        SELECT doc_id,
+               CAST(doc_id % (SELECT ns FROM eshards) AS BIGINT) AS shard,
+               kept_tokens
+        FROM ekept)
+      SELECT doc_id, shard, kept_tokens,
+        CAST((SUM(kept_tokens) OVER
+                (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - kept_tokens) // $PackBudget AS BIGINT) AS bin
+      FROM esharded""",
     "dedup_incremental" -> """
       WITH store AS (
         SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 != 0),

@@ -284,4 +284,48 @@ class CurationSpec extends GraftSpec {
     // bins are non-decreasing in doc order, so packing is streamable
     assert(rows.nonEmpty)
   }
+
+  test("docs_curation_e2e_kmeans: every stage binds, budgets are cut not re-counted, pack fill is greedy") {
+    val out = run("docs_curation_e2e_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "composite must keep a non-empty training set")
+    val survivors = out.map(_._1).toSet
+    // stage containment: survivors pass EVERY stage's own keep set
+    val cur = graft.queries.TextQueries.queries("docs_curation")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val semDropped = graft.queries.VectorQueries
+      .queries("dedup_semdedup_kmeans")(spark, sf)
+      .filter(col("kept") === 0L).collect().map(_.getLong(0)).toSet
+    val dec = run("docs_decontaminate").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(cur.keySet), "must pass the curation gate")
+    assert(survivors.intersect(semDropped).isEmpty,
+      "no semantic duplicate may survive")
+    assert(survivors.subsetOf(dec), "must pass decontamination")
+    // the chain IS the intersection — no stage silently unioned away
+    assert(survivors === cur.keySet.diff(semDropped).intersect(dec))
+    // each non-curation stage binds on this corpus (drops something
+    // the others kept) — the composite is not a re-label of one stage
+    assert(cur.keySet.intersect(semDropped).nonEmpty, "semdedup must bind")
+    assert(cur.keySet.diff(dec).nonEmpty, "decontamination must bind")
+    // token budgets: kept_tokens = gate n_tokens minus ExactSubstr
+    // dup_tokens (never negative, never above the raw count)
+    val spans = graft.queries.TextQueries
+      .queries("dedup_substring_spans")(spark, sf)
+      .select(col("doc_id"), col("dup_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, keptTok, _) =>
+      assert(keptTok === cur(id) - spans.getOrElse(id, 0L))
+      assert(keptTok >= 0L && keptTok <= cur(id))
+    }
+    assert(out.exists { case (id, _, _, _) => spans.contains(id) },
+      "at least one survivor must have been span-cut")
+    // pack face: greedy sequential fill per shard over KEPT tokens
+    out.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, bin) =>
+        assert(bin === cum / 512)
+        cum += n
+      }
+    }
+  }
 }
