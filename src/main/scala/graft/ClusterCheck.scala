@@ -108,7 +108,13 @@ object ClusterCheck {
     * serialize between partial and merge phases across executor
     * JVMs, watermark-closed windows EVICT from executor state
     * stores, and eviction-gated emission flows through the
-    * production parquet sink.
+    * production parquet sink;
+    * docs_curation_e2e_kmeans adds the full-stack curation COMPOSITE
+    * (r14 verdict Next #6) — six stage families (gate window, exact-dup
+    * canonicalization, trained-quantizer SemDeDup, ExactSubstr span
+    * windows, decontamination broadcast anti-join, pack windows) whose
+    * stage-joining shuffles and the Lloyd loop's checkpointed blocks
+    * all cross executor JVM boundaries in ONE plan.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
@@ -117,7 +123,7 @@ object ClusterCheck {
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
     "stream_kmeans_update", "stream_kmeans_minibatch",
-    "stream_ann_topk_wm")
+    "stream_ann_topk_wm", "docs_curation_e2e_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -1346,10 +1346,12 @@ object VectorQueries {
     * the only thing that moves; the KmCells-knob keep-rate face.
     */
   private[graft] def semdedupKmeansAt(s: SparkSession, d: String,
-                                      cells: Int): DataFrame = {
+                                      cells: Int,
+                                      sampled: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
     semdedupDecisions(
-      kmAssignedScored(e, kmCentroids(e, cells = cells)).localCheckpoint())
+      kmAssignedScored(e, kmCentroids(e, cells = cells, sampled = sampled))
+        .localCheckpoint())
   }
 
   /** Total assigned distortion (Σ per-vector min L2²) under an
@@ -1404,6 +1406,34 @@ object VectorQueries {
     * by both training regimes' oracles (only kmCtesSql's `sampled`
     * differs).
     */
+  /** dedup_semdedup_kmeans's oracle for either training regime: the
+    * Lloyd chain (full- or sample-trained via kmCtesSql), assignment
+    * at crn = 1, trained-centroid prototypicality, and the shared
+    * sdropped / kept tail — one definition, the regimes differing
+    * only in the training CTEs' input set.
+    */
+  private def semdedupKmeansSql(sampled: Boolean): String = s"""
+      WITH ${kmCtesSql(sampled = sampled)},
+      assigned AS MATERIALIZED (
+        SELECT r.vec_id, r.kcell AS cell,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+                 i -> c.karr[i] * CAST(e.embedding[i] AS DOUBLE))),
+                 (a, x) -> a + x) AS adot,
+               e.embedding
+        FROM kmranked r
+        JOIN kmc c ON c.kcell = r.kcell
+        JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.crn = 1),
+      sdropped AS (
+        SELECT DISTINCT b.vec_id AS vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id != b.vec_id
+          AND (a.adot, a.vec_id) < (b.adot, b.vec_id)
+        WHERE ${dotSql("a.embedding", "b.embedding")} >= $DedupCos)
+      SELECT s.vec_id, s.cell, ROUND(s.adot, 6) AS cent_sim,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM assigned s LEFT JOIN sdropped d ON d.vec_id = s.vec_id"""
+
   private def kmIvfTopkSql(sampled: Boolean): String = s"""
       WITH ${kmCtesSql(sampled = sampled)},
       assigned AS (SELECT vec_id AS nn_id, kcell AS cell FROM kmranked WHERE crn = 1),
@@ -2252,6 +2282,20 @@ object VectorQueries {
     // (code-review r14: the two were verbatim copies).
     "dedup_semdedup_kmeans" -> ((s, d) => semdedupKmeansAt(s, d, KmCells)),
 
+    // The SemDeDup paper's actual production protocol end-to-end: the
+    // coarse quantizer trained on the SIZE-TARGETED sample (the FAISS
+    // max_points_per_centroid device — ~KmTrainPerCell·k training
+    // points whatever the corpus; the paper itself clusters a sample,
+    // never all of LAION), then the full corpus assigned once and the
+    // per-cell dominance decisions taken exactly as the full-trained
+    // face — same semdedupDecisions body, only the trainer's input
+    // set differs. With this row the sampled trainer is carried
+    // through EVERY registered consumer family (IVF serving, ADC,
+    // and now the dedup face) — training cost O(1) in corpus size on
+    // all of them.
+    "dedup_semdedup_kmeans_sampled" -> ((s, d) =>
+      semdedupKmeansAt(s, d, KmCells, sampled = true)),
+
     // SemDeDup with the MULTI-CELL probe knob at nprobe=2 (the paper's
     // multiple-assignments mitigation, semdedupKept doc): the pair
     // scan covers each vector's top-2 cells, recovering the
@@ -2635,28 +2679,11 @@ object VectorQueries {
     // from kmranked at crn = 1, prototypicality = the index-ordered
     // dot with the TRAINED centroid (karr is double, embedding widens
     // — exactly the Spark side's cdot), then the identical sdropped /
-    // kept tail as dedup_semdedup.
-    "dedup_semdedup_kmeans" -> s"""
-      WITH ${kmCtesSql()},
-      assigned AS MATERIALIZED (
-        SELECT r.vec_id, r.kcell AS cell,
-               list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
-                 i -> c.karr[i] * CAST(e.embedding[i] AS DOUBLE))),
-                 (a, x) -> a + x) AS adot,
-               e.embedding
-        FROM kmranked r
-        JOIN kmc c ON c.kcell = r.kcell
-        JOIN embeddings e ON e.vec_id = r.vec_id
-        WHERE r.crn = 1),
-      sdropped AS (
-        SELECT DISTINCT b.vec_id AS vec_id
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id != b.vec_id
-          AND (a.adot, a.vec_id) < (b.adot, b.vec_id)
-        WHERE ${dotSql("a.embedding", "b.embedding")} >= $DedupCos)
-      SELECT s.vec_id, s.cell, ROUND(s.adot, 6) AS cent_sim,
-             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM assigned s LEFT JOIN sdropped d ON d.vec_id = s.vec_id""",
+    // kept tail as dedup_semdedup. ONE definition for both training
+    // regimes — the sampled face differs only in the Lloyd CTEs'
+    // training set (the kmIvfTopkSql device).
+    "dedup_semdedup_kmeans" -> semdedupKmeansSql(sampled = false),
+    "dedup_semdedup_kmeans_sampled" -> semdedupKmeansSql(sampled = true),
 
     // The multi-probe knob's oracle: same assigned CTE (primary cell +
     // dominance key), probe lists from ranked_cells at crn <= 2, the

@@ -724,6 +724,39 @@ class VectorSpec extends GraftSpec {
     assert(missed.size <= 2, s"too many boundary misses: $missed")
   }
 
+  test("dedup_semdedup_kmeans_sampled: decision contract holds under the size-targeted trainer; the knob binds") {
+    // The paper's production protocol end to end: quantizer trained on
+    // the ~KmTrainPerCell·k-point sample, decisions on the FULL corpus.
+    // Same contracts as the full-trained face — one decision per row,
+    // least-prototypical member kept per cell — plus the knob check:
+    // the sampled quantizer's cells differ somewhere (the sample is a
+    // proper subset, so identical output would mean the knob is dead),
+    // while the kept-rate stays in the full-trained band (the
+    // aggressiveness of the dedup is a property of cell width, not of
+    // which regime trained the cells).
+    val d = "/root/testdata/sf0.01"
+    val vq = graft.queries.VectorQueries
+    val sampled = vq.queries("dedup_semdedup_kmeans_sampled")(spark, d)
+      .collect()
+    val full = vq.queries("dedup_semdedup_kmeans")(spark, d).collect()
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(sampled.length.toLong === n, "one decision per corpus row")
+    sampled.groupBy(_.getLong(1)).foreach { case (_, cell) =>
+      val least = cell.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(least.getLong(3) === 1L,
+        s"least-prototypical member ${least.getLong(0)} must be kept")
+    }
+    def cells(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(sampled) !== cells(full),
+      "sampled training must actually move some assignment (knob dead?)")
+    val keptS = sampled.count(_.getLong(3) == 1L)
+    val keptF = full.count(_.getLong(3) == 1L)
+    info(s"kept: sampled=$keptS full=$keptF of $n")
+    assert(math.abs(keptS - keptF) <= n / 10,
+      s"sampled kept-rate left the full-trained band: $keptS vs $keptF")
+  }
+
   test("IVFADC residual encoding: implemented, exact shape, and the trade is measured") {
     // by_residual=true (ivfpqResidualTopk) is the accuracy knob FAISS
     // ships on by default — on THIS corpus it measures at-or-below the
