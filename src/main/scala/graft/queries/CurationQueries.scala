@@ -210,6 +210,48 @@ object CurationQueries {
     * the long branch, and because the guard feeds the packed value
     * itself it can never be pruned from the plan.
     */
+  /** Token-budget pack tail shared by docs_pack and the curation
+    * composite (code-review r15 — the geometry lived in four copies):
+    * shard count derived from the total token mass (>= PackShardFloor,
+    * ~PackShardTokens tokens per shard — a lazy one-row broadcast,
+    * never a collect), the doc_id-residue shard key, and the greedy
+    * running-sum bin window. `tok` must carry (doc_id, tokCol).
+    * Output: (doc_id, shard, tokCol, bin).
+    */
+  private def packBins(tok: DataFrame, tokCol: String): DataFrame = {
+    val ns = tok.agg(greatest(lit(PackShardFloor),
+      expr(s"sum($tokCol) div $PackShardTokens")).as("ns"))
+    tok.crossJoin(broadcast(ns))
+      .select(col("doc_id"), (col("doc_id") % col("ns")).as("shard"),
+        col(tokCol))
+      .withColumn("bin",
+        expr(s"(sum($tokCol) over " +
+          s"(partition by shard order by doc_id " +
+          s"rows between unbounded preceding and current row) " +
+          s"- $tokCol) div $PackBudget"))
+  }
+
+  /** Oracle twin of [[packBins]] over a named (doc_id, tokCol) CTE —
+    * the trailing SELECT of a WITH chain (pshards/psharded mirror the
+    * Spark tail's one-row aggregate and shard projection).
+    */
+  private def packTailSql(src: String, tokCol: String): String = s"""
+      pshards AS (
+        SELECT CAST(GREATEST($PackShardFloor,
+                 SUM($tokCol) // $PackShardTokens) AS BIGINT) AS ns
+        FROM $src),
+      psharded AS (
+        SELECT doc_id,
+               CAST(doc_id % (SELECT ns FROM pshards) AS BIGINT) AS shard,
+               $tokCol
+        FROM $src)
+      SELECT doc_id, shard, $tokCol,
+        CAST((SUM($tokCol) OVER
+                (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - $tokCol) // $PackBudget AS BIGINT) AS bin
+      FROM psharded"""
+
   private def packGuard(id: Column, bound: Long, what: String,
                         packed: Column): Column =
     when(id < 0L || id >= bound,
@@ -714,21 +756,10 @@ object CurationQueries {
     // aggregate, no driver action), so each shard's running-sum window
     // holds ~PackShardTokens tokens at any corpus size — a constant
     // shard count would serialize 1/32 of a 100 TB corpus per task.
-    "docs_pack" -> ((s, d) => {
-      val tokRaw = docWords(s, d).select(
-        col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-      val ns = tokRaw.agg(greatest(lit(PackShardFloor),
-        expr(s"sum(n_tokens) div $PackShardTokens")).as("ns"))
-      val tok = tokRaw.crossJoin(broadcast(ns))
-        .select(col("doc_id"), (col("doc_id") % col("ns")).as("shard"),
-          col("n_tokens"))
-      tok.select(
-        col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"(sum(n_tokens) over " +
-          s"(partition by shard order by doc_id " +
-          s"rows between unbounded preceding and current row) " +
-          s"- n_tokens) div $PackBudget").as("bin"))
-    }),
+    "docs_pack" -> ((s, d) =>
+      packBins(docWords(s, d).select(
+        col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
+        "n_tokens")),
 
     // FULL-STACK curation mega-composite on the TRAINED quantizer
     // (r13 verdict #7 / r14 Next #6) — the end-to-end chain a
@@ -775,16 +806,7 @@ object CurationQueries {
         .select(col("doc_id"),
           (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
             .as("kept_tokens"))
-      val ns = kept.agg(greatest(lit(PackShardFloor),
-        expr(s"sum(kept_tokens) div $PackShardTokens")).as("ns"))
-      kept.crossJoin(broadcast(ns))
-        .select(col("doc_id"), (col("doc_id") % col("ns")).as("shard"),
-          col("kept_tokens"))
-        .withColumn("bin",
-          expr(s"(sum(kept_tokens) over " +
-            s"(partition by shard order by doc_id " +
-            s"rows between unbounded preceding and current row) " +
-            s"- kept_tokens) div $PackBudget"))
+      packBins(kept, "kept_tokens")
     }),
 
     // Incremental ingest dedup — the nightly-batch production shape: a
@@ -960,20 +982,7 @@ object CurationQueries {
       WITH tok AS (
         SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens
         FROM documents),
-      shards AS (
-        SELECT CAST(GREATEST($PackShardFloor,
-                 SUM(n_tokens) // $PackShardTokens) AS BIGINT) AS ns
-        FROM tok),
-      sharded AS (
-        SELECT doc_id, CAST(doc_id % (SELECT ns FROM shards) AS BIGINT) AS shard,
-               n_tokens
-        FROM tok)
-      SELECT doc_id, shard, n_tokens,
-        CAST((SUM(n_tokens) OVER
-                (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - n_tokens) // $PackBudget AS BIGINT) AS bin
-      FROM sharded""",
+      ${packTailSql("tok", "n_tokens")}""",
     // Each stage's own oracle embedded verbatim as a CTE (the nested-
     // WITH device dedup_substring_budget proved), then the composite's
     // joins and the pack windows mirrored statement-for-statement.
@@ -991,21 +1000,7 @@ object CurationQueries {
         LEFT JOIN espans sp ON sp.doc_id = cur.doc_id
         WHERE cur.doc_id NOT IN
           (SELECT vec_id FROM sem WHERE kept = 0)),
-      eshards AS (
-        SELECT CAST(GREATEST($PackShardFloor,
-                 SUM(kept_tokens) // $PackShardTokens) AS BIGINT) AS ns
-        FROM ekept),
-      esharded AS (
-        SELECT doc_id,
-               CAST(doc_id % (SELECT ns FROM eshards) AS BIGINT) AS shard,
-               kept_tokens
-        FROM ekept)
-      SELECT doc_id, shard, kept_tokens,
-        CAST((SUM(kept_tokens) OVER
-                (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - kept_tokens) // $PackBudget AS BIGINT) AS bin
-      FROM esharded""",
+      ${packTailSql("ekept", "kept_tokens")}""",
     "dedup_incremental" -> """
       WITH store AS (
         SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 != 0),

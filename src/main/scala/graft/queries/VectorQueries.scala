@@ -691,7 +691,13 @@ object VectorQueries {
     /** Every batch's served (vec_id, kcell) assignments — batch r's
       * rows were assigned under the centroids AFTER r prior updates.
       */
-    def servedResult(): DataFrame = served.get
+    def servedResult(): DataFrame = {
+      require(served.nonEmpty,
+        "servedResult() before any served batch — the gate must drive " +
+          "update(serve = true) at least once (empty stream, or a " +
+          "train-only instance?)")
+      served.get
+    }
   }
 
   /** One oracle mini-batch step r (of `nb`): batch membership, L2²
@@ -1282,6 +1288,8 @@ object VectorQueries {
     // reads) and CONSUMERS still assign the full corpus — only the
     // per-round training scans shrink. The farthest-point seed walks
     // the TRAINING set (the set FAISS seeds on).
+    require(seed == "first" || seed == "farthest",
+      s"unknown km seed protocol '$seed' (first | farthest)")
     val train = if (sampled) kmTrainSample(e, cells) else e
     var cents =
       if (seed == "farthest") kmSeedFarthest(train, cells)

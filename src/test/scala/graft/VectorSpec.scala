@@ -327,9 +327,14 @@ class VectorSpec extends GraftSpec {
       (for {
         (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex if i < j
       } yield a._2.zip(b._2).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    // Gonzalez is only a 2-approximation of max-min dispersion, so
+    // beating first-K's spread is NOT guaranteed in general
+    // (code-review r15) — the hard pin is positivity (no repeated
+    // point ever chosen); the comparison is recorded informationally.
+    assert(minPairL2(s1) > 0.0, "farthest walk must never re-pick a point")
     val firstK = seedRows(vq.kmCentroidTables(spark, d, 0))
-    assert(minPairL2(s1) >= minPairL2(firstK),
-      "farthest-point seeds must be at least as spread as first-K")
+    info(f"min pairwise L2²: farthest=${minPairL2(s1)}%.4f " +
+      f"firstK=${minPairL2(firstK)}%.4f")
     val dist = t1.map(c =>
       vq.kmDistortionOf(spark, d, c).head.getDouble(0))
     info(s"farthest-seed distortion by rounds: ${dist.mkString(" -> ")}")

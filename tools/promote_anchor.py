@@ -264,6 +264,14 @@ def main():
         print("--refresh requires --reason \"<what knob/computation "
               "changed>\" (recorded in promotion_log)", file=sys.stderr)
         return 2
+    if refresh_reason is not None and not refresh_names:
+        # only --refresh records a reason; silently dropping the string
+        # on the promote/augment paths would lose the very audit text
+        # the caller meant to attach (code-review r15)
+        print("--reason is only recorded by --refresh; promote/augment "
+              "entries carry probe stats instead — rerun without it",
+              file=sys.stderr)
+        return 2
     if do_augment and refresh_names:
         print("--augment and --refresh are distinct operations; "
               "run them separately", file=sys.stderr)
