@@ -109,6 +109,14 @@ object ClusterCheck {
     * JVMs, watermark-closed windows EVICT from executor state
     * stores, and eviction-gated emission flows through the
     * production parquet sink;
+    * stream_kmeans_online_serve adds the GENERATION-EXACT serving
+    * face of that feedback loop (the r15 train+serve composition):
+    * the OUTPUT is every batch's served (vec_id, kcell) rows, each
+    * assigned under a broadcast built from the PREVIOUS step's
+    * executor-block-checkpointed centroids — minibatch proves the
+    * final centroids survive the JVM round-trips, this proves the
+    * per-batch served assignments do (one stale-generation broadcast
+    * anywhere in the chain hash-mismatches the union);
     * docs_curation_e2e_kmeans adds the full-stack curation COMPOSITE
     * (r14 verdict Next #6) — six stage families (gate window, exact-dup
     * canonicalization, trained-quantizer SemDeDup, ExactSubstr span
@@ -123,7 +131,8 @@ object ClusterCheck {
     "vec_knn_pagerank", "ann_pq_adc_topk", "stream_ann_topk",
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
     "stream_kmeans_update", "stream_kmeans_minibatch",
-    "stream_ann_topk_wm", "docs_curation_e2e_kmeans")
+    "stream_ann_topk_wm", "docs_curation_e2e_kmeans",
+    "stream_kmeans_online_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
