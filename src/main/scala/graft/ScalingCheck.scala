@@ -48,7 +48,13 @@ object ScalingCheck {
     // pack in ONE plan — growth should track its linear-scan and
     // span-inventory stages (each independently in this slice), with
     // the stage-joining shuffles carrying (doc_id, counts) only
-    "docs_curation_e2e_kmeans")
+    "docs_curation_e2e_kmeans",
+    // online train+serve regime (the r15 composition): per-step state
+    // is three <= KmCells-row tables whatever the corpus and the
+    // per-batch scan is one nearest-cell pass, so growth should track
+    // the stream's data-linear assignment term — the feedback loop's
+    // driver round-trips are O(batches * KmCells), constant in corpus
+    "stream_kmeans_online_serve")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run
