@@ -694,6 +694,40 @@ object StreamingGateQueries {
       }
     }),
 
+    // ONLINE ANN SERVING — the IVF face of the composition above (the
+    // shape an online vector-search deployment actually runs): the
+    // quantizer retrains from arriving traffic (the same MacQueen
+    // loop), and each arriving batch's queries are served IVF top-3
+    // with BOTH probe sides — the corpus inverted lists and the query
+    // probe lists — under the CURRENT centroid generation, via the
+    // shared exact re-rank tail (ivfTopkTail: the one definition all
+    // IVF serving uses). The per-batch corpus re-assignment is the
+    // gate-scale form of the production EPOCH REBUILD (one index
+    // re-assignment per quantizer generation, amortized over that
+    // epoch's queries — KmMiniBatch.serveIvfAndUpdate's doc); the
+    // emission is query-count-bounded (≤ 3 rows per query, each query
+    // served in exactly its arrival batch). Oracle: per batch r a
+    // complete IVF chain under mbc$r, unioned — one stale-generation
+    // index or probe list anywhere hash-mismatches.
+    "stream_ann_ivf_online_topk" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_kmoi_${runId.incrementAndGet()}"
+        val nb = VectorQueries.KmMbBatches
+        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+          name, Tables.normalizeTemporal,
+          (0 until nb).map(i => col("vec_id") % nb === i))
+        val state = new VectorQueries.KmMiniBatch(s, d)
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, id: Long) => state.serveIvfAndUpdate(b, id))
+          .start()
+        q.awaitTermination()
+        state.servedTopkResult()
+      }
+    }),
+
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
     // (text_bpe_tokenize's exact training), collapses to the
@@ -1209,6 +1243,7 @@ object StreamingGateQueries {
     // the loop it unrolls).
     "stream_kmeans_minibatch" -> VectorQueries.kmMiniBatchOracleSql,
     "stream_kmeans_online_serve" -> VectorQueries.kmOnlineServeOracleSql,
+    "stream_ann_ivf_online_topk" -> VectorQueries.kmOnlineIvfTopkOracleSql,
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

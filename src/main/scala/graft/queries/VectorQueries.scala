@@ -636,6 +636,7 @@ object VectorQueries {
     private var cum: Option[DataFrame] = None
     private var cents: DataFrame = frozen
     private var served: Option[DataFrame] = None
+    private var servedTopk: Option[DataFrame] = None
     private val applied = scala.collection.mutable.Set.empty[Long]
 
     /** One MacQueen training step (stream_kmeans_minibatch's body). */
@@ -652,14 +653,44 @@ object VectorQueries {
     def serveAndUpdate(batch: DataFrame, batchId: Long): Unit =
       step(batch, batchId, serve = true)
 
+    /** IVF TopK serving under the moving quantizer
+      * (stream_ann_ivf_online_topk's body): the batch's queries probe
+      * and the corpus inverted lists re-assign under the CURRENT
+      * centroid generation, the shared exact re-rank tail emits their
+      * top-3, then the same batch feeds the MacQueen step — so batch
+      * r+1's probes AND index run under moved centroids. The per-batch
+      * full-corpus re-assignment is the gate-scale form of the
+      * production epoch rebuild: a quantizer generation triggers ONE
+      * index re-assignment amortized over the epoch's queries (here
+      * each micro-batch is one epoch); probe lists stay per-query
+      * expressions either way.
+      */
+    def serveIvfAndUpdate(batch: DataFrame, batchId: Long): Unit =
+      step(batch, batchId, serve = false, ivf = true)
+
     private def step(batch: DataFrame, batchId: Long,
-                     serve: Boolean): Unit = synchronized {
+                     serve: Boolean, ivf: Boolean = false): Unit = synchronized {
       if (applied.contains(batchId)) return // replay of a committed batch
       // serving checkpoints the batch-sized assignment (read twice:
       // emission + sums); the train-only path keeps the fused plan
       val assigned =
         if (serve) kmAssigned(batch, cents).localCheckpoint()
         else kmAssigned(batch, cents)
+      // IVF serving half (before the step — generation r serves batch
+      // r): corpus index and the batch's query probe lists both under
+      // the CURRENT centroids, then the shared exact re-rank tail.
+      // The emission is query-count-bounded (≤ 3 rows per query).
+      val newServedTopk = if (!ivf) servedTopk else {
+        val corpusIdx = kmAssigned(Tables.embeddings(s, d), cents)
+          .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+            col("embedding"))
+        val probed = kmProbeSelection(kmScored(batch, cents), NProbe)
+        val q = batch.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        Some(servedTopk.fold(ivfTopkTail(corpusIdx, probed, q))(prev =>
+          prev.unionAll(ivfTopkTail(corpusIdx, probed, q)))
+          .localCheckpoint())
+      }
       val sums = kmAssignedSums(assigned)
       val newCum = cum.fold(sums)(prev =>
         prev.unionAll(sums).groupBy(col("kcell")).agg(
@@ -684,6 +715,7 @@ object VectorQueries {
       cum = Some(newCum)
       cents = newCents
       served = newServed
+      servedTopk = newServedTopk
       applied.add(batchId)
     }
     def result(): DataFrame = kmUnnest(cents)
@@ -697,6 +729,16 @@ object VectorQueries {
           "update(serve = true) at least once (empty stream, or a " +
           "train-only instance?)")
       served.get
+    }
+
+    /** Every batch's served IVF top-3 — batch r's queries probed the
+      * generation-r index.
+      */
+    def servedTopkResult(): DataFrame = {
+      require(servedTopk.nonEmpty,
+        "servedTopkResult() before any served batch — the gate must " +
+          "drive serveIvfAndUpdate at least once")
+      servedTopk.get
     }
   }
 
@@ -760,6 +802,43 @@ object VectorQueries {
       ${(0 until KmMbBatches).map(mbRoundSql(_, KmMbBatches)).mkString(",\n      ")}
       SELECT vec_id, kcell FROM (${(0 until KmMbBatches)
         .map(r => s"SELECT vec_id, kcell FROM mba$r").mkString(" UNION ALL ")}) u"""
+
+  /** stream_ann_ivf_online_topk's oracle: the SAME unrolled MacQueen
+    * chain, then per batch r a COMPLETE IVF serving chain under the
+    * generation-r centroids mbc$r — full-corpus ranked assignment,
+    * the batch's query probe lists, and the shared exact re-rank tail
+    * (ivfTopkTailSql verbatim, via the nested-WITH device so its
+    * assigned/probed/q names bind per batch) — unioned, so serving
+    * any batch's queries against a stale-generation index OR probe
+    * list hash-mismatches.
+    */
+  private[queries] lazy val kmOnlineIvfTopkOracleSql: String = {
+    val perBatch = (0 until KmMbBatches).map { r =>
+      s"""SELECT qid, nn_id, rnk, cos_sim FROM (
+        WITH oad$r AS (${kmDistSql(s"mbc$r")}),
+        assigned AS (
+          SELECT vec_id AS nn_id, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rnk
+            FROM oad$r) t WHERE rnk = 1),
+        probed AS (
+          SELECT vec_id AS qid, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
+            FROM oad$r
+            WHERE vec_id < $NQueries AND vec_id % $KmMbBatches = $r) t
+          WHERE crn <= $NProbe),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < $NQueries AND vec_id % $KmMbBatches = $r),
+        $ivfTopkTailSql) srv$r"""
+    }
+    s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until KmMbBatches).map(mbRoundSql(_, KmMbBatches)).mkString(",\n      ")}
+      SELECT qid, nn_id, rnk, cos_sim FROM (
+        ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
+  }
 
   /** Micro-batch count for the sequential trainer's gate (vec_id %
     * KmMbBatches membership, staged by mtime — order is part of the

@@ -474,6 +474,34 @@ class StreamingSpec extends GraftSpec {
       "no later arrival was served differently — the moved centroids never reached the admission path")
   }
 
+  test("online IVF serving: batch 0 sees the frozen index, later generations change answers") {
+    // stream_ann_ivf_online_topk's exactness is the oracle's (per-batch
+    // IVF chains under mbc$r, unioned); this pins what makes it ONLINE
+    // ANN serving rather than decoration: batch 0's queries get the
+    // frozen-quantizer serving answer EXACTLY (generation 0 IS the
+    // frozen quantizer, index and probe lists alike), and at least one
+    // later-batch query gets a DIFFERENT top-3 than frozen serving
+    // would give — the re-broadcast moved centroids are load-bearing
+    // in both probe sides, not just in the trainer's state (64 of 75
+    // later-batch queries differ at sf0.001).
+    val d = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = key(graft.queries.StreamingGateQueries
+      .queries("stream_ann_ivf_online_topk")(spark, d))
+    val frozen = key(vq.kmIvfTopk(spark, d, sampled = false))
+    assert(served.map(_._1) === frozen.map(_._1),
+      "every query is served exactly once, in its arrival batch")
+    val nb = vq.KmMbBatches
+    assert(served.filter(_._1 % nb == 0) === frozen.filter(_._1 % nb == 0),
+      "batch 0 must be served by the still-frozen quantizer, index and probes alike")
+    val movedQ = (served diff frozen).map(_._1)
+    info(s"later-batch queries whose top-3 differs from frozen serving: ${movedQ.size}")
+    assert(movedQ.nonEmpty,
+      "no later query answered differently — the moved generations never reached the serving path")
+  }
+
   test("streaming gram-count state crosses micro-batches: inventory equals batch, splits overlap") {
     // stream_dedup_substring's claim is that per-gram occurrence
     // counts ACCUMULATE across the three staged doc_id%3 batches. Pin
