@@ -117,6 +117,12 @@ object ClusterCheck {
     * final centroids survive the JVM round-trips, this proves the
     * per-batch served assignments do (one stale-generation broadcast
     * anywhere in the chain hash-mismatches the union);
+    * stream_ann_ivf_online_topk carries that generation-exactness
+    * into ANSWER space: each batch's IVF top-3 joins the
+    * generation-r corpus index (a full re-assignment whose shuffles
+    * cross executor JVMs every batch) against broadcast probe lists
+    * and query rows built in the same generation — a stale broadcast
+    * OR a stale index block on either side flips ranked answers;
     * docs_curation_e2e_kmeans adds the full-stack curation COMPOSITE
     * (r14 verdict Next #6) — six stage families (gate window, exact-dup
     * canonicalization, trained-quantizer SemDeDup, ExactSubstr span
@@ -132,7 +138,7 @@ object ClusterCheck {
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
     "stream_kmeans_update", "stream_kmeans_minibatch",
     "stream_ann_topk_wm", "docs_curation_e2e_kmeans",
-    "stream_kmeans_online_serve")
+    "stream_kmeans_online_serve", "stream_ann_ivf_online_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

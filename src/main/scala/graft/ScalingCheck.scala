@@ -54,7 +54,12 @@ object ScalingCheck {
     // per-batch scan is one nearest-cell pass, so growth should track
     // the stream's data-linear assignment term — the feedback loop's
     // driver round-trips are O(batches * KmCells), constant in corpus
-    "stream_kmeans_online_serve")
+    "stream_kmeans_online_serve",
+    // online IVF serving (the epoch-rebuild contract): each batch
+    // re-assigns the corpus under its generation — 4 extra data-linear
+    // scans — while probes and the re-rank tail stay query-bounded,
+    // so growth should track those scans, never a pair term
+    "stream_ann_ivf_online_topk")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run
