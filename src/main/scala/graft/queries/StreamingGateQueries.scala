@@ -331,6 +331,36 @@ object StreamingGateQueries {
     }
   }
 
+  /** Shared driver for the three KmMiniBatch gates (code-review r15 —
+    * the staging/trigger/checkpoint wiring lived in three verbatim
+    * copies): stage the embeddings stream as KmMbBatches deterministic
+    * vec_id-residue micro-batches (mtime-staged ORDER — part of the
+    * contract, the oracles unroll the steps CTE-for-CTE), drive one
+    * `step` per micro-batch through foreachBatch under AvailableNow,
+    * return `result` of the drained state.
+    */
+  private def runKmMiniBatchGate(s: SparkSession, d: String,
+      namePrefix: String,
+      step: (VectorQueries.KmMiniBatch, DataFrame, Long) => Unit,
+      result: VectorQueries.KmMiniBatch => DataFrame): DataFrame = {
+    Tables.load(s, d, "region")
+    withGateParts(s) {
+      val name = s"${namePrefix}_${runId.incrementAndGet()}"
+      val nb = VectorQueries.KmMbBatches
+      val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+        name, Tables.normalizeTemporal,
+        (0 until nb).map(i => col("vec_id") % nb === i))
+      val state = new VectorQueries.KmMiniBatch(s, d)
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => step(state, b, id))
+        .start()
+      q.awaitTermination()
+      result(state)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The LLM curation pipeline composed UNDER CHECKPOINTED STREAMING —
@@ -640,24 +670,9 @@ object StreamingGateQueries {
     // mtime-staged ORDER are part of the contract — the oracle
     // unrolls the same four MacQueen steps CTE-for-CTE, so a wrong
     // arrival order would hash-mismatch, not just drift.
-    "stream_kmeans_minibatch" -> ((s, d) => {
-      Tables.load(s, d, "region")
-      withGateParts(s) {
-        val name = s"gate_kmmb_${runId.incrementAndGet()}"
-        val nb = VectorQueries.KmMbBatches
-        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
-          name, Tables.normalizeTemporal,
-          (0 until nb).map(i => col("vec_id") % nb === i))
-        val state = new VectorQueries.KmMiniBatch(s, d)
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch((b: DataFrame, id: Long) => state.update(b, id))
-          .start()
-        q.awaitTermination()
-        state.result()
-      }
-    }),
+    "stream_kmeans_minibatch" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_kmmb",
+        (st, b, id) => st.update(b, id), _.result())),
 
     // ONLINE TRAINING COMPOSED WITH SERVING — the actual
     // online-deployment shape (r14 verdict Next #5): the minibatch
@@ -675,24 +690,9 @@ object StreamingGateQueries {
     // hash-mismatches. StreamingSpec pins that later batches really
     // assign under MOVED centroids (batch 0 matches the frozen
     // assignment; some later batch differs from it).
-    "stream_kmeans_online_serve" -> ((s, d) => {
-      Tables.load(s, d, "region")
-      withGateParts(s) {
-        val name = s"gate_kmos_${runId.incrementAndGet()}"
-        val nb = VectorQueries.KmMbBatches
-        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
-          name, Tables.normalizeTemporal,
-          (0 until nb).map(i => col("vec_id") % nb === i))
-        val state = new VectorQueries.KmMiniBatch(s, d)
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch((b: DataFrame, id: Long) => state.serveAndUpdate(b, id))
-          .start()
-        q.awaitTermination()
-        state.servedResult()
-      }
-    }),
+    "stream_kmeans_online_serve" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_kmos",
+        (st, b, id) => st.serveAndUpdate(b, id), _.servedResult())),
 
     // ONLINE ANN SERVING — the IVF face of the composition above (the
     // shape an online vector-search deployment actually runs): the
@@ -709,24 +709,9 @@ object StreamingGateQueries {
     // served in exactly its arrival batch). Oracle: per batch r a
     // complete IVF chain under mbc$r, unioned — one stale-generation
     // index or probe list anywhere hash-mismatches.
-    "stream_ann_ivf_online_topk" -> ((s, d) => {
-      Tables.load(s, d, "region")
-      withGateParts(s) {
-        val name = s"gate_kmoi_${runId.incrementAndGet()}"
-        val nb = VectorQueries.KmMbBatches
-        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
-          name, Tables.normalizeTemporal,
-          (0 until nb).map(i => col("vec_id") % nb === i))
-        val state = new VectorQueries.KmMiniBatch(s, d)
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch((b: DataFrame, id: Long) => state.serveIvfAndUpdate(b, id))
-          .start()
-        q.awaitTermination()
-        state.servedTopkResult()
-      }
-    }),
+    "stream_ann_ivf_online_topk" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_kmoi",
+        (st, b, id) => st.serveIvfAndUpdate(b, id), _.servedTopkResult())),
 
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus

@@ -673,9 +673,15 @@ object VectorQueries {
       if (applied.contains(batchId)) return // replay of a committed batch
       // serving checkpoints the batch-sized assignment (read twice:
       // emission + sums); the train-only path keeps the fused plan
+      // ivf scores the batch ONCE (checkpointed) and derives both the
+      // MacQueen assignment and the probe ranking from that frame —
+      // the "one nearest-cell scan per batch covers both halves"
+      // contract, same as serve's checkpointed assignment.
+      val bscored =
+        if (ivf) Some(kmScored(batch, cents).localCheckpoint()) else None
       val assigned =
         if (serve) kmAssigned(batch, cents).localCheckpoint()
-        else kmAssigned(batch, cents)
+        else bscored.fold(kmAssigned(batch, cents))(kmAssignedFromScored)
       // IVF serving half (before the step — generation r serves batch
       // r): corpus index and the batch's query probe lists both under
       // the CURRENT centroids, then the shared exact re-rank tail.
@@ -684,12 +690,11 @@ object VectorQueries {
         val corpusIdx = kmAssigned(Tables.embeddings(s, d), cents)
           .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
             col("embedding"))
-        val probed = kmProbeSelection(kmScored(batch, cents), NProbe)
+        val probed = kmProbeSelection(bscored.get, NProbe)
         val q = batch.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        Some(servedTopk.fold(ivfTopkTail(corpusIdx, probed, q))(prev =>
-          prev.unionAll(ivfTopkTail(corpusIdx, probed, q)))
-          .localCheckpoint())
+        val cur = ivfTopkTail(corpusIdx, probed, q)
+        Some(servedTopk.fold(cur)(_.unionAll(cur)).localCheckpoint())
       }
       val sums = kmAssignedSums(assigned)
       val newCum = cum.fold(sums)(prev =>
@@ -1328,7 +1333,15 @@ object VectorQueries {
     * ivfAssignedScored device under the opposite ordering).
     */
   private def kmAssigned(e: DataFrame, cents: DataFrame): DataFrame =
-    kmScored(e, cents)
+    kmAssignedFromScored(kmScored(e, cents))
+
+  /** kmAssigned over an ALREADY-SCORED frame — the online IVF serving
+    * step derives the batch's assignment AND its probe ranking from
+    * one checkpointed scored frame instead of scoring the batch per
+    * consumer (code-review r15).
+    */
+  private def kmAssignedFromScored(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("kcell"), col("embedding")),
         struct(col("kdist"), col("kcell"))).as("m"))

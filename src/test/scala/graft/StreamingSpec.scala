@@ -486,13 +486,20 @@ class StreamingSpec extends GraftSpec {
     // later-batch queries differ at sf0.001).
     val d = "/root/testdata/sf0.001"
     val vq = graft.queries.VectorQueries
-    def key(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val served = key(graft.queries.StreamingGateQueries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val servedRows = rows(graft.queries.StreamingGateQueries
       .queries("stream_ann_ivf_online_topk")(spark, d))
-    val frozen = key(vq.kmIvfTopk(spark, d, sampled = false))
+    val frozenRows = rows(vq.kmIvfTopk(spark, d, sampled = false))
+    val (served, frozen) = (servedRows.toSet, frozenRows.toSet)
+    // exactly-once is pinned on ROW COUNTS, not the qid set (a query
+    // double-served under two generations, or a replayed batch
+    // double-appended, would collapse in the set — code-review r15)
+    assert(servedRows.length === served.size, "no duplicate emissions")
+    assert(servedRows.length === frozenRows.length,
+      "3 rows per query — a query served in two generations would add rows")
     assert(served.map(_._1) === frozen.map(_._1),
-      "every query is served exactly once, in its arrival batch")
+      "every query is served, in its arrival batch")
     val nb = vq.KmMbBatches
     assert(served.filter(_._1 % nb == 0) === frozen.filter(_._1 % nb == 0),
       "batch 0 must be served by the still-frozen quantizer, index and probes alike")
