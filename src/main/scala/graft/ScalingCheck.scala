@@ -59,7 +59,14 @@ object ScalingCheck {
     // re-assigns the corpus under its generation — 4 extra data-linear
     // scans — while probes and the re-rank tail stay query-bounded,
     // so growth should track those scans, never a pair term
-    "stream_ann_ivf_online_topk")
+    "stream_ann_ivf_online_topk",
+    // drift-gated epoch rebuild (r16): the same gate with rebuilds
+    // gated on quantizer movement — on the gate corpora the sequence
+    // is 3 rebuilds of 4 batches, so re-assignment work (the gate's
+    // dominant data-linear term) is sub-linear in batch count and
+    // this entry should grow measurably SLOWER than the
+    // always-rebuild twin above it
+    "stream_ann_ivf_online_topk_drift")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -218,7 +218,7 @@ object CurationQueries {
     * running-sum bin window. `tok` must carry (doc_id, tokCol).
     * Output: (doc_id, shard, tokCol, bin).
     */
-  private def packBins(tok: DataFrame, tokCol: String): DataFrame = {
+  private[graft] def packBins(tok: DataFrame, tokCol: String): DataFrame = {
     val ns = tok.agg(greatest(lit(PackShardFloor),
       expr(s"sum($tokCol) div $PackShardTokens")).as("ns"))
     tok.crossJoin(broadcast(ns))
@@ -417,7 +417,7 @@ object CurationQueries {
   private val StratumK = 25L
 
   /** Packing budget (tokens per training sequence bin). */
-  private val PackBudget = 512L
+  private[graft] val PackBudget = 512L
   /** Packing shard sizing: shard count = max(floor, total_tokens div
     * target) — DERIVED from corpus scale, so per-shard window volume is
     * bounded by ~PackShardTokens at any corpus size (a constant shard

@@ -383,6 +383,89 @@ object StreamingGateQueries {
     "stream_curation_pipeline_wm" -> ((s, d) =>
       runCurationPipeline(s, d, curationOp2Wm)),
 
+    // THE FULL-STACK CURATION COMPOSITE AS A STREAMING ADMISSION JOB
+    // (r15 verdict Next #6 — docs_curation_e2e_kmeans was the last
+    // batch-only composite): every stage of the batch e2e chain runs
+    // on the ARRIVING document in one checkpointed job, APPEND through
+    // the production parquet sink. The per-arrival work is real —
+    // quality gate and token counts computed from the arriving text
+    // (curationGateRows, the shared stateless body), the exact-dup
+    // fingerprint computed from the arriving text and judged against
+    // the static OWNER inventory (fp → min gated doc_id: the
+    // fingerprint-width store artifact, dedup_incremental's shape),
+    // the SemDeDup admission scoring the arriving embedding against
+    // its trained cell's static members (semdedupAdmitStateless — a
+    // stream-static LEFT ANTI join, per-arrival cost one inverted
+    // list) — while the two corpus-derived inventories
+    // (decontaminated-id set, ExactSubstr span budget) join as the
+    // static artifacts a production admission job broadcasts. No
+    // stateful operator anywhere, so Append needs no watermark and
+    // state is ZERO whatever the stream length — the strongest
+    // bounded-state regime of any composite. Docs without a vector
+    // (sf0.1 has 5000 docs, 2000 embeddings) bypass the admission
+    // anti-join and stay kept, exactly the batch anti-join's vacuous
+    // case. The pack face needs corpus totals (shard key = running
+    // token sums), so it finishes in the drained batch post-pass over
+    // the sink's rows — the kmStreamUpdateFinish device — through the
+    // SHARED packBins tail. Oracle: the batch composite's verbatim
+    // (streaming ≡ batch, one definition, zero drift).
+    "stream_docs_curation_e2e_kmeans" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_cure2e_${runId.incrementAndGet()}"
+        val (src, ckpt) = stageStream(s, s"$d/documents.parquet", name, identity)
+        def fpOf(c: org.apache.spark.sql.Column) =
+          md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+        // static stage artifacts (each the registered operator's plan)
+        val owners = TextQueries.curationGateRows(
+            Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), fpOf(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
+          .localCheckpoint()
+        val dec = CurationQueries.queries("docs_decontaminate")(s, d)
+          .select(col("doc_id")).localCheckpoint()
+        val spans = TextQueries.queries("dedup_substring_spans")(s, d)
+          .select(col("doc_id"), col("dup_tokens")).localCheckpoint()
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val outDir = Files.createTempDirectory(s"graft-out-$name").toString
+        // the arriving flow: gate → canonical-copy check → admission
+        val gated = TextQueries.curationGateRows(
+            src.select(col("doc_id"), col("text")))
+          .withColumn("fp", fpOf(col("text")))
+          .join(owners, "fp")
+          .filter(col("owner_id") === col("doc_id"))
+          .select(col("doc_id"), col("n_tokens"))
+        val withVec = VectorQueries.semdedupAdmitStateless(
+          gated.join(emb, col("doc_id") === col("vec_id"))
+            .select(col("vec_id"), col("embedding").as("qe"), col("n_tokens")),
+          s, d, carry = Seq(col("n_tokens")))
+          .select(col("vec_id").as("doc_id"), col("n_tokens"))
+        val noVec = gated
+          .join(emb, col("doc_id") === col("vec_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"))
+        val admitted = withVec.unionByName(noVec)
+          .join(dec, "doc_id")
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+              .as("kept_tokens"))
+        val q = admitted.writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kept_tokens",
+            org.apache.spark.sql.types.LongType)))
+        CurationQueries.packBins(
+          s.read.schema(schema).parquet(outDir), "kept_tokens")
+      }
+    }),
+
     // App-2's stateful keyed count as a genuine streaming job.
     "stream_count_by_key" -> ((s, d) => {
       Tables.load(s, d, "region") // warms session confs (tune) before readStream
@@ -712,6 +795,62 @@ object StreamingGateQueries {
     "stream_ann_ivf_online_topk" -> ((s, d) =>
       runKmMiniBatchGate(s, d, "gate_kmoi",
         (st, b, id) => st.serveIvfAndUpdate(b, id), _.servedTopkResult())),
+
+    // DRIFT-GATED online IVF serving (r15 verdict Next #1 — the
+    // epoch-rebuild cadence as a measured knob): same stream, same
+    // MacQueen trainer, but the corpus inverted lists rebuild ONLY
+    // when the quantizer has drifted past KmDriftRebuild since the
+    // last rebuild (max per-cell squared L2 movement, exact fixed
+    // point); intervening batches serve their queries from the STALE
+    // index, probes under the same stale generation. This is the
+    // production cadence at 100 TB — a full re-assignment per
+    // quantizer generation is the dominant cost when generations come
+    // every minute; drift-gating amortizes one rebuild over every
+    // batch whose quantizer movement stayed under the threshold
+    // (re-assignment work sub-linear in batch count, measured in
+    // ScalingCheck r16; recall cost of staleness floor-pinned in
+    // VectorSpec). Oracle: the same unrolled chain plus the drift
+    // rule in SQL — per batch the active generation g_r is recomputed
+    // by the engine's own recurrence and the FULL serving chain runs
+    // under mbc_{g_r}, so a wrong rebuild decision anywhere
+    // hash-mismatches the emission (kmOnlineIvfDriftTopkOracleSql).
+    "stream_ann_ivf_online_topk_drift" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_kmoid",
+        (st, b, id) => st.serveIvfDriftAndUpdate(b, id),
+        _.servedTopkResult())),
+
+    // ONLINE BPE TRAINING — the tokenizer face of the online-training
+    // trio (r15 verdict Next #7; stream_kmeans_minibatch and the two
+    // online-serve gates are the k-means faces): documents arrive as
+    // four deterministic micro-batches and the merge table GROWS as
+    // vocabulary arrives — each batch folds its word counts into the
+    // cumulative dictionary (new words catch up by replaying every
+    // prior round's admitted set through the shared one-pass apply),
+    // then funds ONE batched-BPE round over the corpus-so-far, so
+    // round r's merges are chosen by what had arrived when it ran.
+    // State is the vocab-bounded (word, cnt, seq) dictionary plus the
+    // m-row admitted sets, transactional per batch id (the KmMiniBatch
+    // replay contract; TextQueries.BpeOnline). Oracle: the chain
+    // unrolled batch-for-batch with the catch-up and the cumulative
+    // weights stated in SQL (bpeTrainOnlineSql) — a late-arriving
+    // word tokenized under the wrong generation hash-mismatches.
+    "stream_bpe_train_online" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_bpeon_${runId.incrementAndGet()}"
+        val nb = TextQueries.BpeOnlineBatches
+        val (src, ckpt) = stageBatchedStream(s, s"$d/documents.parquet",
+          name, identity, (0 until nb).map(i => col("doc_id") % nb === i))
+        val st = new TextQueries.BpeOnline()
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, id: Long) => st.update(b, id))
+          .start()
+        q.awaitTermination()
+        st.result()
+      }
+    }),
 
     // BPE SERVING — the tokenizer face of the ANN-serving story: the
     // merge table is trained ONCE, OFFLINE, on the batch corpus
@@ -1229,6 +1368,13 @@ object StreamingGateQueries {
     "stream_kmeans_minibatch" -> VectorQueries.kmMiniBatchOracleSql,
     "stream_kmeans_online_serve" -> VectorQueries.kmOnlineServeOracleSql,
     "stream_ann_ivf_online_topk" -> VectorQueries.kmOnlineIvfTopkOracleSql,
+    "stream_ann_ivf_online_topk_drift" ->
+      VectorQueries.kmOnlineIvfDriftTopkOracleSql,
+    // streaming ≡ batch: the admission job emits exactly the batch
+    // composite's survivors and the pack post-pass is the shared tail
+    "stream_docs_curation_e2e_kmeans" ->
+      CurationQueries.oracle("docs_curation_e2e_kmeans"),
+    "stream_bpe_train_online" -> TextQueries.bpeTrainOnlineSql(),
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

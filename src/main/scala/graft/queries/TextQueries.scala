@@ -513,18 +513,37 @@ object TextQueries {
       charSeq(col("word"), sep).as("seq"))
       .localCheckpoint()
     val out = (1 to rounds).map { r =>
-      val t = split(col("seq"), sep)
-      // round-start pair counts — ONE count serves all m selections
-      // (the whole point of batching)
-      val pairs = cur.select(col("cnt"),
-        explode(when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => struct(element_at(t, i).as("l"),
-              element_at(t, i + 1).as("rgt"))))
-          .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
-        .agg(sum(col("cnt")).as("c"))
+      val admRow = bpeGreedyAdm(bpePairCounts(cur), m)
+      cur = bpeApplyAdm(cur, admRow).localCheckpoint()
+      bpeAdmRows(admRow, r)
+    }
+    out.reduce(_ unionAll _)
+  }
+
+  /** Round-start pair counts over a (word, cnt, seq) state — the
+    * batched trainer's count stage: ONE count serves all m selections
+    * (the whole point of batching). Shared by bpeTrainBatchedAt's
+    * offline loop and BpeOnline's per-arrival-batch round.
+    */
+  private def bpePairCounts(cur: DataFrame): DataFrame = {
+    val t = split(col("seq"), " ")
+    cur.select(col("cnt"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("l"),
+            element_at(t, i + 1).as("rgt"))))
+        .otherwise(array().cast("array<struct<l:string,rgt:string>>")))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.rgt").as("rgt"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Greedy token-disjoint top-m admission over a round's pair counts,
+    * returned as the one-row admitted array (checkpointed — the
+    * broadcast side of the apply pass). See bpeTrainBatchedAt's doc
+    * for the selection contract.
+    */
+  private def bpeGreedyAdm(pairs: DataFrame, m: Int): DataFrame =
       // greedy disjoint selection as ONE job, m-independent: the pair
       // table (vocab-bounded — exactly the state a single-node BPE
       // trainer holds in memory) collapses to one deterministically
@@ -537,67 +556,156 @@ object TextQueries {
       // measured O(m²) job overhead that saturated per-merge cost at
       // ~0.13 s (m=16: 2.77 s vs this fold's one tiny job) — the
       // difference between a demo knob and a 30k path.
-      val admRow = pairs
-        .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
-          col("l"), col("rgt"), col("c")))).as("cl"))
-        .select(aggregate(col("cl"),
-          struct(lit(" ").as("blocked"),
-            array().cast("array<struct<l:string,rgt:string,c:bigint>>")
-              .as("adm")),
-          (acc, e) => when(
-            size(acc.getField("adm")) < m &&
-              !acc.getField("blocked")
-                .contains(concat(lit(" "), e.getField("l"), lit(" "))) &&
-              !acc.getField("blocked")
-                .contains(concat(lit(" "), e.getField("rgt"), lit(" "))),
-            struct(
-              concat(acc.getField("blocked"), e.getField("l"), lit(" "),
-                e.getField("rgt"), lit(" ")).as("blocked"),
-              concat(acc.getField("adm"), array(struct(
-                e.getField("l").as("l"), e.getField("rgt").as("rgt"),
-                e.getField("c").as("c")))).as("adm")))
-            .otherwise(acc),
-          acc => acc.getField("adm")).as("adm"))
-        .localCheckpoint()
-      // one-pass batch apply: same fold as the exact loop, with the
-      // membership test against the admitted ARRAY instead of the
-      // single best pair. A just-merged token is CLOSED for the rest
-      // of the pass (marker element appended after a merge, consumed
-      // by the next token): with m = 1 the exact chain needs no flag
-      // because (l||rgt, x) can never equal the one admitted pair,
-      // but with m > 1 a merged token's string could coincide with
-      // another admitted pair's left side — the marker excludes that
-      // cascade by construction, so the pass matches sequential
-      // application over round-start tokens and the driver-side
-      // textbook reference exactly (code-review r12).
-      // \u0001 cannot occur in a token (tokens are whitespace splits
-      // of the ASCII corpus text)
-      val marker = lit("\u0001")
-      cur = cur.crossJoin(broadcast(admRow.select(
-          transform(col("adm"), e => struct(e.getField("l").as("l"),
-            e.getField("rgt").as("rgt"))).as("adm"))))
-        .select(col("word"), col("cnt"),
-          aggregate(split(col("seq"), sep),
-            array().cast("array<string>"),
-            (acc, e) => when(size(acc) === 0, array(e))
-              .when(element_at(acc, -1) === marker,
-                concat(slice(acc, lit(1), size(acc) - 1), array(e)))
-              .when(array_contains(col("adm"),
-                struct(element_at(acc, -1).as("l"), e.as("rgt"))),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), e), marker)))
-              .otherwise(concat(acc, array(e))),
-            acc => array_join(filter(acc, x => x =!= marker), sep))
-            .as("seq"))
-        .localCheckpoint()
-      admRow.select(posexplode(col("adm")))
-        .select(lit(r.toLong).as("round"),
-          (col("pos") + 1L).as("merge_rank"),
-          col("col.l").as("left_tok"), col("col.rgt").as("right_tok"),
-          concat(col("col.l"), col("col.rgt")).as("merged"),
-          col("col.c").as("pair_count"))
+    pairs
+      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
+        col("l"), col("rgt"), col("c")))).as("cl"))
+      .select(aggregate(col("cl"),
+        struct(lit(" ").as("blocked"),
+          array().cast("array<struct<l:string,rgt:string,c:bigint>>")
+            .as("adm")),
+        (acc, e) => when(
+          size(acc.getField("adm")) < m &&
+            !acc.getField("blocked")
+              .contains(concat(lit(" "), e.getField("l"), lit(" "))) &&
+            !acc.getField("blocked")
+              .contains(concat(lit(" "), e.getField("rgt"), lit(" "))),
+          struct(
+            concat(acc.getField("blocked"), e.getField("l"), lit(" "),
+              e.getField("rgt"), lit(" ")).as("blocked"),
+            concat(acc.getField("adm"), array(struct(
+              e.getField("l").as("l"), e.getField("rgt").as("rgt"),
+              e.getField("c").as("c")))).as("adm")))
+          .otherwise(acc),
+        acc => acc.getField("adm")).as("adm"))
+      .localCheckpoint()
+
+  /** One-pass batch apply of an admitted set over a (word, cnt, seq)
+    * state (NOT checkpointed — the caller decides): the same fold as
+    * the exact loop, with the membership test against the admitted
+    * ARRAY instead of the single best pair. A just-merged token is
+    * CLOSED for the rest of the pass (marker element appended after a
+    * merge, consumed by the next token): with m = 1 the exact chain
+    * needs no flag because (l||rgt, x) can never equal the one
+    * admitted pair, but with m > 1 a merged token's string could
+    * coincide with another admitted pair's left side — the marker
+    * excludes that cascade by construction, so the pass matches
+    * sequential application over round-start tokens and the
+    * driver-side textbook reference exactly (code-review r12).
+    * \u0001 cannot occur in a token (tokens are whitespace splits of
+    * the ASCII corpus text). Shared by the offline loop, BpeOnline's
+    * round step AND its new-word catch-up (a later arrival replays
+    * every prior round's admitted set through this same pass).
+    */
+  private def bpeApplyAdm(cur: DataFrame, admRow: DataFrame): DataFrame = {
+    val sep = " "
+    val marker = lit("\u0001")
+    cur.crossJoin(broadcast(admRow.select(
+        transform(col("adm"), e => struct(e.getField("l").as("l"),
+          e.getField("rgt").as("rgt"))).as("adm"))))
+      .select(col("word"), col("cnt"),
+        aggregate(split(col("seq"), sep),
+          array().cast("array<string>"),
+          (acc, e) => when(size(acc) === 0, array(e))
+            .when(element_at(acc, -1) === marker,
+              concat(slice(acc, lit(1), size(acc) - 1), array(e)))
+            .when(array_contains(col("adm"),
+              struct(element_at(acc, -1).as("l"), e.as("rgt"))),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), e), marker)))
+            .otherwise(concat(acc, array(e))),
+          acc => array_join(filter(acc, x => x =!= marker), sep))
+          .as("seq"))
+  }
+
+  /** A round's admitted set as the emitted merge-table rows. */
+  private def bpeAdmRows(admRow: DataFrame, r: Int): DataFrame =
+    admRow.select(posexplode(col("adm")))
+      .select(lit(r.toLong).as("round"),
+        (col("pos") + 1L).as("merge_rank"),
+        col("col.l").as("left_tok"), col("col.rgt").as("right_tok"),
+        concat(col("col.l"), col("col.rgt")).as("merged"),
+        col("col.c").as("pair_count"))
+
+  /** Micro-batch count for the online BPE trainer's gate (doc_id %
+    * BpeOnlineBatches membership, mtime-staged order — the arrival
+    * order is part of the contract, as in the KmMbBatches gates).
+    */
+  private[graft] val BpeOnlineBatches = 4
+
+  /** ONLINE BPE TRAINING — the tokenizer face of the online-training
+    * trio (r15 verdict Next #7; the k-means faces are KmMiniBatch):
+    * the merge table GROWS as documents arrive, each arrival batch
+    * funding one batched-BPE round over the corpus-so-far. Driver-held
+    * state (the KmMiniBatch transactional contract: idempotent per
+    * batch id, commit point after all tables materialize):
+    *
+    *  - the cumulative (word, cnt, seq) dictionary — vocab-bounded,
+    *    exactly the state a streaming single-node BPE trainer holds;
+    *  - the per-round admitted sets (the growing merge table).
+    *
+    * Per batch: arriving word counts fold into the dictionary
+    * (existing words keep their merged seq and add counts; NEW words
+    * enter as character sequences and CATCH UP by replaying every
+    * prior round's admitted set through the shared one-pass apply —
+    * disjointness makes one-pass ≡ sequential, so a late arrival
+    * tokenizes exactly as if it had been present from the start),
+    * then ONE batched round runs on the updated state (round-start
+    * pair counts under the CUMULATIVE weights → greedy disjoint top-m
+    * → one-pass apply) — so round r's merges are chosen by the
+    * corpus-so-far, and a batch arriving under a different order
+    * would learn a DIFFERENT, equally valid, online trajectory. The
+    * oracle unrolls the chain batch-for-batch (bpeTrainOnlineSql):
+    * wrong catch-up, wrong cumulative weights, or a stale-generation
+    * round anywhere hash-mismatches.
+    */
+  private[graft] final class BpeOnline(m: Int = BpeBatchM) {
+    private var cur: Option[DataFrame] = None
+    private var adms: List[DataFrame] = Nil
+    private var emitted: List[DataFrame] = Nil
+    private val applied = scala.collection.mutable.Set.empty[Long]
+
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (applied.contains(batchId)) return // replay of a committed batch
+      val bd = batch.select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val merged = cur match {
+        case None =>
+          bd.select(col("word"), col("cnt"),
+            charSeq(col("word"), " ").as("seq"))
+        case Some(st) =>
+          // existing words: counts grow, merged seq carries over
+          val grown = st
+            .join(bd.select(col("word"), col("cnt").as("bcnt")),
+              Seq("word"), "left")
+            .select(col("word"),
+              (col("cnt") + coalesce(col("bcnt"), lit(0L))).as("cnt"),
+              col("seq"))
+          // new words: char seqs replay every prior round's admission
+          var fresh = bd.join(st.select(col("word")), Seq("word"), "left_anti")
+            .select(col("word"), col("cnt"),
+              charSeq(col("word"), " ").as("seq"))
+          for (a <- adms) fresh = bpeApplyAdm(fresh, a)
+          grown.unionByName(fresh)
+      }
+      val admRow = bpeGreedyAdm(bpePairCounts(merged), m)
+      val newCur = bpeApplyAdm(merged, admRow).localCheckpoint()
+      val rows = bpeAdmRows(admRow, adms.length + 1).localCheckpoint()
+      // commit point (the KmMiniBatch contract): all state materialized
+      // above — a failure leaves the trainer untouched, a redelivery
+      // re-applies instead of no-oping over half-updated state
+      cur = Some(newCur)
+      adms = adms :+ admRow
+      emitted = emitted :+ rows
+      applied.add(batchId)
     }
-    out.reduce(_ unionAll _)
+
+    /** The merge table learned so far (round r = arrival batch r-1). */
+    def result(): DataFrame = {
+      require(emitted.nonEmpty,
+        "result() before any arrival batch — the gate must drive " +
+          "update at least once")
+      emitted.reduce(_ unionAll _)
+    }
   }
 
   /** BPE ENCODE — the train/serve face text_bpe_tokenize lacks:
@@ -707,6 +815,111 @@ object TextQueries {
     * reference is a third). MATERIALIZED throughout (the bpeCtes
     * rationale).
     */
+  /** The one-pass apply fold as a SQL SELECT over a (word, cnt, seq)
+    * source CTE and an admitted-list CTE — the oracle twin of
+    * bpeApplyAdm, shared by the offline batched chain (seqB$r), the
+    * online chain's round apply (seqO$r) AND its new-word catch-up
+    * (newO CTEs), so the parity-critical fold lives in exactly one
+    * string for all three.
+    */
+  private def bpeApplySqlSelect(src: String, adml: String): String = s"""
+        SELECT word, cnt,
+          CASE WHEN ends_with(rawseq, ' ' || chr(1))
+               THEN rawseq[1:len(rawseq) - 2] ELSE rawseq END AS seq
+        FROM (
+          SELECT word, cnt,
+            -- chr(1) marker element = the just-merged token is CLOSED
+            -- for the rest of the pass (the Spark fold's device)
+            list_reduce(list_prepend('', string_split(seq, ' ')),
+              (acc, e) -> CASE
+                WHEN acc = '' THEN e
+                WHEN list_extract(string_split(acc, ' '),
+                       len(string_split(acc, ' '))) = chr(1)
+                  THEN array_to_string(
+                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                         ' ') || ' ' || e
+                WHEN list_contains(a.s,
+                       {'l': list_extract(string_split(acc, ' '),
+                               len(string_split(acc, ' '))), 'rgt': e})
+                  THEN array_to_string(list_append(
+                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
+                         list_extract(string_split(acc, ' '),
+                           len(string_split(acc, ' '))) || e), ' ')
+                       || ' ' || chr(1)
+                ELSE acc || ' ' || e END) AS rawseq
+          FROM $src, $adml a)"""
+
+  /** stream_bpe_train_online's oracle: the online trainer's chain
+    * unrolled batch-for-batch. Per round r: the CUMULATIVE dictionary
+    * over arrived docs (doc_id % batches < r), the new-word catch-up
+    * (words first seen in batch r-1 enter as char sequences and
+    * replay admlO1..admlO{r-1} in order through the shared apply
+    * fold), the round-start pair counts under cumulative weights, the
+    * same greedy-disjoint top-m admission CTEs as the batched oracle,
+    * and the round's one-pass apply — so a wrong catch-up, stale
+    * weights, or a skipped generation anywhere hash-mismatches.
+    */
+  private[queries] def bpeTrainOnlineSql(batches: Int = BpeOnlineBatches,
+                                         m: Int = BpeBatchM): String = {
+    val charSeqSql =
+      "array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')"
+    val roundCtes = (1 to batches).map { r =>
+      val admCtes = (1 to m).map { k =>
+        val from =
+          (s"pairsO$r p" +: (1 until k).map(j => s"admO${r}_$j a$j"))
+            .mkString(", ")
+        val disj = (1 until k).map(j =>
+          s"p.l <> a$j.l AND p.l <> a$j.rgt AND p.rgt <> a$j.l AND p.rgt <> a$j.rgt")
+          .mkString("\n          AND ")
+        val where = if (k == 1) "" else s"\n        WHERE $disj"
+        s"""admO${r}_$k AS MATERIALIZED (
+        SELECT p.l, p.rgt, p.c FROM $from$where
+        ORDER BY p.c DESC, p.l, p.rgt LIMIT 1)"""
+      }.mkString(",\n      ")
+      val dict = s"""dictO$r AS MATERIALIZED (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest($wordsSql) AS w FROM documents
+              WHERE doc_id % $batches < $r) GROUP BY w)"""
+      val seqIn =
+        if (r == 1) s"""seqIn1 AS MATERIALIZED (
+        SELECT word, cnt, $charSeqSql AS seq FROM dictO1)"""
+        else {
+          val catchup = (1 until r).map(j =>
+            s"""newO${r}_$j AS (${bpeApplySqlSelect(s"newO${r}_${j - 1}", s"admlO$j")})""")
+            .mkString(",\n      ")
+          s"""newO${r}_0 AS MATERIALIZED (
+        SELECT d.word, d.cnt, $charSeqSql AS seq
+        FROM dictO$r d LEFT JOIN seqO${r - 1} s USING (word)
+        WHERE s.word IS NULL),
+      $catchup,
+      seqIn$r AS MATERIALIZED (
+        SELECT d.word, d.cnt, s.seq
+        FROM dictO$r d JOIN seqO${r - 1} s USING (word)
+        UNION ALL SELECT word, cnt, seq FROM newO${r}_${r - 1})"""
+        }
+      s"""$dict,
+      $seqIn,
+      tokO$r AS (SELECT cnt, string_split(seq, ' ') AS t FROM seqIn$r),
+      pairsO$r AS MATERIALIZED (
+        SELECT t[i] AS l, t[i+1] AS rgt, sum(cnt) AS c
+        FROM tokO$r, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      $admCtes,
+      admlO$r AS MATERIALIZED (
+        SELECT list(struct_pack(l := l, rgt := rgt)) AS s
+        FROM (${(1 to m).map(k => s"SELECT l, rgt FROM admO${r}_$k")
+          .mkString(" UNION ALL ")})),
+      seqO$r AS MATERIALIZED (${bpeApplySqlSelect(s"seqIn$r", s"admlO$r")})"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $roundCtes
+      ${(1 to batches).flatMap(r => (1 to m).map(k =>
+        s"""SELECT $r AS round, $k AS merge_rank, l AS left_tok,
+             rgt AS right_tok, l || rgt AS merged,
+             CAST(c AS BIGINT) AS pair_count FROM admO${r}_$k"""))
+        .mkString(" UNION ALL ")}"""
+  }
+
   private def bpeTrainBatchedSql(rounds: Int = BpeBatchRounds,
                                  m: Int = BpeBatchM): String = {
     val roundCtes = (1 to rounds).map { r =>
@@ -732,32 +945,7 @@ object TextQueries {
         SELECT list(struct_pack(l := l, rgt := rgt)) AS s
         FROM (${(1 to m).map(k => s"SELECT l, rgt FROM admB${r}_$k")
           .mkString(" UNION ALL ")})),
-      seqB$r AS MATERIALIZED (
-        SELECT word, cnt,
-          CASE WHEN ends_with(rawseq, ' ' || chr(1))
-               THEN rawseq[1:len(rawseq) - 2] ELSE rawseq END AS seq
-        FROM (
-          SELECT word, cnt,
-            -- chr(1) marker element = the just-merged token is CLOSED
-            -- for the rest of the pass (the Spark fold's device)
-            list_reduce(list_prepend('', string_split(seq, ' ')),
-              (acc, e) -> CASE
-                WHEN acc = '' THEN e
-                WHEN list_extract(string_split(acc, ' '),
-                       len(string_split(acc, ' '))) = chr(1)
-                  THEN array_to_string(
-                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
-                         ' ') || ' ' || e
-                WHEN list_contains(a.s,
-                       {'l': list_extract(string_split(acc, ' '),
-                               len(string_split(acc, ' '))), 'rgt': e})
-                  THEN array_to_string(list_append(
-                         string_split(acc, ' ')[1:len(string_split(acc, ' ')) - 1],
-                         list_extract(string_split(acc, ' '),
-                           len(string_split(acc, ' '))) || e), ' ')
-                       || ' ' || chr(1)
-                ELSE acc || ' ' || e END) AS rawseq
-          FROM seqB${r - 1}, admlB$r a))"""
+      seqB$r AS MATERIALIZED (${bpeApplySqlSelect(s"seqB${r - 1}", s"admlB$r")})"""
     }.mkString(",\n      ")
     s"""
       WITH dictB AS MATERIALIZED (

@@ -498,6 +498,40 @@ object VectorQueries {
         col("m.clabel").as("cell"), cdotCol.as("cdot")) ++ carry: _*)
   }
 
+  /** STATELESS SemDeDup admission under the trained quantizer — the
+    * streaming e2e curation composite's semantic-dedup stage: arriving
+    * (vec_id, qe [, carry...]) rows assign to their trained cell as a
+    * pure broadcast expression (semdedupArriving, the admission gates'
+    * shared device) and DROP iff a static member of that cell
+    * dominates them — the identical rule semdedupStreamAdmit's grouped
+    * form applies (near-duplicate above DedupCos, dominator's
+    * (cdot, id) smaller), expressed as a stream-static LEFT ANTI join
+    * so the whole composite stays stateless end-to-end and can run
+    * APPEND through the production parquet sink with no watermark. At
+    * 100 TB the anti join's static side is the cell-partitioned member
+    * store — the arriving row's cell key prunes it to one inverted
+    * list, per-arrival cost bounded by cell width.
+    */
+  private[graft] def semdedupAdmitStateless(qs: DataFrame,
+                                            s: SparkSession, d: String,
+                                            carry: Seq[Column] = Nil): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = kmCentroids(e)
+    val carr = cents.select(col("kcell").as("clabel"), col("karr").as("carr"))
+    val statics = kmAssignedScored(e, cents)
+      .select(col("cell").as("ncell"), col("vec_id").as("nb_id"),
+        col("embedding").as("eb"), col("cdot").as("ncdot"))
+      .localCheckpoint()
+    semdedupArriving(qs, carr, carry, byL2 = true)
+      .join(statics,
+        col("ncell") === col("cell") &&
+          col("nb_id") =!= col("vec_id") &&
+          dot(col("qe"), col("eb")) >= DedupCos &&
+          struct(col("ncdot"), col("nb_id")) <
+            struct(col("cdot"), col("vec_id")),
+        "left_anti")
+  }
+
   /** The trained centroid table for a data dir — ivfCentroids exposed
     * for the spec that measures admission-side partition pruning.
     */
@@ -635,8 +669,13 @@ object VectorQueries {
     private val frozen = kmCentroids(Tables.embeddings(s, d))
     private var cum: Option[DataFrame] = None
     private var cents: DataFrame = frozen
-    private var served: Option[DataFrame] = None
-    private var servedTopk: Option[DataFrame] = None
+    // Served emissions accumulate as a LIST of per-batch checkpointed
+    // frames, unioned lazily at the result call — checkpointing only
+    // the new batch keeps emission work linear in batch count (ADVICE
+    // r15: checkpointing the whole union each step re-materialized
+    // every prior batch's rows per step, quadratic in batches).
+    private var served: List[DataFrame] = Nil
+    private var servedTopk: List[DataFrame] = Nil
     private val applied = scala.collection.mutable.Set.empty[Long]
 
     /** One MacQueen training step (stream_kmeans_minibatch's body). */
@@ -686,32 +725,25 @@ object VectorQueries {
       // r): corpus index and the batch's query probe lists both under
       // the CURRENT centroids, then the shared exact re-rank tail.
       // The emission is query-count-bounded (≤ 3 rows per query).
-      val newServedTopk = if (!ivf) servedTopk else {
+      val newServedTopk = if (!ivf) None else {
         val corpusIdx = kmAssigned(Tables.embeddings(s, d), cents)
           .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
             col("embedding"))
         val probed = kmProbeSelection(bscored.get, NProbe)
         val q = batch.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val cur = ivfTopkTail(corpusIdx, probed, q)
-        Some(servedTopk.fold(cur)(_.unionAll(cur)).localCheckpoint())
+        Some(ivfTopkTail(corpusIdx, probed, q).localCheckpoint())
       }
-      val sums = kmAssignedSums(assigned)
-      val newCum = cum.fold(sums)(prev =>
-        prev.unionAll(sums).groupBy(col("kcell")).agg(
-          sum(col("n")).as("n"),
-          (0 until Dim).map(i => sum(col(s"c$i")).as(s"c$i")): _*))
-        .localCheckpoint()
-      val newCents = kmCumCentroids(frozen, newCum).localCheckpoint()
+      val (newCum, newCents) = macQueenFold(assigned)
       // The served emission accumulates as checkpointed executor
       // blocks — the gate-local stand-in for the production sink
       // append this emission IS at scale (each batch's rows land in
       // the sink exactly once, guarded by the same batch-id
-      // idempotence).
-      val newServed = if (!serve) served else Some(served.fold(
-        assigned.select(col("vec_id"), col("kcell")))(prev =>
-          prev.unionAll(assigned.select(col("vec_id"), col("kcell"))))
-        .localCheckpoint())
+      // idempotence). `assigned` is already checkpointed on the serve
+      // path, so the projection reads materialized blocks.
+      val newServed =
+        if (!serve) None
+        else Some(assigned.select(col("vec_id"), col("kcell")))
       // Commit point: the id joins `applied` only after ALL state
       // tables are materialized — a failure anywhere above leaves the
       // instance untouched, so a redelivery of the same id RE-APPLIES
@@ -719,10 +751,113 @@ object VectorQueries {
       // transactional half of the replay contract).
       cum = Some(newCum)
       cents = newCents
-      served = newServed
-      servedTopk = newServedTopk
+      newServed.foreach(f => served = served :+ f)
+      newServedTopk.foreach(f => servedTopk = servedTopk :+ f)
       applied.add(batchId)
     }
+    /** The MacQueen fold shared by every serving mode: the batch's
+      * per-cell integer sums folded into the cumulative state, the
+      * centroids moved to the cumulative means (empty cells keep the
+      * frozen centroid). Returns the two checkpointed state tables
+      * WITHOUT assigning them — the caller's one commit point decides
+      * when the step becomes visible.
+      */
+    private def macQueenFold(assigned: DataFrame): (DataFrame, DataFrame) = {
+      val sums = kmAssignedSums(assigned)
+      val newCum = cum.fold(sums)(prev =>
+        prev.unionAll(sums).groupBy(col("kcell")).agg(
+          sum(col("n")).as("n"),
+          (0 until Dim).map(i => sum(col(s"c$i")).as(s"c$i")): _*))
+        .localCheckpoint()
+      (newCum, kmCumCentroids(frozen, newCum).localCheckpoint())
+    }
+
+    // ---- drift-gated epoch state (serveIvfDriftAndUpdate) ----------
+    // The inverted lists last built, and the quantizer generation they
+    // were built under. Rebuilding is IDEMPOTENT (re-assigning the
+    // corpus under the same generation yields the identical index), so
+    // these two may mutate ahead of the batch commit point: a replay
+    // after a mid-batch failure recomputes drift vs the already-moved
+    // idxCents as 0, skips the rebuild, and serves the identical index
+    // the failed attempt would have.
+    private var idxCents: DataFrame = frozen
+    private var idxCorpus: Option[DataFrame] = None
+    private var rebuilt: List[Long] = Nil
+
+    /** Drift-gated IVF serving under the moving quantizer
+      * (stream_ann_ivf_online_topk_drift's body) — the production
+      * epoch-rebuild protocol serveIvfAndUpdate's doc argues, now as a
+      * measured knob: the corpus inverted lists rebuild ONLY when the
+      * quantizer has drifted past KmDriftRebuild since the last
+      * rebuild (max per-cell squared L2 movement, exact fixed-point —
+      * kmDriftFp2); intervening batches serve from the STALE index
+      * with their probe lists under the SAME stale generation (cells
+      * are defined by the index's centroids — probing a newer
+      * quantizer against older lists would mix generations). Training
+      * is untouched: every batch's MacQueen step assigns under the
+      * CURRENT centroids, so the trainer trajectory is identical to
+      * serveIvfAndUpdate's and the oracle reuses the same unrolled
+      * chain, adding only the drift decisions (kmDriftDecisionSql).
+      * Re-assignment work is sub-linear in batch count whenever the
+      * gate skips (measured: graft.DriftCurve, ScalingCheck r16); the
+      * recall cost of staleness is floor-pinned in VectorSpec.
+      *
+      * The drift scalar is a one-row action over two KmCells-row
+      * tables — the gate's per-batch control decision (the class the
+      * batch-id bookkeeping is in), O(KmCells) driver work, never a
+      * data materialization.
+      */
+    def serveIvfDriftAndUpdate(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (applied.contains(batchId)) return // replay of a committed batch
+      val rebuild = idxCorpus.isEmpty ||
+        kmDriftFp2(cents, idxCents) > KmDriftRebuild
+      if (rebuild) {
+        idxCents = cents
+        idxCorpus = Some(kmAssigned(Tables.embeddings(s, d), idxCents)
+          .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+            col("embedding"))
+          .localCheckpoint())
+        rebuilt = rebuilt :+ batchId
+      }
+      // Serving half, wholly under the INDEX generation: the batch's
+      // query probe lists score against idxCents, the corpus side is
+      // the (possibly stale) checkpointed inverted lists — no
+      // re-assignment on the skip path.
+      val bscoredIdx = kmScored(batch, idxCents).localCheckpoint()
+      val probed = kmProbeSelection(bscoredIdx, NProbe)
+      val q = batch.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cur = ivfTopkTail(idxCorpus.get, probed, q).localCheckpoint()
+      // MacQueen step under the CURRENT centroids — on a rebuild batch
+      // the index generation IS the current one, so the serving scan
+      // doubles as the training assignment (the one-scan contract);
+      // on a skip batch the two generations differ and the batch
+      // scores once more under the current quantizer.
+      val assigned =
+        if (rebuild) kmAssignedFromScored(bscoredIdx)
+        else kmAssigned(batch, cents)
+      val (newCum, newCents) = macQueenFold(assigned)
+      // Commit point (the update/serve contract): all state tables are
+      // materialized above; a failure earlier leaves the trainer
+      // untouched and the id un-applied.
+      cum = Some(newCum)
+      cents = newCents
+      servedTopk = servedTopk :+ cur
+      applied.add(batchId)
+    }
+
+    /** Batch ids at which the drift gate rebuilt the inverted lists
+      * (batch 0 always — the initial build). The measurement surface
+      * for the sub-linear re-assignment claim (DriftCurve, VectorSpec).
+      */
+    def rebuildLog: Seq[Long] = rebuilt
+
+    /** The current centroid table (generation = number of applied
+      * batches) — exposed for graft.DriftCurve's decision-curve
+      * measurement.
+      */
+    private[graft] def centroidTable: DataFrame = cents
+
     def result(): DataFrame = kmUnnest(cents)
 
     /** Every batch's served (vec_id, kcell) assignments — batch r's
@@ -731,9 +866,9 @@ object VectorQueries {
     def servedResult(): DataFrame = {
       require(served.nonEmpty,
         "servedResult() before any served batch — the gate must drive " +
-          "update(serve = true) at least once (empty stream, or a " +
+          "serveAndUpdate at least once (empty stream, or a " +
           "train-only instance?)")
-      served.get
+      served.reduce(_ unionAll _)
     }
 
     /** Every batch's served IVF top-3 — batch r's queries probed the
@@ -743,7 +878,7 @@ object VectorQueries {
       require(servedTopk.nonEmpty,
         "servedTopkResult() before any served batch — the gate must " +
           "drive serveIvfAndUpdate at least once")
-      servedTopk.get
+      servedTopk.reduce(_ unionAll _)
     }
   }
 
@@ -845,12 +980,147 @@ object VectorQueries {
         ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
   }
 
+  /** One generation-pair drift scalar for the oracle — the exact
+    * integer kmDriftFp2 computes between mbc$r and mbc$g: FLOOR
+    * fixed-point quantization per coordinate, BIGINT squared deltas
+    * summed per cell, MAX over cells. A scalar subquery, so the
+    * decision CTE can name every (r, g) pair it may need.
+    */
+  private def kmDriftPairSql(r: Int, g: Int): String = {
+    val qa = s"CAST(FLOOR(a.karr[i] * ${CentScale}.0 + 0.5) AS BIGINT)"
+    val qb = s"CAST(FLOOR(b.karr[i] * ${CentScale}.0 + 0.5) AS BIGINT)"
+    s"""(SELECT MAX(d2) FROM (
+            SELECT a.kcell, SUM(($qa - $qb) * ($qa - $qb)) AS d2
+            FROM mbc$r a JOIN mbc$g b USING (kcell),
+                 (SELECT unnest(range(1, ${Dim + 1})) AS i) di
+            GROUP BY a.kcell) t)"""
+  }
+
+  /** stream_ann_ivf_online_topk_drift's oracle: the SAME unrolled
+    * MacQueen chain as the always-rebuild gate (training is identical
+    * — the drift gate changes only which generation SERVES), plus the
+    * drift rule stated in SQL: `gens` computes, per batch r, the
+    * active index generation g_r by the engine's own recurrence
+    * (g_0 = 0; g_r = r when the fixed-point drift between the current
+    * quantizer mbc_r and the last-rebuilt mbc_{g_{r-1}} exceeds
+    * KmDriftRebuild, else g_{r-1}), and each batch's COMPLETE IVF
+    * serving chain — full-corpus inverted lists AND the batch's query
+    * probe lists — runs under the SELECTED generation's centroids
+    * (srvc$r), so a rebuild the engine skipped, or a skip it took,
+    * hash-mismatches the emission rather than just drifting recall.
+    */
+  private[queries] lazy val kmOnlineIvfDriftTopkOracleSql: String = {
+    val nb = KmMbBatches
+    val driftRow = (1 until nb).flatMap(r => (0 until r).map(g =>
+      s"${kmDriftPairSql(r, g)} AS d${r}_$g")).mkString(",\n             ")
+    val gensSql = {
+      var q = s"SELECT 0 AS g0,\n             $driftRow"
+      for (r <- 1 until nb) {
+        val pick = s"(CASE g${r - 1}${(0 until r)
+          .map(g => s" WHEN $g THEN d${r}_$g").mkString} END)"
+        q = s"SELECT *, CASE WHEN $pick > $KmDriftRebuild THEN $r ELSE g${r - 1} END AS g$r FROM ($q)"
+      }
+      s"gens AS MATERIALIZED ($q)"
+    }
+    val srvc = (0 until nb).map { r =>
+      val union = (0 to r).map(g => s"SELECT $g AS g, kcell, karr FROM mbc$g")
+        .mkString("\n            UNION ALL ")
+      s"""srvc$r AS MATERIALIZED (
+          SELECT u.kcell, u.karr FROM ($union) u
+          WHERE u.g = (SELECT g$r FROM gens))"""
+    }.mkString(",\n      ")
+    val perBatch = (0 until nb).map { r =>
+      s"""SELECT qid, nn_id, rnk, cos_sim FROM (
+        WITH oad$r AS (${kmDistSql(s"srvc$r")}),
+        assigned AS (
+          SELECT vec_id AS nn_id, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rnk
+            FROM oad$r) t WHERE rnk = 1),
+        probed AS (
+          SELECT vec_id AS qid, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
+            FROM oad$r
+            WHERE vec_id < $NQueries AND vec_id % $nb = $r) t
+          WHERE crn <= $NProbe),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < $NQueries AND vec_id % $nb = $r),
+        $ivfTopkTailSql) srv$r"""
+    }
+    s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until nb).map(mbRoundSql(_, nb)).mkString(",\n      ")},
+      $gensSql,
+      $srvc
+      SELECT qid, nn_id, rnk, cos_sim FROM (
+        ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
+  }
+
   /** Micro-batch count for the sequential trainer's gate (vec_id %
     * KmMbBatches membership, staged by mtime — order is part of the
     * contract: a different arrival order gives a DIFFERENT, equally
     * valid, online-training trajectory).
     */
   private[graft] val KmMbBatches = 4
+
+  /** Max per-cell squared L2 drift between two centroid tables, in
+    * EXACT fixed-point arithmetic: each coordinate quantizes as
+    * floor(c·CentScale + 0.5) (the training sums' own device), the
+    * per-cell sum of squared coordinate deltas is a pure BIGINT sum,
+    * and the max over cells is the drift scalar. Integer end-to-end,
+    * so the engine and the oracle compute the IDENTICAL value and the
+    * rebuild decision can sit on an equality-sharp threshold with no
+    * FP-associativity risk (the reason the metric is not a double
+    * norm). One row over two KmCells-row tables — O(KmCells) work.
+    */
+  private[graft] def kmDriftFp2(a: DataFrame, b: DataFrame): Long = {
+    def q(df: DataFrame, p: String) = df.select(col("kcell") +:
+      (0 until Dim).map(i => floor(element_at(col("karr"), i + 1)
+        * lit(CentScale.toDouble) + lit(0.5)).cast("long").as(s"$p$i")): _*)
+    val d2 = (0 until Dim).map { i =>
+      val d = col(s"a$i") - col(s"b$i"); d * d
+    }.reduce(_ + _)
+    q(a, "a").join(q(b, "b"), "kcell")
+      .select(d2.as("d2")).agg(max(col("d2")).as("m"))
+      .head().getLong(0)
+  }
+
+  /** Drift threshold for the online IVF gate's epoch rebuild, in
+    * squared fixed-point units: rebuild when some cell's centroid has
+    * moved more than 0.25 in L2 since the lists were last built —
+    * (0.25·2²⁴)² ≈ 1.76e13 in the integer metric. Chosen from the
+    * measured decision curve (graft.DriftCurve at sf0.01, the gate's
+    * own MacQueen trajectory; drift d2 = max-cell squared movement):
+    *   d(1,0)=4.51e13  d(2,1)=1.65e13  d(3,1)=2.09e13  d(3,2)=4.48e12
+    * so the recurrence rebuilds at batch 1 (the first step's jump
+    * while the cumulative state is thin), SKIPS batch 2 (movement
+    * under threshold — served from the generation-1 lists), and
+    * rebuilds at batch 3 (drift vs the stale generation ACCUMULATED
+    * past the gate — the exact production trigger). Both branches,
+    * including the accumulation path, are exercised on the gate
+    * corpus; VectorSpec pins the mixed sequence and the recall cost
+    * of the stale epoch (0.5567 vs 0.5633 always-rebuild — 2 of 300
+    * brute pairs for one skipped rebuild).
+    *
+    * The knob's scale behavior runs the right way by construction:
+    * per-batch centroid movement SHRINKS as the cumulative mass grows
+    * (MacQueen's 1/n step size), so the rebuild cadence drops with
+    * corpus size — measured sequences 0,1,3 at sf0.001 and sf0.01
+    * but 0 alone at sf0.1 (max drift 5.3e12 < threshold: every batch
+    * after the initial build served from the generation-0 lists,
+    * recall 0.6233 vs the always-rebuild twin's 0.5867 — staleness
+    * cost ZERO on this trajectory). At 100 TB that is the production
+    * protocol: one index build amortized over the whole epoch's
+    * traffic, re-assignment work sub-linear in generation count
+    * (ScalingCheck r16 measures the twin gap).
+    */
+  private[graft] val KmDriftRebuild: Long = {
+    val eps = 0.25
+    val s = eps * CentScale.toDouble
+    (s * s).toLong
+  }
 
   /** SemDeDup with the pair scan's CELL COVERAGE as a knob (r12
     * verdict #3 — the paper's "multiple assignments" mitigation for
@@ -1218,21 +1488,33 @@ object VectorQueries {
     * is the final assignment every IVF consumer needs anyway.
     * Recall band: see the ann_ivf_kmeans_sampled_topk query doc;
     * VectorSpec pins the floor.
+    *
+    * The production default IS exercised (r15 verdict Next #4):
+    * VectorSpec runs the sampler at perCell = 256 on every gate
+    * corpus and pins the documented degeneration — cap 2560 exceeds
+    * all three corpora (500/500/2000 vectors), so the derived modulus
+    * is 1 and the sample IS the corpus, exactly FAISS's own behavior
+    * under its cap — next to the registered 25, which samples 8:1 on
+    * sf0.1. The arithmetic is the same `max(1, ceil(n/cap))` either
+    * way; only the corpus-to-cap ratio decides.
     */
   private[graft] val KmTrainPerCell = 25
 
   /** The absolute training-set cap for a cell count — FAISS's
     * max_points_per_centroid × k.
     */
-  private def kmTrainCap(cells: Int): Long = KmTrainPerCell.toLong * cells
+  private def kmTrainCap(cells: Int,
+                         perCell: Int = KmTrainPerCell): Long =
+    perCell.toLong * cells
 
   /** The deterministic size-targeted training sample: corpus-derived
     * modulus (one-row broadcast — the lazy corpus-constant device) ×
     * the shared Portable.bucket high-bit slice. floor of the double
     * division is exact here (n + cap − 1 ≪ 2^52).
     */
-  private def kmTrainSample(e: DataFrame, cells: Int = KmCells): DataFrame = {
-    val cap = kmTrainCap(cells)
+  private def kmTrainSample(e: DataFrame, cells: Int = KmCells,
+                            perCell: Int = KmTrainPerCell): DataFrame = {
+    val cap = kmTrainCap(cells, perCell)
     val m = e.agg(greatest(lit(1L),
       floor((count(lit(1)) + lit(cap - 1)) / lit(cap.toDouble)).cast("long"))
       .as("kmod"))
@@ -1245,8 +1527,9 @@ object VectorQueries {
     * the VectorSpec size-targeting pin (the sample's size must stay
     * ~KmTrainPerCell·k as the corpus grows).
     */
-  private[graft] def kmTrainSampleOf(s: SparkSession, d: String): DataFrame =
-    kmTrainSample(Tables.embeddings(s, d))
+  private[graft] def kmTrainSampleOf(s: SparkSession, d: String,
+                                     perCell: Int = KmTrainPerCell): DataFrame =
+    kmTrainSample(Tables.embeddings(s, d), perCell = perCell)
 
   /** Oracle twin of [[kmTrainSample]]: the same ceil-division modulus
     * as a scalar subquery (BIGINT `//` — no float), the same bucket.
@@ -1992,6 +2275,28 @@ object VectorQueries {
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adot DESC, clabel) AS crn
         FROM scored_cells)"""
 
+  /** ann_ivf_topk's complete oracle — shared verbatim with the
+    * persisted-index face (ann_ivf_persisted_topk serves the same
+    * results from the cell-partitioned artifact, so the two rows pin
+    * each other: an artifact that drifts from the in-plan assignment
+    * hash-mismatches).
+    */
+  private lazy val ivfLabelTopkSql: String = s"""
+      WITH $ivfCellCtesSql,
+      assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
+      probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
+                 WHERE vec_id < $NQueries AND crn <= $NProbe),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+      $ivfTopkTailSql"""
+
+  /** Deterministic per-corpus location of the persisted inverted-list
+    * store (under the JVM temp root — the artifact is a rebuildable
+    * index cache, not source data). Exposed for PartitioningSpec's
+    * pruned-read assertions against the registered query's own store.
+    */
+  private[graft] def ivfStorePath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_${math.abs(d.hashCode)}"
+
   /** Oracle twin of adcCodesAndLut, closing over the PQ CTEs: the
     * assigned code table, and the query LUT as pqdists RESTRICTED to
     * the query rows — the identical q×cb integer distance the
@@ -2168,6 +2473,39 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       ivfTopkTail(assigned, probed, q)
+    }),
+
+    // THE PERSISTED INDEX (r15 verdict Next #3): every serving gate
+    // above rebuilds its inverted lists in-plan; at 100 TB the cell
+    // join IS the storage layout — the index written once, partitioned
+    // by cell on disk, and a query's probe list a partition-pruned
+    // read of NProbe directories. This row makes that claim a
+    // CORRECTNESS surface instead of a doc argument: the assignment is
+    // written as a cell-partitioned parquet artifact (repartition(cell)
+    // first, so each cell's inverted list is exactly one file — the
+    // clustered write a production index build does), and serving
+    // reads the ARTIFACT: the broadcast probe join runs against the
+    // store scan with dynamic partition pruning turning it into a read
+    // of only the probed cells' partitions. PartitioningSpec pins the
+    // physical plan: files read = NProbe on a one-query lookup, DPP
+    // predicate present on this query's own store scan. The oracle is
+    // ann_ivf_topk's verbatim — a persisted index that drifts from the
+    // in-plan assignment hash-mismatches, not just slows down.
+    "ann_ivf_persisted_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val carr = ivfCentroids(e)
+      def scoredCells = ivfScoredCells(e, carr)
+      val store = ivfStorePath(d)
+      ivfAssignedFrom(e, carr)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(store)
+      val idx = s.read.parquet(store)
+        .select(col("nn_id"), col("embedding"),
+          col("cell").cast("int").as("cell"))
+      val probed = probeSelection(scoredCells, NProbe)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      ivfTopkTail(idx, probed, q)
     }),
 
     // Unsupervised coarse-quantizer training — Lloyd k-means over the
@@ -2619,13 +2957,10 @@ object VectorQueries {
       FROM ranked WHERE rnk <= 3""",
     // Mirrors the Spark plan constant-for-constant: fixed-point integer
     // centroid sums, index-ordered centroid-dot folds, same tie-breaks.
-    "ann_ivf_topk" -> s"""
-      WITH $ivfCellCtesSql,
-      assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells WHERE crn = 1),
-      probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
-                 WHERE vec_id < $NQueries AND crn <= $NProbe),
-      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
-      $ivfTopkTailSql""",
+    "ann_ivf_topk" -> ivfLabelTopkSql,
+    // The persisted-index face serves the IDENTICAL results from the
+    // cell-partitioned artifact — one oracle definition for both.
+    "ann_ivf_persisted_topk" -> ivfLabelTopkSql,
     "vec_kmeans_assign" -> s"""
       WITH ${kmCtesSql()}
       SELECT vec_id, CAST(kcell AS BIGINT) AS cell FROM kmranked WHERE crn = 1""",

@@ -561,6 +561,31 @@ class CoreSpec extends GraftSpec {
       "exact must recount after (a,b) and find the chained (ab,c)")
   }
 
+  test("online BPE: a late-arriving word catches up through every prior round's merges") {
+    // The online trainer's two contracts on a planted fixture: (a) a
+    // word first seen in batch 1 enters tokenized under round 1's
+    // merges (catch-up), so round 2's top pair is (xy, z) at count 5
+    // — without catch-up it would be (x, y) again at 5; (b) replaying
+    // a committed batch id is a no-op (the KmMiniBatch transactional
+    // contract — a redelivered batch cannot double-learn).
+    import spark.implicits._
+    def df(text: String, id: Long) =
+      Seq((id, text, "en", "fix", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val st = new graft.queries.TextQueries.BpeOnline(m = 1)
+    st.update(df(Seq.fill(10)("xy").mkString(" "), 0L), 0L)
+    st.update(df(Seq.fill(5)("xyz").mkString(" "), 1L), 1L)
+    st.update(df(Seq.fill(5)("xyz").mkString(" "), 1L), 1L) // replay
+    val got = st.result().collect().map(r => (r.getLong(0), r.getString(2),
+      r.getString(3), r.getString(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (1L, "x", "y", "xy", 10L),
+      (2L, "xy", "z", "xyz", 5L)),
+      s"online chain drifted: $got — round 2 must see the new word " +
+        "already carrying round 1's merge, and the replayed batch " +
+        "must not have re-learned")
+  }
+
   test("bounded substring dedup: cross-window residue is measured, not just documented") {
     // stream_dedup_substring_wm's bounded regime sheds duplicate grams
     // whose occurrences straddle arrival-day windows — the documented

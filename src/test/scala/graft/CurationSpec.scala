@@ -276,7 +276,7 @@ class CurationSpec extends GraftSpec {
     rows.groupBy(_._1).foreach { case (_, shardRows) =>
       var cum = 0L
       shardRows.sortBy(_._2).foreach { case (_, _, n, bin) =>
-        assert(bin === cum / 512,
+        assert(bin === cum / graft.queries.CurationQueries.PackBudget,
           "bin must be tokens-before-this-doc div budget")
         cum += n
       }
@@ -323,7 +323,7 @@ class CurationSpec extends GraftSpec {
     out.groupBy(_._2).foreach { case (_, shardRows) =>
       var cum = 0L
       shardRows.sortBy(_._1).foreach { case (_, _, n, bin) =>
-        assert(bin === cum / 512)
+        assert(bin === cum / graft.queries.CurationQueries.PackBudget)
         cum += n
       }
     }

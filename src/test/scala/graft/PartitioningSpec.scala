@@ -85,6 +85,52 @@ class PartitioningSpec extends GraftSpec {
     assert(q.count() === expected)
   }
 
+  test("ann_ivf_persisted_topk: the registered store reads exactly NProbe cell partitions per lookup") {
+    // The registered persisted-index row (r15 verdict Next #3): the
+    // query itself writes the cell-partitioned artifact with one file
+    // per cell (the repartition(cell) clustered write), so a one-query
+    // serving lookup must read EXACTLY its NProbe probed cells' files
+    // — the 100 TB claim ("probe list = partition-pruned read") on the
+    // registered query's own store, not a fixture.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    // invoking the registered query builds (overwrites) the store
+    val registered = vq.queries("ann_ivf_persisted_topk")(spark, sf)
+    assert(registered.count() > 0)
+    val store = vq.ivfStorePath(sf)
+    val cellDirs = new java.io.File(store).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs >= 10, s"expected >= 10 cell partitions, got $cellDirs")
+    // one query's probe list, resolved through the registered probe face
+    val cells = vq.ivfProbedCells(spark, sf).filter(col("qid") === 42)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(cells.length === vq.NProbe)
+    val pruned = spark.read.parquet(store)
+      .filter(col("cell").isin(cells: _*))
+    // collect() drives THIS DataFrame's executedPlan, so the scan
+    // node's metrics below reflect the run (count() would execute a
+    // separate plan and leave these at zero)
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "store scan must carry the probed-cell partition filter")
+    val filesRead = scan.metrics("numFiles").value
+    info(s"persisted-index lookup: files read $filesRead of $cellDirs cells")
+    assert(filesRead === vq.NProbe.toLong,
+      s"clustered store must read exactly NProbe files, read $filesRead")
+    // and the registered query's own plan prunes the store dynamically:
+    // the broadcast probe join plans a DPP predicate on the store scan
+    withoutAqe {
+      val plan = vq.queries("ann_ivf_persisted_topk")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        "registered probe join must plan dynamic partition pruning " +
+          "on the persisted store scan")
+    }
+  }
+
   test("IVF inverted lists: the probe join prunes the cell-partitioned store on both faces") {
     // The claim VectorQueries argued since r10 ("at 10⁹ vectors the
     // assigned corpus is the cell-partitioned table — probe join =
