@@ -54,7 +54,15 @@ object ClusterBench {
     // sums merging in executor state stores under the broadcast
     // frozen-quantizer assignment, plus the batch finish reading the
     // drained sink
-    "stream_kmeans_update")
+    "stream_kmeans_update",
+    // r16 additions — the round's three heaviest new gates: the
+    // drift-gated online IVF serving chain (stale checkpointed index
+    // blocks reused across micro-batches AND JVMs), the full-stack
+    // streaming curation admission (five stream-static joins + the
+    // executor-side parquet sink writers), and online BPE training
+    // (cumulative dictionary + admitted-set broadcasts every round)
+    "stream_ann_ivf_online_topk_drift", "stream_docs_curation_e2e_kmeans",
+    "stream_bpe_train_online")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -128,7 +128,21 @@ object ClusterCheck {
     * canonicalization, trained-quantizer SemDeDup, ExactSubstr span
     * windows, decontamination broadcast anti-join, pack windows) whose
     * stage-joining shuffles and the Lloyd loop's checkpointed blocks
-    * all cross executor JVM boundaries in ONE plan.
+    * all cross executor JVM boundaries in ONE plan;
+    * the r16 additions: stream_ann_ivf_online_topk_drift proves the
+    * DRIFT-GATED epoch protocol under real executor JVMs — the stale
+    * inverted lists are executor-block checkpoints REUSED across
+    * micro-batches (a lost/stale block on a skip batch flips ranked
+    * answers; the drift scalar itself round-trips the block managers);
+    * ann_ivf_persisted_topk writes the cell-partitioned index from
+    * executor JVMs and serves from the re-read artifact (the DPP probe
+    * join against real remote file scans); stream_docs_curation_e2e_
+    * kmeans runs the stateless admission composite — five stream-static
+    * joins against checkpointed artifacts — through the parquet sink
+    * with executor-side writers; stream_bpe_train_online's cumulative
+    * (word, cnt, seq) dictionary and admitted-set broadcasts cross
+    * JVMs every round, with the catch-up replaying checkpointed
+    * admission blocks from earlier generations.
     */
   private val Slice = Seq(
     "mm_dedup_phash", "dedup_cdc_chunks", "app1_pipeline",
@@ -138,7 +152,9 @@ object ClusterCheck {
     "stream_semdedup", "ann_ivfpq_refine", "ann_ivf_kmeans_topk",
     "stream_kmeans_update", "stream_kmeans_minibatch",
     "stream_ann_topk_wm", "docs_curation_e2e_kmeans",
-    "stream_kmeans_online_serve", "stream_ann_ivf_online_topk")
+    "stream_kmeans_online_serve", "stream_ann_ivf_online_topk",
+    "stream_ann_ivf_online_topk_drift", "ann_ivf_persisted_topk",
+    "stream_docs_curation_e2e_kmeans", "stream_bpe_train_online")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

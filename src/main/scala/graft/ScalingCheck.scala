@@ -61,11 +61,12 @@ object ScalingCheck {
     // so growth should track those scans, never a pair term
     "stream_ann_ivf_online_topk",
     // drift-gated epoch rebuild (r16): the same gate with rebuilds
-    // gated on quantizer movement — on the gate corpora the sequence
-    // is 3 rebuilds of 4 batches, so re-assignment work (the gate's
-    // dominant data-linear term) is sub-linear in batch count and
-    // this entry should grow measurably SLOWER than the
-    // always-rebuild twin above it
+    // gated on quantizer movement — 3 rebuilds of 4 batches at the
+    // small SF but only the initial build at the large one (per-batch
+    // centroid movement shrinks with cumulative mass), so the gate's
+    // dominant data-linear term largely VANISHES at scale and this
+    // entry should grow measurably slower than the always-rebuild
+    // twin above it (measured r16: 0.94x vs 1.22x under 10x data)
     "stream_ann_ivf_online_topk_drift")
 
   /** The data-growth factor between two sf dirs, derived from the dir

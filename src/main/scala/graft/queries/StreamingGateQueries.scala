@@ -414,12 +414,12 @@ object StreamingGateQueries {
       withGateParts(s) {
         val name = s"gate_cure2e_${runId.incrementAndGet()}"
         val (src, ckpt) = stageStream(s, s"$d/documents.parquet", name, identity)
-        def fpOf(c: org.apache.spark.sql.Column) =
-          md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
-        // static stage artifacts (each the registered operator's plan)
+        // static stage artifacts (each the registered operator's plan);
+        // the fingerprint is the SHARED curationFp definition — the
+        // arrival-side check cannot drift from the batch pick
         val owners = TextQueries.curationGateRows(
             Tables.documents(s, d).select(col("doc_id"), col("text")))
-          .select(col("doc_id"), fpOf(col("text")).as("fp"))
+          .select(col("doc_id"), TextQueries.curationFp(col("text")).as("fp"))
           .groupBy(col("fp")).agg(min(col("doc_id")).as("owner_id"))
           .localCheckpoint()
         val dec = CurationQueries.queries("docs_decontaminate")(s, d)
@@ -432,7 +432,7 @@ object StreamingGateQueries {
         // the arriving flow: gate → canonical-copy check → admission
         val gated = TextQueries.curationGateRows(
             src.select(col("doc_id"), col("text")))
-          .withColumn("fp", fpOf(col("text")))
+          .withColumn("fp", TextQueries.curationFp(col("text")))
           .join(owners, "fp")
           .filter(col("owner_id") === col("doc_id"))
           .select(col("doc_id"), col("n_tokens"))

@@ -42,6 +42,14 @@ object TextQueries {
     * per element — O(len²) per document. Materializing `w` first makes
     * every element access O(1).
     */
+  /** The canonical-copy fingerprint (md5 of the whitespace-normalized
+    * lowercased text) — ONE definition shared by docs_curation's batch
+    * pick and the streaming e2e composite's arrival-side check
+    * (code-review r16: it lived in two verbatim copies).
+    */
+  private[graft] def curationFp(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
   private[queries] def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
 
@@ -1965,8 +1973,7 @@ object TextQueries {
       // scan of it, and half the codegen surface.
       curationGateRows(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
-        .withColumn("fp",
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        .withColumn("fp", curationFp(col("text")))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("fp")).orderBy(col("doc_id"))))

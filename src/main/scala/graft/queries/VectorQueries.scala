@@ -729,10 +729,7 @@ object VectorQueries {
         val corpusIdx = kmAssigned(Tables.embeddings(s, d), cents)
           .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
             col("embedding"))
-        val probed = kmProbeSelection(bscored.get, NProbe)
-        val q = batch.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        Some(ivfTopkTail(corpusIdx, probed, q).localCheckpoint())
+        Some(serveIvf(corpusIdx, bscored.get, batch).localCheckpoint())
       }
       val (newCum, newCents) = macQueenFold(assigned)
       // The served emission accumulates as checkpointed executor
@@ -755,6 +752,22 @@ object VectorQueries {
       newServedTopk.foreach(f => servedTopk = servedTopk :+ f)
       applied.add(batchId)
     }
+    /** The IVF serving half shared by the always-rebuild and
+      * drift-gated steps (code-review r16 — it lived in two near
+      * copies): probe lists from the batch's scored frame, the query
+      * rows, the shared exact re-rank tail — parameterized only by
+      * which generation's corpus index and scored frame feed it, so
+      * the two gates' emissions cannot drift apart (VectorSpec
+      * compares them directly in the staleness-cost pin).
+      */
+    private def serveIvf(corpusIdx: DataFrame, bscored: DataFrame,
+                         batch: DataFrame): DataFrame = {
+      val probed = kmProbeSelection(bscored, NProbe)
+      val q = batch.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      ivfTopkTail(corpusIdx, probed, q)
+    }
+
     /** The MacQueen fold shared by every serving mode: the batch's
       * per-cell integer sums folded into the cumulative state, the
       * centroids moved to the cumulative means (empty cells keep the
@@ -774,12 +787,15 @@ object VectorQueries {
 
     // ---- drift-gated epoch state (serveIvfDriftAndUpdate) ----------
     // The inverted lists last built, and the quantizer generation they
-    // were built under. Rebuilding is IDEMPOTENT (re-assigning the
-    // corpus under the same generation yields the identical index), so
-    // these two may mutate ahead of the batch commit point: a replay
-    // after a mid-batch failure recomputes drift vs the already-moved
-    // idxCents as 0, skips the rebuild, and serves the identical index
-    // the failed attempt would have.
+    // were built under. BOTH mutate only at the batch commit point,
+    // together with the trainer state (code-review r16: an early
+    // `idxCents = cents` before the new lists materialized meant a
+    // mid-rebuild failure left the generation moved but the lists
+    // stale — the replay then read drift 0 against the moved
+    // generation, skipped the rebuild, and served probes scored under
+    // the NEW quantizer against the OLD lists: exactly the mixed
+    // generations the serving contract forbids, and every later drift
+    // check was suppressed by the phantom generation).
     private var idxCents: DataFrame = frozen
     private var idxCorpus: Option[DataFrame] = None
     private var rebuilt: List[Long] = Nil
@@ -811,23 +827,22 @@ object VectorQueries {
       if (applied.contains(batchId)) return // replay of a committed batch
       val rebuild = idxCorpus.isEmpty ||
         kmDriftFp2(cents, idxCents) > KmDriftRebuild
-      if (rebuild) {
-        idxCents = cents
-        idxCorpus = Some(kmAssigned(Tables.embeddings(s, d), idxCents)
-          .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
-            col("embedding"))
-          .localCheckpoint())
-        rebuilt = rebuilt :+ batchId
-      }
+      // The serving generation for THIS batch — on a rebuild the new
+      // lists materialize into a LOCAL here; no instance state moves
+      // until the commit point below (code-review r16).
+      val (srvCents, srvCorpus) =
+        if (rebuild)
+          (cents, kmAssigned(Tables.embeddings(s, d), cents)
+            .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+              col("embedding"))
+            .localCheckpoint())
+        else (idxCents, idxCorpus.get)
       // Serving half, wholly under the INDEX generation: the batch's
-      // query probe lists score against idxCents, the corpus side is
+      // query probe lists score against srvCents, the corpus side is
       // the (possibly stale) checkpointed inverted lists — no
       // re-assignment on the skip path.
-      val bscoredIdx = kmScored(batch, idxCents).localCheckpoint()
-      val probed = kmProbeSelection(bscoredIdx, NProbe)
-      val q = batch.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val cur = ivfTopkTail(idxCorpus.get, probed, q).localCheckpoint()
+      val bscoredIdx = kmScored(batch, srvCents).localCheckpoint()
+      val cur = serveIvf(srvCorpus, bscoredIdx, batch).localCheckpoint()
       // MacQueen step under the CURRENT centroids — on a rebuild batch
       // the index generation IS the current one, so the serving scan
       // doubles as the training assignment (the one-scan contract);
@@ -837,11 +852,16 @@ object VectorQueries {
         if (rebuild) kmAssignedFromScored(bscoredIdx)
         else kmAssigned(batch, cents)
       val (newCum, newCents) = macQueenFold(assigned)
-      // Commit point (the update/serve contract): all state tables are
-      // materialized above; a failure earlier leaves the trainer
-      // untouched and the id un-applied.
+      // Commit point (the update/serve contract): trainer state AND
+      // index generation mutate together, after every table above has
+      // materialized — a failure anywhere earlier leaves the instance
+      // untouched and the id un-applied, so a redelivery re-runs the
+      // whole step (including the rebuild decision) from clean state.
       cum = Some(newCum)
       cents = newCents
+      idxCents = srvCents
+      idxCorpus = Some(srvCorpus)
+      if (rebuild) rebuilt = rebuilt :+ batchId
       servedTopk = servedTopk :+ cur
       applied.add(batchId)
     }
@@ -1113,8 +1133,11 @@ object VectorQueries {
     * recall 0.6233 vs the always-rebuild twin's 0.5867 — staleness
     * cost ZERO on this trajectory). At 100 TB that is the production
     * protocol: one index build amortized over the whole epoch's
-    * traffic, re-assignment work sub-linear in generation count
-    * (ScalingCheck r16 measures the twin gap).
+    * traffic, re-assignment work sub-linear in generation count —
+    * measured (SCALING_r16): the drift gate grows 0.94× under 10×
+    * data (it does LESS re-assignment work at the larger scale,
+    * where every rebuild is skipped) vs the always-rebuild twin's
+    * 1.22×.
     */
   private[graft] val KmDriftRebuild: Long = {
     val eps = 0.25
@@ -2289,13 +2312,30 @@ object VectorQueries {
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
       $ivfTopkTailSql"""
 
-  /** Deterministic per-corpus location of the persisted inverted-list
-    * store (under the JVM temp root — the artifact is a rebuildable
-    * index cache, not source data). Exposed for PartitioningSpec's
-    * pruned-read assertions against the registered query's own store.
+  /** Root of the persisted inverted-list stores for a corpus, keyed
+    * by the md5 of the dir path (code-review r16: |String.hashCode|
+    * collides across dirs and folds sign). Each invocation writes a
+    * FRESH child index dir under this root rather than overwriting in
+    * place — an overwrite would delete the part files a previously
+    * built (lazy) DataFrame captured at plan time, and two graft JVMs
+    * on one host could clobber each other's store mid-scan. The index
+    * is a KB-scale artifact at gate SFs, so stale children are left
+    * to the OS temp reaper.
     */
-  private[graft] def ivfStorePath(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_${math.abs(d.hashCode)}"
+  private[graft] def ivfStoreRoot(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_$key"
+  }
+
+  /** The most recently written index child under the root — the store
+    * PartitioningSpec's pruned-read assertions target after invoking
+    * the registered query.
+    */
+  private[graft] def ivfStoreLatest(d: String): String =
+    new java.io.File(ivfStoreRoot(d)).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("idx_"))
+      .maxBy(_.lastModified).getAbsolutePath
 
   /** Oracle twin of adcCodesAndLut, closing over the PQ CTEs: the
     * assigned code table, and the query LUT as pqdists RESTRICTED to
@@ -2495,10 +2535,10 @@ object VectorQueries {
       val e = Tables.embeddings(s, d)
       val carr = ivfCentroids(e)
       def scoredCells = ivfScoredCells(e, carr)
-      val store = ivfStorePath(d)
+      val store = s"${ivfStoreRoot(d)}/idx_${System.nanoTime()}"
       ivfAssignedFrom(e, carr)
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(store)
+        .write.partitionBy("cell").parquet(store)
       val idx = s.read.parquet(store)
         .select(col("nn_id"), col("embedding"),
           col("cell").cast("int").as("cell"))

@@ -97,7 +97,7 @@ class PartitioningSpec extends GraftSpec {
     // invoking the registered query builds (overwrites) the store
     val registered = vq.queries("ann_ivf_persisted_topk")(spark, sf)
     assert(registered.count() > 0)
-    val store = vq.ivfStorePath(sf)
+    val store = vq.ivfStoreLatest(sf)
     val cellDirs = new java.io.File(store).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs >= 10, s"expected >= 10 cell partitions, got $cellDirs")
