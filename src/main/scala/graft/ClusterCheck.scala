@@ -154,7 +154,11 @@ object ClusterCheck {
     "stream_ann_topk_wm", "docs_curation_e2e_kmeans",
     "stream_kmeans_online_serve", "stream_ann_ivf_online_topk",
     "stream_ann_ivf_online_topk_drift", "ann_ivf_persisted_topk",
-    "stream_docs_curation_e2e_kmeans", "stream_bpe_train_online")
+    "stream_docs_curation_e2e_kmeans", "stream_bpe_train_online",
+    // post-close r16: streaming ingest into the persisted store — the
+    // parquet sink's partitioned writers run IN executor JVMs and the
+    // serving scan reads their committed files back across processes
+    "stream_ann_ivf_persisted_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

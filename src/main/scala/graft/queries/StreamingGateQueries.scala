@@ -819,6 +819,42 @@ object StreamingGateQueries {
         (st, b, id) => st.serveIvfDriftAndUpdate(b, id),
         _.servedTopkResult())),
 
+    // STREAMING INGEST INTO THE PERSISTED INDEX — the production
+    // ingestion path of ann_ivf_persisted_topk: arriving vectors
+    // assign to their cell as a pure broadcast expression
+    // (ivfArrivingAssign — no state, no shuffle) and APPEND to the
+    // cell-partitioned store through the STREAMING parquet sink's
+    // partitionBy(cell): each micro-batch lands as new files inside
+    // its cells' directories — inverted lists grow by file append,
+    // existing lists are never rewritten, and the sink's commit log
+    // makes the ingest exactly-once. After the drain the full query
+    // set serves FROM THE ARTIFACT through the shared
+    // ivfServeFromStore body (probe join = partition-pruned read).
+    // Assignment under the frozen quantizer is batch-invariant, so
+    // streaming ingest ≡ batch build and the oracle is ann_ivf_topk's
+    // verbatim — a row mis-placed by the streaming write (wrong cell
+    // directory, lost batch, double batch) hash-mismatches.
+    "stream_ann_ivf_persisted_topk" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_ivfp_${runId.incrementAndGet()}"
+        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+          name, Tables.normalizeTemporal,
+          (0 until 4).map(i => col("vec_id") % 4 === i))
+        val store =
+          s"${VectorQueries.ivfStoreRoot(d)}/idx_${System.nanoTime()}"
+        val q = VectorQueries.ivfArrivingAssign(src, s, d)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .partitionBy("cell")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", store).start()
+        q.awaitTermination()
+        VectorQueries.ivfServeFromStore(s, d, store)
+      }
+    }),
+
     // ONLINE BPE TRAINING — the tokenizer face of the online-training
     // trio (r15 verdict Next #7; stream_kmeans_minibatch and the two
     // online-serve gates are the k-means faces): documents arrive as
@@ -1375,6 +1411,10 @@ object StreamingGateQueries {
     "stream_docs_curation_e2e_kmeans" ->
       CurationQueries.oracle("docs_curation_e2e_kmeans"),
     "stream_bpe_train_online" -> TextQueries.bpeTrainOnlineSql(),
+    // streaming ingest ≡ batch build: the frozen-quantizer assignment
+    // is batch-invariant, so the persisted-store serving matches the
+    // in-plan face's oracle exactly
+    "stream_ann_ivf_persisted_topk" -> VectorQueries.oracle("ann_ivf_topk"),
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

@@ -2337,6 +2337,43 @@ object VectorQueries {
       .filter(f => f.isDirectory && f.getName.startsWith("idx_"))
       .maxBy(_.lastModified).getAbsolutePath
 
+  /** Arrival-side index ingestion for the streaming persisted-index
+    * gate: each arriving vector assigns to its cell as a PURE
+    * broadcast expression (semdedupArriving — the admission gates'
+    * shared device, ivfAssignedScored's own (adot DESC, clabel ASC)
+    * tie-break), emitting the (nn_id, cell, embedding) inverted-list
+    * row the store persists. No state, no shuffle — the write's
+    * partitionBy(cell) is what places the row.
+    */
+  private[graft] def ivfArrivingAssign(df: DataFrame,
+                                       s: SparkSession, d: String): DataFrame =
+    semdedupArriving(
+      df.select(col("vec_id"), col("embedding").as("qe")),
+      ivfCentroids(Tables.embeddings(s, d)))
+      .select(col("vec_id").as("nn_id"), col("cell"),
+        col("qe").as("embedding"))
+
+  /** IVF serving FROM a persisted cell-partitioned store: the probe
+    * lists and query rows derive from the live quantizer, the corpus
+    * side is the artifact's scan — the broadcast probe join prunes it
+    * to the probed cells' partitions. ONE definition shared by the
+    * batch-built face (ann_ivf_persisted_topk) and the
+    * streaming-ingested face (stream_ann_ivf_persisted_topk).
+    */
+  private[graft] def ivfServeFromStore(s: SparkSession, d: String,
+                                       store: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val carr = ivfCentroids(e)
+    def scoredCells = ivfScoredCells(e, carr)
+    val idx = s.read.parquet(store)
+      .select(col("nn_id"), col("embedding"),
+        col("cell").cast("int").as("cell"))
+    val probed = probeSelection(scoredCells, NProbe)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    ivfTopkTail(idx, probed, q)
+  }
+
   /** Oracle twin of adcCodesAndLut, closing over the PQ CTEs: the
     * assigned code table, and the query LUT as pqdists RESTRICTED to
     * the query rows — the identical q×cb integer distance the
@@ -2533,19 +2570,11 @@ object VectorQueries {
     // in-plan assignment hash-mismatches, not just slows down.
     "ann_ivf_persisted_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val carr = ivfCentroids(e)
-      def scoredCells = ivfScoredCells(e, carr)
       val store = s"${ivfStoreRoot(d)}/idx_${System.nanoTime()}"
-      ivfAssignedFrom(e, carr)
+      ivfAssignedFrom(e, ivfCentroids(e))
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(store)
-      val idx = s.read.parquet(store)
-        .select(col("nn_id"), col("embedding"),
-          col("cell").cast("int").as("cell"))
-      val probed = probeSelection(scoredCells, NProbe)
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      ivfTopkTail(idx, probed, q)
+      ivfServeFromStore(s, d, store)
     }),
 
     // Unsupervised coarse-quantizer training — Lloyd k-means over the

@@ -131,6 +131,38 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("stream_ann_ivf_persisted_topk: micro-batches APPEND files per cell, pruning still holds") {
+    // The streaming-ingest claim made structural: the parquet sink's
+    // partitionBy(cell) lands each micro-batch as NEW files inside the
+    // cell directories (inverted lists grow by append — existing lists
+    // are never rewritten), and the store stays a pruned-read target.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val res = graft.queries.StreamingGateQueries
+      .queries("stream_ann_ivf_persisted_topk")(spark, sf)
+    assert(res.count() > 0)
+    val store = vq.ivfStoreLatest(sf)
+    val cellDirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 10,
+      s"expected >= 10 cell partitions, got ${cellDirs.length}")
+    val maxFiles = cellDirs
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1,
+      s"expected per-micro-batch file APPEND inside cell dirs, " +
+        s"max files per cell = $maxFiles")
+    val cells = vq.ivfProbedCells(spark, sf).filter(col("qid") === 42)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(store)
+      .filter(col("cell").isin(cells: _*))
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "streamed store scan must carry the probed-cell partition filter")
+  }
+
   test("IVF inverted lists: the probe join prunes the cell-partitioned store on both faces") {
     // The claim VectorQueries argued since r10 ("at 10⁹ vectors the
     // assigned corpus is the cell-partitioned table — probe join =
