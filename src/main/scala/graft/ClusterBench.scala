@@ -62,7 +62,7 @@ object ClusterBench {
     // executor-side parquet sink writers), and online BPE training
     // (cumulative dictionary + admitted-set broadcasts every round)
     "stream_ann_ivf_online_topk_drift", "stream_docs_curation_e2e_kmeans",
-    "stream_bpe_train_online")
+    "stream_bpe_train_online", "stream_ann_ivf_online_topk_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -157,8 +157,11 @@ object ClusterCheck {
     "stream_docs_curation_e2e_kmeans", "stream_bpe_train_online",
     // post-close r16: streaming ingest into the persisted store — the
     // parquet sink's partitioned writers run IN executor JVMs and the
-    // serving scan reads their committed files back across processes
-    "stream_ann_ivf_persisted_topk")
+    // serving scan reads their committed files back across processes —
+    // and per-cell incremental reindexing, whose patchwork lists are
+    // executor-block checkpoints PATCHED across micro-batches (a
+    // migration losing a member's block between JVMs flips answers)
+    "stream_ann_ivf_persisted_topk", "stream_ann_ivf_online_topk_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

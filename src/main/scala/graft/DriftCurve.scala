@@ -79,6 +79,13 @@ object DriftCurve {
       println(f"RECALL thr=${VectorQueries.KmDriftRebuild} " +
         f"full=${recall(full)}%.4f drift=${recall(stale)}%.4f " +
         s"rebuilds=${log.mkString(",")}")
+      // the per-cell incremental gate: moved-cell schedule + recall
+      val si = new VectorQueries.KmMiniBatch(spark, d)
+      for (r <- 0 until nb) si.serveIvfIncrAndUpdate(batch(r), r.toLong)
+      val movedCounts = si.movedCells.map(_.count())
+      val incrRecall = recall(pairs(si.servedTopkResult()))
+      println(f"INCR thr=${VectorQueries.KmDriftRebuild} " +
+        f"recall=$incrRecall%.4f moved=${movedCounts.mkString(",")}")
     } finally spark.stop()
   }
 }

@@ -67,7 +67,13 @@ object ScalingCheck {
     // dominant data-linear term largely VANISHES at scale and this
     // entry should grow measurably slower than the always-rebuild
     // twin above it (measured r16: 0.94x vs 1.22x under 10x data)
-    "stream_ann_ivf_online_topk_drift")
+    "stream_ann_ivf_online_topk_drift",
+    // per-cell incremental reindexing (r16 post-close): re-assignment
+    // work per batch is the MOVED cells' member count only (7/0/1 of
+    // 10 cells after the initial build at sf0.01; 0/0/0 at sf0.1), so
+    // growth should track the initial build's one data-linear pass
+    // plus the query-bounded serving, like the drift twin
+    "stream_ann_ivf_online_topk_incr")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -872,6 +872,103 @@ object VectorQueries {
       */
     def rebuildLog: Seq[Long] = rebuilt
 
+    // ---- per-cell incremental-reindex state (serveIvfIncrAndUpdate) --
+    // Each cell's list-build centroid (the per-cell generation —
+    // tracked as centroid VALUES, not generation numbers, so drift is
+    // a direct per-cell comparison) and the patchwork inverted lists.
+    // Both mutate only at the commit point, with the trainer state.
+    private var cellCents: DataFrame = frozen
+    private var lists: Option[DataFrame] = None
+    private var movedLog: List[DataFrame] = Nil
+
+    /** PER-CELL incremental reindexing — the finer production protocol
+      * next to serveIvfDriftAndUpdate's whole-index epoch gate
+      * (stream_ann_ivf_online_topk_incr's body): instead of rebuilding
+      * ALL inverted lists when the quantizer drifts, only the cells
+      * whose OWN centroid moved past KmDriftRebuild since their list
+      * was last built rebuild — their members re-assign under the
+      * CURRENT quantizer and MIGRATE into their new cells' lists (a
+      * member leaving a rebuilt cell joins a list that was not itself
+      * rebuilt — the patchwork index real incremental-reindex systems
+      * maintain); unmoved cells serve their stale lists untouched.
+      * Probe lists are per-query expressions and always score against
+      * the CURRENT quantizer (fresh probes over stale lists — the
+      * production serving reality), and that same batch scan feeds the
+      * MacQueen step, so the one-scan contract holds on EVERY batch
+      * here (the whole-index gate only gets it on rebuild batches).
+      *
+      * Everything is data-driven — the moved set, the member
+      * migration, the centroid patch are all DataFrames; unlike the
+      * whole-index gate there is NO driver-side drift scalar and no
+      * control-flow branch on data: a batch with zero moved cells
+      * simply unions an empty re-assignment. Re-assignment work per
+      * batch ∝ members of moved cells only — the sub-linear
+      * incremental cost (movedLog is the measurement surface; the
+      * list invariant — every vector in exactly one list — is
+      * spec-pinned via listsTable).
+      */
+    def serveIvfIncrAndUpdate(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (applied.contains(batchId)) return // replay of a committed batch
+      val (newLists, newCellCents, movedRec) = lists match {
+        case None =>
+          // initial build: every list built under the current (frozen)
+          // quantizer — the "all cells moved" base case
+          (kmAssigned(Tables.embeddings(s, d), cents)
+             .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+               col("embedding"))
+             .localCheckpoint(),
+           cents,
+           cents.select(col("kcell")).localCheckpoint())
+        case Some(prev) =>
+          val moved = kmDriftPerCell(cents, cellCents)
+            .filter(col("d2") > KmDriftRebuild).select(col("kcell"))
+            .localCheckpoint()
+          val keep = prev.join(moved, prev("cell") === moved("kcell"),
+            "left_anti")
+          val rea = kmAssigned(
+            prev.join(moved, prev("cell") === moved("kcell"), "left_semi")
+              .select(col("nn_id").as("vec_id"), col("embedding")),
+            cents)
+            .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+              col("embedding"))
+          val ncc = cellCents.select(col("kcell"), col("karr").as("prev"))
+            .join(cents.select(col("kcell"), col("karr").as("curk")), "kcell")
+            .join(moved.select(col("kcell"), lit(1).as("m")), Seq("kcell"),
+              "left")
+            .select(col("kcell"),
+              when(col("m").isNotNull, col("curk")).otherwise(col("prev"))
+                .as("karr"))
+            .localCheckpoint()
+          (keep.unionAll(rea).localCheckpoint(), ncc, moved)
+      }
+      // fresh probes under the CURRENT quantizer against the patchwork
+      // lists; the same scan feeds the MacQueen step
+      val bscored = kmScored(batch, cents).localCheckpoint()
+      val cur = serveIvf(newLists, bscored, batch).localCheckpoint()
+      val (newCum, newCents) = macQueenFold(kmAssignedFromScored(bscored))
+      // commit point: trainer, index state, and logs move together
+      cum = Some(newCum)
+      cents = newCents
+      lists = Some(newLists)
+      cellCents = newCellCents
+      movedLog = movedLog :+ movedRec
+      servedTopk = servedTopk :+ cur
+      applied.add(batchId)
+    }
+
+    /** Per-batch moved-cell sets (batch 0 = all cells, the initial
+      * build) — the incremental gate's re-assignment-work surface.
+      */
+    def movedCells: Seq[DataFrame] = movedLog
+
+    /** The current patchwork inverted lists — exposed for the
+      * VectorSpec list invariant (every vector in exactly one list).
+      */
+    private[graft] def listsTable: DataFrame = {
+      require(lists.nonEmpty, "listsTable before any incremental batch")
+      lists.get
+    }
+
     /** The current centroid table (generation = number of applied
       * batches) — exposed for graft.DriftCurve's decision-curve
       * measurement.
@@ -1006,15 +1103,23 @@ object VectorQueries {
     * summed per cell, MAX over cells. A scalar subquery, so the
     * decision CTE can name every (r, g) pair it may need.
     */
-  private def kmDriftPairSql(r: Int, g: Int): String = {
+  /** Per-cell drift rows (kcell, d2) between two centroid CTEs — the
+    * oracle twin of kmDriftPerCell, shared by the whole-index gate's
+    * MAX wrapper (kmDriftPairSql) and the per-cell incremental gate's
+    * moved-set CTEs.
+    */
+  private def kmDriftCellsSql(cur: String, old: String): String = {
     val qa = s"CAST(FLOOR(a.karr[i] * ${CentScale}.0 + 0.5) AS BIGINT)"
     val qb = s"CAST(FLOOR(b.karr[i] * ${CentScale}.0 + 0.5) AS BIGINT)"
-    s"""(SELECT MAX(d2) FROM (
-            SELECT a.kcell, SUM(($qa - $qb) * ($qa - $qb)) AS d2
-            FROM mbc$r a JOIN mbc$g b USING (kcell),
+    s"""SELECT a.kcell, SUM(($qa - $qb) * ($qa - $qb)) AS d2
+            FROM $cur a JOIN $old b USING (kcell),
                  (SELECT unnest(range(1, ${Dim + 1})) AS i) di
-            GROUP BY a.kcell) t)"""
+            GROUP BY a.kcell"""
   }
+
+  private def kmDriftPairSql(r: Int, g: Int): String =
+    s"""(SELECT MAX(d2) FROM (
+            ${kmDriftCellsSql(s"mbc$r", s"mbc$g")}) t)"""
 
   /** stream_ann_ivf_online_topk_drift's oracle: the SAME unrolled
     * MacQueen chain as the always-rebuild gate (training is identical
@@ -1078,6 +1183,75 @@ object VectorQueries {
         ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
   }
 
+  /** stream_ann_ivf_online_topk_incr's oracle: the SAME unrolled
+    * MacQueen chain, with the PER-CELL incremental-reindex state
+    * evolved batch-for-batch in SQL — per batch r the per-cell drift
+    * rows against each cell's own list-build centroid (icc${r-1}),
+    * the moved set (d2 > KmDriftRebuild), the member MIGRATION (moved
+    * cells' list members re-assigned under mbc$r and unioned with the
+    * untouched lists — a member may land in a cell that was not
+    * itself rebuilt, exactly the engine's patchwork), and the
+    * centroid patch (moved cells take mbc$r's centroid, the rest keep
+    * their build-time value). Serving batch r probes under the
+    * CURRENT quantizer mbc$r against the patchwork lists$r — so a
+    * wrong moved set, a member left behind, or a stale probe anywhere
+    * hash-mismatches the emission.
+    */
+  private[queries] lazy val kmOnlineIvfIncrTopkOracleSql: String = {
+    val nb = KmMbBatches
+    val chain = (1 until nb).map { r =>
+      s"""icd$r AS (${kmDriftCellsSql(s"mbc$r", s"icc${r - 1}")}),
+      mvd$r AS MATERIALIZED (
+        SELECT kcell FROM icd$r WHERE d2 > $KmDriftRebuild),
+      mem$r AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e
+        JOIN lists${r - 1} l ON l.vec_id = e.vec_id
+        JOIN mvd$r m ON m.kcell = l.cell),
+      red$r AS (${kmDistSql(s"mbc$r", s"mem$r")}),
+      rea$r AS (
+        SELECT vec_id, kcell FROM (
+          SELECT vec_id, kcell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rn
+          FROM red$r) t WHERE rn = 1),
+      lists$r AS MATERIALIZED (
+        SELECT l.vec_id, l.cell FROM lists${r - 1} l
+        LEFT JOIN mvd$r m ON m.kcell = l.cell WHERE m.kcell IS NULL
+        UNION ALL SELECT vec_id, kcell AS cell FROM rea$r),
+      icc$r AS MATERIALIZED (
+        SELECT i.kcell,
+               CASE WHEN m.kcell IS NOT NULL THEN c.karr ELSE i.karr END AS karr
+        FROM icc${r - 1} i
+        JOIN mbc$r c ON c.kcell = i.kcell
+        LEFT JOIN mvd$r m ON m.kcell = i.kcell)"""
+    }.mkString(",\n      ")
+    val perBatch = (0 until nb).map { r =>
+      s"""SELECT qid, nn_id, rnk, cos_sim FROM (
+        WITH qb$r AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < $NQueries AND vec_id % $nb = $r),
+        oaq$r AS (${kmDistSql(s"mbc$r", s"qb$r")}),
+        assigned AS (SELECT vec_id AS nn_id, cell FROM lists$r),
+        probed AS (
+          SELECT vec_id AS qid, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
+            FROM oaq$r) t
+          WHERE crn <= $NProbe),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM qb$r),
+        $ivfTopkTailSql) srv$r"""
+    }
+    s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until nb).map(mbRoundSql(_, nb)).mkString(",\n      ")},
+      icc0 AS (SELECT kcell, karr FROM mbc0),
+      lists0 AS MATERIALIZED (
+        SELECT vec_id, kcell AS cell FROM kmranked WHERE crn = 1),
+      $chain
+      SELECT qid, nn_id, rnk, cos_sim FROM (
+        ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
+  }
+
   /** Micro-batch count for the sequential trainer's gate (vec_id %
     * KmMbBatches membership, staged by mtime — order is part of the
     * contract: a different arrival order gives a DIFFERENT, equally
@@ -1095,7 +1269,14 @@ object VectorQueries {
     * FP-associativity risk (the reason the metric is not a double
     * norm). One row over two KmCells-row tables — O(KmCells) work.
     */
-  private[graft] def kmDriftFp2(a: DataFrame, b: DataFrame): Long = {
+  /** Per-cell squared fixed-point drift between two centroid tables —
+    * (kcell, d2) rows, the exact integers the oracle's per-cell drift
+    * CTEs compute. The global gate maxes this; the per-cell
+    * incremental gate filters it (cells past the threshold rebuild,
+    * the rest serve stale lists) — ONE arithmetic definition for both
+    * regimes.
+    */
+  private[graft] def kmDriftPerCell(a: DataFrame, b: DataFrame): DataFrame = {
     def q(df: DataFrame, p: String) = df.select(col("kcell") +:
       (0 until Dim).map(i => floor(element_at(col("karr"), i + 1)
         * lit(CentScale.toDouble) + lit(0.5)).cast("long").as(s"$p$i")): _*)
@@ -1103,9 +1284,11 @@ object VectorQueries {
       val d = col(s"a$i") - col(s"b$i"); d * d
     }.reduce(_ + _)
     q(a, "a").join(q(b, "b"), "kcell")
-      .select(d2.as("d2")).agg(max(col("d2")).as("m"))
-      .head().getLong(0)
+      .select(col("kcell"), d2.as("d2"))
   }
+
+  private[graft] def kmDriftFp2(a: DataFrame, b: DataFrame): Long =
+    kmDriftPerCell(a, b).agg(max(col("d2")).as("m")).head().getLong(0)
 
   /** Drift threshold for the online IVF gate's epoch rebuild, in
     * squared fixed-point units: rebuild when some cell's centroid has

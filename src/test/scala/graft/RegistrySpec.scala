@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 213 // r16 (+5): stream_ann_ivf_online_topk_drift (drift-gated epoch rebuild), ann_ivf_persisted_topk + stream_ann_ivf_persisted_topk (cell-partitioned on-disk index: batch build and streaming ingest), stream_docs_curation_e2e_kmeans (full curation stack as a stateless streaming admission job), stream_bpe_train_online (merge table grown from arriving vocabulary)
+  private val PinnedSize = 214 // r16 (+6): drift-gated + per-cell-incremental online IVF serving, batch-built + streaming-ingested persisted index, streaming e2e curation, online BPE
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an

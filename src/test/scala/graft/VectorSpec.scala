@@ -419,6 +419,30 @@ class VectorSpec extends GraftSpec {
     assert(dr >= 0.5, s"drift-gated online recall $dr below floor")
     assert(dr >= fr - 0.05,
       f"staleness cost ${fr - dr}%.4f exceeds the bounded-regime claim")
+    // PER-CELL incremental reindexing (the finer protocol): the moved
+    // schedule on this corpus must be the measured PARTIAL one — the
+    // 10-cell initial build, then 7/0/1 cells (re-assignment work a
+    // fraction of always-rebuild's three full corpus passes) — the
+    // patchwork lists must hold every vector exactly once, and recall
+    // must stay within the same staleness bound.
+    val si = new graft.queries.VectorQueries.KmMiniBatch(spark, d)
+    for (r <- 0 until nb) si.serveIvfIncrAndUpdate(batch(r), r.toLong)
+    val movedCounts = si.movedCells.map(_.count())
+    assert(movedCounts === Seq(10L, 7L, 0L, 1L),
+      s"incremental moved-cell schedule drifted (got $movedCounts) — " +
+        "re-measure graft.DriftCurve before moving KmDriftRebuild")
+    val corpus = graft.Tables.embeddings(spark, d).count()
+    val listRows = si.listsTable.select(col("nn_id")).collect().map(_.getLong(0))
+    assert(listRows.length.toLong === corpus &&
+      listRows.distinct.length.toLong === corpus,
+      "patchwork lists must hold every vector exactly once")
+    val ir = si.servedTopkResult().select(col("qid"), col("nn_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(brute).size.toDouble / brute.size
+    info(f"incremental recall@3=$ir%.4f moved=${movedCounts.mkString(",")}")
+    assert(ir >= 0.5, s"incremental online recall $ir below floor")
+    assert(ir >= fr - 0.05,
+      f"incremental staleness cost ${fr - ir}%.4f exceeds the bound")
   }
 
   test("sample-based quantizer training: Lloyd objective still non-increasing, recall holds over the label cells") {
