@@ -55,12 +55,14 @@ object ClusterBench {
     // frozen-quantizer assignment, plus the batch finish reading the
     // drained sink
     "stream_kmeans_update",
-    // r16 additions — the round's three heaviest new gates: the
+    // r16 additions — the round's four heaviest new gates: the
     // drift-gated online IVF serving chain (stale checkpointed index
     // blocks reused across micro-batches AND JVMs), the full-stack
     // streaming curation admission (five stream-static joins + the
-    // executor-side parquet sink writers), and online BPE training
-    // (cumulative dictionary + admitted-set broadcasts every round)
+    // executor-side parquet sink writers), online BPE training
+    // (cumulative dictionary + admitted-set broadcasts every round),
+    // and per-cell incremental reindexing (patchwork inverted lists
+    // migrating members across executor JVMs every batch)
     "stream_ann_ivf_online_topk_drift", "stream_docs_curation_e2e_kmeans",
     "stream_bpe_train_online", "stream_ann_ivf_online_topk_incr")
 

@@ -870,8 +870,7 @@ object StreamingGateQueries {
         val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
           name, Tables.normalizeTemporal,
           (0 until 4).map(i => col("vec_id") % 4 === i))
-        val store =
-          s"${VectorQueries.ivfStoreRoot(d)}/idx_${System.nanoTime()}"
+        val store = VectorQueries.ivfStoreNewChild(d)
         val q = VectorQueries.ivfArrivingAssign(src, s, d)
           .writeStream
           .outputMode(OutputMode.Append())
@@ -880,6 +879,7 @@ object StreamingGateQueries {
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", store).start()
         q.awaitTermination()
+        VectorQueries.ivfStoreCommitLatest(VectorQueries.ivfStoreRoot(d), store)
         VectorQueries.ivfServeFromStore(s, d, store)
       }
     }),

@@ -677,6 +677,22 @@ object VectorQueries {
     private var served: List[DataFrame] = Nil
     private var servedTopk: List[DataFrame] = Nil
     private val applied = scala.collection.mutable.Set.empty[Long]
+    // The serving mode the first step recorded. The three IVF serving
+    // protocols keep DISJOINT index state but share the applied set
+    // and the emission lists, so interleaving modes on one instance
+    // would silently no-op replays across modes and interleave
+    // emissions (ADVICE r16) — a mixed-mode step now fails loudly
+    // instead of being guarded by convention.
+    private var mode: Option[String] = None
+
+    private def requireMode(m: String): Unit = {
+      require(mode.forall(_ == m),
+        s"KmMiniBatch is single-mode per instance: first step ran " +
+          s"'${mode.get}', this step is '$m' — use a fresh instance " +
+          "per serving protocol (shared applied/emission state would " +
+          "silently mix the modes)")
+      mode = Some(m)
+    }
 
     /** One MacQueen training step (stream_kmeans_minibatch's body). */
     def update(batch: DataFrame, batchId: Long): Unit =
@@ -709,6 +725,8 @@ object VectorQueries {
 
     private def step(batch: DataFrame, batchId: Long,
                      serve: Boolean, ivf: Boolean = false): Unit = synchronized {
+      requireMode(if (ivf) "serveIvfAndUpdate"
+        else if (serve) "serveAndUpdate" else "update")
       if (applied.contains(batchId)) return // replay of a committed batch
       // serving checkpoints the batch-sized assignment (read twice:
       // emission + sums); the train-only path keeps the fused plan
@@ -824,6 +842,7 @@ object VectorQueries {
       * data materialization.
       */
     def serveIvfDriftAndUpdate(batch: DataFrame, batchId: Long): Unit = synchronized {
+      requireMode("serveIvfDriftAndUpdate")
       if (applied.contains(batchId)) return // replay of a committed batch
       val rebuild = idxCorpus.isEmpty ||
         kmDriftFp2(cents, idxCents) > KmDriftRebuild
@@ -908,6 +927,7 @@ object VectorQueries {
       * spec-pinned via listsTable).
       */
     def serveIvfIncrAndUpdate(batch: DataFrame, batchId: Long): Unit = synchronized {
+      requireMode("serveIvfIncrAndUpdate")
       if (applied.contains(batchId)) return // replay of a committed batch
       val (newLists, newCellCents, movedRec) = lists match {
         case None =>
@@ -1097,16 +1117,13 @@ object VectorQueries {
         ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
   }
 
-  /** One generation-pair drift scalar for the oracle — the exact
-    * integer kmDriftFp2 computes between mbc$r and mbc$g: FLOOR
-    * fixed-point quantization per coordinate, BIGINT squared deltas
-    * summed per cell, MAX over cells. A scalar subquery, so the
-    * decision CTE can name every (r, g) pair it may need.
-    */
   /** Per-cell drift rows (kcell, d2) between two centroid CTEs — the
-    * oracle twin of kmDriftPerCell, shared by the whole-index gate's
-    * MAX wrapper (kmDriftPairSql) and the per-cell incremental gate's
-    * moved-set CTEs.
+    * oracle twin of kmDriftPerCell: FLOOR fixed-point quantization per
+    * coordinate, BIGINT squared deltas summed per cell. Shared by the
+    * whole-index gate's MAX wrapper (kmDriftPairSql — the one
+    * generation-pair scalar subquery the decision CTE names per (r, g)
+    * pair, the exact integer kmDriftFp2 computes) and the per-cell
+    * incremental gate's moved-set CTEs.
     */
   private def kmDriftCellsSql(cur: String, old: String): String = {
     val qa = s"CAST(FLOOR(a.karr[i] * ${CentScale}.0 + 0.5) AS BIGINT)"
@@ -1259,22 +1276,19 @@ object VectorQueries {
     */
   private[graft] val KmMbBatches = 4
 
-  /** Max per-cell squared L2 drift between two centroid tables, in
-    * EXACT fixed-point arithmetic: each coordinate quantizes as
-    * floor(c·CentScale + 0.5) (the training sums' own device), the
-    * per-cell sum of squared coordinate deltas is a pure BIGINT sum,
-    * and the max over cells is the drift scalar. Integer end-to-end,
-    * so the engine and the oracle compute the IDENTICAL value and the
-    * rebuild decision can sit on an equality-sharp threshold with no
-    * FP-associativity risk (the reason the metric is not a double
-    * norm). One row over two KmCells-row tables — O(KmCells) work.
-    */
   /** Per-cell squared fixed-point drift between two centroid tables —
-    * (kcell, d2) rows, the exact integers the oracle's per-cell drift
-    * CTEs compute. The global gate maxes this; the per-cell
-    * incremental gate filters it (cells past the threshold rebuild,
-    * the rest serve stale lists) — ONE arithmetic definition for both
-    * regimes.
+    * (kcell, d2) rows in EXACT arithmetic: each coordinate quantizes
+    * as floor(c·CentScale + 0.5) (the training sums' own device), the
+    * per-cell sum of squared coordinate deltas a pure BIGINT sum —
+    * the exact integers the oracle's per-cell drift CTEs compute.
+    * Integer end-to-end, so the engine and the oracle compute the
+    * IDENTICAL value and the rebuild decision can sit on an
+    * equality-sharp threshold with no FP-associativity risk (the
+    * reason the metric is not a double norm). The global gate maxes
+    * this (kmDriftFp2 — one row over two KmCells-row tables,
+    * O(KmCells) work); the per-cell incremental gate filters it
+    * (cells past the threshold rebuild, the rest serve stale lists) —
+    * ONE arithmetic definition for both regimes.
     */
   private[graft] def kmDriftPerCell(a: DataFrame, b: DataFrame): DataFrame = {
     def q(df: DataFrame, p: String) = df.select(col("kcell") +:
@@ -2501,9 +2515,13 @@ object VectorQueries {
     * FRESH child index dir under this root rather than overwriting in
     * place — an overwrite would delete the part files a previously
     * built (lazy) DataFrame captured at plan time, and two graft JVMs
-    * on one host could clobber each other's store mid-scan. The index
-    * is a KB-scale artifact at gate SFs, so stale children are left
-    * to the OS temp reaper.
+    * on one host could clobber each other's store mid-scan. A LATEST
+    * marker (atomic tmp+rename) names the current child, and the
+    * committing writer prunes superseded siblings down to the newest
+    * two — the marker's target plus one generation of slack for a
+    * still-lazy plan captured by the previous invocation (ADVICE r16:
+    * mtime-globbing could resolve a concurrent run's child, and stale
+    * children accumulated unboundedly between reboots).
     */
   private[graft] def ivfStoreRoot(d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -2511,14 +2529,60 @@ object VectorQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_$key"
   }
 
-  /** The most recently written index child under the root — the store
-    * PartitioningSpec's pruned-read assertions target after invoking
-    * the registered query.
+  /** A fresh child path under the root — the writer publishes it via
+    * ivfStoreCommitLatest once the write completes.
     */
-  private[graft] def ivfStoreLatest(d: String): String =
-    new java.io.File(ivfStoreRoot(d)).listFiles()
+  private[graft] def ivfStoreNewChild(d: String): String =
+    s"${ivfStoreRoot(d)}/idx_${System.nanoTime()}"
+
+  /** Publish `child` as the root's current index: write the LATEST
+    * marker atomically (tmp file + rename — readers never observe a
+    * torn marker), then best-effort delete superseded idx_* siblings
+    * beyond the newest two. Pruning runs AFTER the marker flip, so a
+    * crash leaves extra children, never a marker naming a deleted dir.
+    */
+  private[graft] def ivfStoreCommitLatest(root: String, child: String): Unit = {
+    val rootF = new java.io.File(root)
+    val tmp = new java.io.File(rootF, s".LATEST_tmp_${System.nanoTime()}")
+    java.nio.file.Files.write(tmp.toPath,
+      new java.io.File(child).getName.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(rootF, "LATEST").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Option(rootF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("idx_"))
-      .maxBy(_.lastModified).getAbsolutePath
+      .sortBy(f => scala.util.Try(
+        f.getName.stripPrefix("idx_").toLong).getOrElse(0L))
+      .dropRight(2)
+      .filterNot(_.getName == new java.io.File(child).getName)
+      .foreach(deleteRecursively)
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** The current index child under the root — resolved from the LATEST
+    * marker the committing writer published (never by mtime, which a
+    * concurrent run's child could win). The store PartitioningSpec's
+    * pruned-read assertions target this after invoking the registered
+    * query.
+    */
+  private[graft] def ivfStoreLatest(d: String): String = {
+    val root = new java.io.File(ivfStoreRoot(d))
+    val marker = new java.io.File(root, "LATEST")
+    require(root.isDirectory && marker.isFile,
+      s"no persisted IVF store at $root — run ann_ivf_persisted_topk " +
+        "or stream_ann_ivf_persisted_topk against this data dir first")
+    val child = new java.io.File(root,
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim)
+    require(child.isDirectory,
+      s"LATEST marker names a missing child ${child.getAbsolutePath}")
+    child.getAbsolutePath
+  }
 
   /** Arrival-side index ingestion for the streaming persisted-index
     * gate: each arriving vector assigns to its cell as a PURE
@@ -2753,10 +2817,11 @@ object VectorQueries {
     // in-plan assignment hash-mismatches, not just slows down.
     "ann_ivf_persisted_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val store = s"${ivfStoreRoot(d)}/idx_${System.nanoTime()}"
+      val store = ivfStoreNewChild(d)
       ivfAssignedFrom(e, ivfCentroids(e))
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(store)
+      ivfStoreCommitLatest(ivfStoreRoot(d), store)
       ivfServeFromStore(s, d, store)
     }),
 
