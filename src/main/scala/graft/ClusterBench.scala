@@ -64,7 +64,10 @@ object ClusterBench {
     // and per-cell incremental reindexing (patchwork inverted lists
     // migrating members across executor JVMs every batch)
     "stream_ann_ivf_online_topk_drift", "stream_docs_curation_e2e_kmeans",
-    "stream_bpe_train_online", "stream_ann_ivf_online_topk_incr")
+    "stream_bpe_train_online", "stream_ann_ivf_online_topk_incr",
+    // r17: the composed persisted-refresh gate — the drift protocol's
+    // serving chains plus per-batch parquet generation IO
+    "stream_ann_ivf_persisted_refresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

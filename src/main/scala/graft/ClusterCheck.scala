@@ -161,7 +161,13 @@ object ClusterCheck {
     // and per-cell incremental reindexing, whose patchwork lists are
     // executor-block checkpoints PATCHED across micro-batches (a
     // migration losing a member's block between JVMs flips answers)
-    "stream_ann_ivf_persisted_topk", "stream_ann_ivf_online_topk_incr")
+    "stream_ann_ivf_persisted_topk", "stream_ann_ivf_online_topk_incr",
+    // r17: the COMPOSED gate — drift-triggered generation rebuilds
+    // writing cell-partitioned parquet from executor JVMs, appends as
+    // dynamic-overwrite ingest partitions, and every batch's serving
+    // a pruned read of the committed artifact across processes (a
+    // torn generation or a mis-committed append flips ranked answers)
+    "stream_ann_ivf_persisted_refresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -86,6 +86,46 @@ object DriftCurve {
       val incrRecall = recall(pairs(si.servedTopkResult()))
       println(f"INCR thr=${VectorQueries.KmDriftRebuild} " +
         f"recall=$incrRecall%.4f moved=${movedCounts.mkString(",")}")
+      // THE COMPOSED GATE's threshold sensitivity (r16 verdict Next
+      // #7): the persisted-refresh protocol end-to-end (ingest →
+      // drift decision → generation rewrite → pruned serving) at a
+      // two-point sweep around the registered KmDriftRebuild (0.125
+      // and 0.5 L2 — thr/4 and thr·4 in the squared fixed-point
+      // metric), showing the rebuild-count/recall trade the constant
+      // buys. Recall here is vs the exact brute top-3 over the
+      // ARRIVED corpus per batch — the only corpus the store can hold.
+      val arrBrute = (0 until nb).map { r =>
+        val e = Tables.embeddings(spark, d)
+          .filter(col("vec_id") % nb <= r)
+        val q = e.filter(col("vec_id") < VectorQueries.NQueries &&
+            col("vec_id") % nb === r)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qe"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", org.apache.spark.sql.functions.aggregate(
+            org.apache.spark.sql.functions.zip_with(
+              col("qe"), col("embedding"),
+              (a, b) => a.cast("double") * b.cast("double")),
+            org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x))
+          .withColumn("rnk",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id").as("nn_id"))
+      }.map(pairs).reduce(_ union _)
+      val base = VectorQueries.KmDriftRebuild
+      for (thr <- Seq(base / 4, base, base * 4)) {
+        val sp = new VectorQueries.KmMiniBatch(spark, d)
+        for (r <- 0 until nb)
+          sp.serveIvfPersistedAndUpdate(batch(r), r.toLong, thr)
+        val rr = pairs(sp.servedTopkResult())
+          .intersect(arrBrute).size.toDouble / arrBrute.size
+        println(f"REFRESH thr=$thr recall=$rr%.4f " +
+          s"rebuilds=${sp.rebuildLog.mkString(",")}")
+      }
     } finally spark.stop()
   }
 }

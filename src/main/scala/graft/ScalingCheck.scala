@@ -73,7 +73,13 @@ object ScalingCheck {
     // 10 cells after the initial build at sf0.01; 0/0/0 at sf0.1), so
     // growth should track the initial build's one data-linear pass
     // plus the query-bounded serving, like the drift twin
-    "stream_ann_ivf_online_topk_incr")
+    "stream_ann_ivf_online_topk_incr",
+    // the COMPOSED persisted-refresh gate (r17): the drift protocol
+    // with parquet generation directories as the index — growth adds
+    // the store's write/read IO to the drift twin's profile, and the
+    // rebuild cadence DROPS with scale (every rebuild but the initial
+    // build skipped at sf0.1), so appends dominate at the larger SF
+    "stream_ann_ivf_persisted_refresh")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -884,6 +884,35 @@ object StreamingGateQueries {
       }
     }),
 
+    // DRIFT-REFRESHED PERSISTED INDEX — the two halves of the
+    // production index story COMPOSED (r16 verdict Next #1; until now
+    // the drift/incr gates maintained in-memory lists while the
+    // persisted faces served a frozen artifact): arriving vectors
+    // INGEST into the cell-partitioned store (appends join the current
+    // generation, assigned under ITS quantizer, as idempotent
+    // ingest=batchId partitions), the MacQueen trainer drifts, and a
+    // tripped KmDriftRebuild re-assigns the whole ARRIVED corpus into
+    // a NEW generation directory — serving switches to it atomically
+    // via the run root's LATEST marker; superseded generations stay on
+    // disk as ivfStoreCompact's input. Every batch's queries serve
+    // FROM THE ARTIFACT (broadcast probe join = partition-pruned read
+    // of the current generation — PartitioningSpec pins files read).
+    // Oracle: the drift gate's unrolled generation recurrence with the
+    // serving corpus restricted per batch to what has arrived
+    // (kmOnlineIvfPersistedRefreshOracleSql) — a skipped rebuild, a
+    // mis-assigned append, or serving a superseded generation
+    // hash-mismatches the emission.
+    "stream_ann_ivf_persisted_refresh" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_kmoipr",
+        (st, b, id) => st.serveIvfPersistedAndUpdate(b, id),
+        st => {
+          // publish this run as the corpus's current refresh store —
+          // the two-level LATEST resolution specs and compaction use
+          VectorQueries.ivfStoreCommitLatest(
+            VectorQueries.refreshStoreRoot(d), st.persistedRunRoot)
+          st.servedTopkResult()
+        })),
+
     // ONLINE BPE TRAINING — the tokenizer face of the online-training
     // trio (r15 verdict Next #7; stream_kmeans_minibatch and the two
     // online-serve gates are the k-means faces): documents arrive as
@@ -1437,6 +1466,11 @@ object StreamingGateQueries {
       VectorQueries.kmOnlineIvfDriftTopkOracleSql,
     "stream_ann_ivf_online_topk_incr" ->
       VectorQueries.kmOnlineIvfIncrTopkOracleSql,
+    // the drift chain with the arrived-corpus restriction — the
+    // persisted store holds exactly the ingested vectors, every row
+    // assigned under the current generation's quantizer
+    "stream_ann_ivf_persisted_refresh" ->
+      VectorQueries.kmOnlineIvfPersistedRefreshOracleSql,
     // streaming ≡ batch: the admission job emits exactly the batch
     // composite's survivors and the pack post-pass is the shared tail
     "stream_docs_curation_e2e_kmeans" ->

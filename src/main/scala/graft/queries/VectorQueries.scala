@@ -888,8 +888,122 @@ object VectorQueries {
     /** Batch ids at which the drift gate rebuilt the inverted lists
       * (batch 0 always — the initial build). The measurement surface
       * for the sub-linear re-assignment claim (DriftCurve, VectorSpec).
+      * Shared by the persisted-refresh mode (instances are single-mode,
+      * so the log is unambiguous) — there it is the generation list:
+      * entry g means directory gen_g exists under persistedRunRoot.
       */
     def rebuildLog: Seq[Long] = rebuilt
+
+    // ---- persisted-refresh state (serveIvfPersistedAndUpdate) ------
+    // The composed production index story (r16 verdict Next #1): the
+    // drift gate's epoch protocol with the PERSISTED cell-partitioned
+    // layout as the index — generations are parquet directories, not
+    // localCheckpoint blocks. Per-instance run directory so two gates
+    // (bench reps, concurrent JVMs) never clobber each other's
+    // generations; the gate publishes the run as the corpus's current
+    // refresh store after the drain.
+    private[graft] val persistedRunRoot: String =
+      s"${refreshStoreRoot(d)}/run_${System.nanoTime()}"
+    private var pGen: Option[String] = None
+    private var pIdxCents: DataFrame = frozen
+
+    /** Drift-gated IVF serving FROM A PERSISTED, INGESTED store
+      * (stream_ann_ivf_persisted_refresh's body) — the two halves of
+      * the production index story composed (r16 verdict Next #1):
+      *
+      *  - INGEST: every arriving batch lands in the store. On a skip
+      *    batch it APPENDS — assigned under the current GENERATION's
+      *    quantizer (rows join the generation they arrive into) and
+      *    written as that generation's ingest=batchId partition, so
+      *    existing lists are never rewritten and a REPLAYED batch
+      *    dynamically overwrites ITS OWN partition instead of
+      *    double-appending (the exactly-once half the streaming sink's
+      *    commit log provides elsewhere, here as idempotent-by-layout).
+      *  - REBUILD: when the trainer has drifted past KmDriftRebuild
+      *    since the serving generation was built (batch 0 always), the
+      *    whole ARRIVED corpus — read back from the superseded
+      *    generation, plus this batch — re-assigns under the CURRENT
+      *    quantizer into a NEW generation directory gen_batchId
+      *    (repartition(cell): one file per cell per ingest), and
+      *    serving switches to it ATOMICALLY via the run root's LATEST
+      *    marker (tmp+rename). Superseded generations are left in
+      *    place as compaction input (ivfStoreCompact drops them).
+      *  - SERVE: the batch's queries probe under the generation's
+      *    quantizer against the ARTIFACT's scan — the broadcast probe
+      *    join prunes it to the probed cells' partitions
+      *    (PartitioningSpec pins files read on the current
+      *    generation) — then the shared exact re-rank tail.
+      *  - TRAIN: the MacQueen step under the CURRENT centroids; on a
+      *    rebuild batch the serving scan doubles as the training
+      *    assignment (the one-scan contract).
+      *
+      * State mutates only at the commit point. The store writes
+      * before it are replay-safe by construction: a rebuild rewrites
+      * the deterministic gen_batchId directory, an append dynamically
+      * overwrites its own ingest partition, and the prior corpus is
+      * read from the COMMITTED pGen (never the marker), so a
+      * redelivered batch reproduces the identical store whatever the
+      * failure point. Oracle: the drift chain with the arrived-corpus
+      * restriction (kmOnlineIvfPersistedRefreshOracleSql).
+      *
+      * `thr` is the end-to-end measurement knob (graft.DriftCurve's
+      * composed-gate sweep, recorded at the KmDriftRebuild doc); the
+      * registered gate and the oracle pin the default.
+      */
+    def serveIvfPersistedAndUpdate(batch: DataFrame, batchId: Long,
+                                   thr: Long = KmDriftRebuild): Unit = synchronized {
+      requireMode("serveIvfPersistedAndUpdate")
+      if (applied.contains(batchId)) return // replay of a committed batch
+      val rebuild = pGen.isEmpty || kmDriftFp2(cents, pIdxCents) > thr
+      val bvec = batch.select(col("vec_id"), col("embedding"))
+      val (srvCents, genDir) =
+        if (rebuild) {
+          val arrived = pGen.fold(bvec)(g =>
+            s.read.parquet(g)
+              .select(col("nn_id").as("vec_id"), col("embedding"))
+              .unionByName(bvec))
+          val dir = s"$persistedRunRoot/gen_$batchId"
+          kmAssigned(arrived, cents)
+            .select(col("vec_id").as("nn_id"), col("embedding"),
+              lit(batchId).as("ingest"), col("kcell").as("cell"))
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("ingest", "cell").parquet(dir)
+          (cents, dir)
+        } else {
+          val dir = pGen.get
+          kmAssigned(bvec, pIdxCents)
+            .select(col("vec_id").as("nn_id"), col("embedding"),
+              lit(batchId).as("ingest"), col("kcell").as("cell"))
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest", "cell").parquet(dir)
+          (pIdxCents, dir)
+        }
+      // the atomic serving switch — readers resolving the marker never
+      // observe a half-written generation (the write above completed)
+      ivfStoreCommitLatest(persistedRunRoot, genDir)
+      // serving half, wholly under the generation's quantizer, corpus
+      // side = the artifact's (pruned) scan
+      val idx = s.read.parquet(genDir)
+        .select(col("nn_id"), col("embedding"),
+          col("cell").cast("int").as("cell"))
+      val bscoredIdx = kmScored(batch, srvCents).localCheckpoint()
+      val cur = serveIvf(idx, bscoredIdx, batch).localCheckpoint()
+      val assigned =
+        if (rebuild) kmAssignedFromScored(bscoredIdx)
+        else kmAssigned(batch, cents)
+      val (newCum, newCents) = macQueenFold(assigned)
+      // commit point: trainer state and generation move together
+      cum = Some(newCum)
+      cents = newCents
+      pIdxCents = srvCents
+      pGen = Some(genDir)
+      if (rebuild) rebuilt = rebuilt :+ batchId
+      servedTopk = servedTopk :+ cur
+      applied.add(batchId)
+    }
 
     // ---- per-cell incremental-reindex state (serveIvfIncrAndUpdate) --
     // Each cell's list-build centroid (the per-cell generation —
@@ -1151,7 +1265,29 @@ object VectorQueries {
     * (srvc$r), so a rebuild the engine skipped, or a skip it took,
     * hash-mismatches the emission rather than just drifting recall.
     */
-  private[queries] lazy val kmOnlineIvfDriftTopkOracleSql: String = {
+  private[queries] lazy val kmOnlineIvfDriftTopkOracleSql: String =
+    kmDriftServeOracleSql(arrivedOnly = false)
+
+  /** stream_ann_ivf_persisted_refresh's oracle: the SAME drift-gated
+    * chain, with the serving corpus per batch restricted to the
+    * vectors that have ARRIVED (vec_id % nb <= r) — the composed
+    * gate's store holds only the ingested corpus, every row of it
+    * assigned under the current generation's quantizer (appends land
+    * under the generation they arrive into; a tripped rebuild
+    * re-assigns the whole arrived corpus into a new generation dir),
+    * so the generation rule is stated batch-for-batch: a rebuild the
+    * engine skipped, an append mis-assigned, or a generation served
+    * after its supersession hash-mismatches the emission.
+    */
+  private[queries] lazy val kmOnlineIvfPersistedRefreshOracleSql: String =
+    kmDriftServeOracleSql(arrivedOnly = true)
+
+  /** The drift-gated serving chain's oracle builder — ONE definition
+    * for the in-memory gate (full static corpus) and the persisted
+    * refresh gate (arrived corpus only), so the generation recurrence
+    * and the serving arithmetic cannot drift between the two faces.
+    */
+  private def kmDriftServeOracleSql(arrivedOnly: Boolean): String = {
     val nb = KmMbBatches
     val driftRow = (1 until nb).flatMap(r => (0 until r).map(g =>
       s"${kmDriftPairSql(r, g)} AS d${r}_$g")).mkString(",\n             ")
@@ -1172,8 +1308,15 @@ object VectorQueries {
           WHERE u.g = (SELECT g$r FROM gens))"""
     }.mkString(",\n      ")
     val perBatch = (0 until nb).map { r =>
+      // the serving corpus: the full static table for the in-memory
+      // gate; the arrived prefix (batches 0..r) for the refresh gate
+      val arrCte = if (arrivedOnly)
+        s"""arr$r AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % $nb <= $r),
+        """ else ""
+      val corpus = if (arrivedOnly) s"arr$r" else "embeddings"
       s"""SELECT qid, nn_id, rnk, cos_sim FROM (
-        WITH oad$r AS (${kmDistSql(s"srvc$r")}),
+        WITH ${arrCte}oad$r AS (${kmDistSql(s"srvc$r", corpus)}),
         assigned AS (
           SELECT vec_id AS nn_id, kcell AS cell FROM (
             SELECT vec_id, kcell,
@@ -2529,11 +2672,14 @@ object VectorQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_$key"
   }
 
-  /** A fresh child path under the root — the writer publishes it via
-    * ivfStoreCommitLatest once the write completes.
+  /** A fresh child path under a store root — the writer publishes it
+    * via ivfStoreCommitLatest once the write completes.
     */
+  private[graft] def storeNewChild(root: String): String =
+    s"$root/idx_${System.nanoTime()}"
+
   private[graft] def ivfStoreNewChild(d: String): String =
-    s"${ivfStoreRoot(d)}/idx_${System.nanoTime()}"
+    storeNewChild(ivfStoreRoot(d))
 
   /** Publish `child` as the root's current index: write the LATEST
     * marker atomically (tmp file + rename — readers never observe a
@@ -2551,9 +2697,10 @@ object VectorQueries {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Option(rootF.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("idx_"))
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("idx_") || f.getName.startsWith("run_")))
       .sortBy(f => scala.util.Try(
-        f.getName.stripPrefix("idx_").toLong).getOrElse(0L))
+        f.getName.dropWhile(!_.isDigit).toLong).getOrElse(0L))
       .dropRight(2)
       .filterNot(_.getName == new java.io.File(child).getName)
       .foreach(deleteRecursively)
@@ -2564,24 +2711,81 @@ object VectorQueries {
     f.delete(): Unit
   }
 
-  /** The current index child under the root — resolved from the LATEST
-    * marker the committing writer published (never by mtime, which a
-    * concurrent run's child could win). The store PartitioningSpec's
-    * pruned-read assertions target this after invoking the registered
-    * query.
+  /** The current index child under a store root — resolved from the
+    * LATEST marker the committing writer published (never by mtime,
+    * which a concurrent run's child could win). The store
+    * PartitioningSpec's pruned-read assertions target this after
+    * invoking the registered query.
     */
-  private[graft] def ivfStoreLatest(d: String): String = {
-    val root = new java.io.File(ivfStoreRoot(d))
+  private[graft] def storeLatest(rootDir: String): String = {
+    val root = new java.io.File(rootDir)
     val marker = new java.io.File(root, "LATEST")
     require(root.isDirectory && marker.isFile,
-      s"no persisted IVF store at $root — run ann_ivf_persisted_topk " +
-        "or stream_ann_ivf_persisted_topk against this data dir first")
+      s"no persisted index store at $root — run the store-building " +
+        "query against this data dir first")
     val child = new java.io.File(root,
       new String(java.nio.file.Files.readAllBytes(marker.toPath),
         "UTF-8").trim)
     require(child.isDirectory,
       s"LATEST marker names a missing child ${child.getAbsolutePath}")
     child.getAbsolutePath
+  }
+
+  private[graft] def ivfStoreLatest(d: String): String =
+    storeLatest(ivfStoreRoot(d))
+
+  /** Root of the persisted IVFADC CODE stores — a sibling namespace of
+    * the raw-vector store (the two faces persist different artifacts
+    * for the same corpus and must not clobber each other's LATEST).
+    */
+  private[graft] def pqStoreRoot(d: String): String =
+    s"${ivfStoreRoot(d)}_pq"
+
+  private[graft] def pqStoreLatest(d: String): String =
+    storeLatest(pqStoreRoot(d))
+
+  /** Root of the drift-refreshed persisted stores — one run_* child
+    * per gate instance (its generation directories live inside), the
+    * root's LATEST naming the current run. Two-level resolution:
+    * storeLatest(refreshStoreRoot(d)) → the run,
+    * storeLatest(run) → its current generation.
+    */
+  private[graft] def refreshStoreRoot(d: String): String =
+    s"${ivfStoreRoot(d)}_refresh"
+
+  /** Store compaction — the HyDFS `merge` analog for the persisted
+    * index stores (r16 verdict Next #3; the reference's merge
+    * rewrites a file's appended blocks into canonical order,
+    * /root/reference/dht/dht.go:843-931 — here canonical = ONE
+    * clustered file per cell): rewrite the root's CURRENT child with
+    * repartition(cell) (collapsing the one-file-per-cell-per-batch
+    * accumulation the streaming faces leave), publish the compacted
+    * child via the LATEST marker, then DROP every superseded child —
+    * the stale generations the refresh gate leaves behind are exactly
+    * this call's input. Content-preserving by construction: the same
+    * rows, minus the `ingest` bookkeeping column (meaningless once
+    * its generation is the only one); PartitioningSpec pins
+    * one-file-per-cell, row-set equality, and files-read = NProbe
+    * across the call. Like the reference, compaction is a
+    * SINGLE-writer operation per store root — concurrent ingest into
+    * the child being compacted is the caller's exclusion to provide.
+    */
+  private[graft] def ivfStoreCompact(s: SparkSession, root: String): String = {
+    val cur = storeLatest(root)
+    val rows = s.read.parquet(cur)
+    val keep = rows.columns.filterNot(c => c == "ingest" || c == "cell")
+    val dir = s"$root/cmp_${System.nanoTime()}"
+    rows.select((keep :+ "cell").map(col): _*)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(dir)
+    ivfStoreCommitLatest(root, dir)
+    val dirName = new java.io.File(dir).getName
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != dirName &&
+        (f.getName.startsWith("idx_") || f.getName.startsWith("gen_") ||
+          f.getName.startsWith("cmp_")))
+      .foreach(deleteRecursively)
+    dir
   }
 
   /** Arrival-side index ingestion for the streaming persisted-index
@@ -2660,6 +2864,21 @@ object VectorQueries {
         FROM adist)
       SELECT qid, vec_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, adist
       FROM rankedq WHERE rnk <= 3"""
+
+  /** ann_ivfpq_topk's complete oracle — shared verbatim with the
+    * persisted-code-store face (ann_ivfpq_persisted_topk): IVFADC with
+    * the PQ CTEs composed over the IVF cell CTEs — codes of vectors in
+    * a query's probed cells flow through the LUT sum and the ranked
+    * top-3; everything else is pruned by the probed-cell join before
+    * any distance work.
+    */
+  private lazy val ivfpqTopkOracleSql: String = s"""
+      WITH ${pqCtesSql(k = IvfPqK)},
+      $ivfCellCtesSql,
+      ${ivfAssignProbeSql("ranked_cells", "clabel")},
+      $adcCodesLutSql,
+      $adcDistSql,
+      $adcTopkTailSql"""
 
   private lazy val adcCodesLutSql = s"""codes AS MATERIALIZED (
         SELECT vec_id, sub_id, code_id AS code FROM pqranked WHERE rnk = 1),
@@ -3131,6 +3350,56 @@ object VectorQueries {
     // (cell pruning × PQ distortion) — floor-pinned in VectorSpec.
     "ann_ivfpq_topk" -> ((s, d) => ivfpqTopk(s, d)),
 
+    // THE PERSISTED IVFADC CODE STORE (r16 verdict Next #4): the
+    // raw-vector store above persists full embedding arrays; at 100 TB
+    // the artifact worth persisting is the PQ CODE table — PqM bytes
+    // per vector instead of Dim floats (32× smaller here: 8 tinyint
+    // codes vs 64 floats), cell-partitioned, which IS the published
+    // IVFADC layout (Jégou et al. TPAMI'11 fig. 5: inverted lists of
+    // (id, code) entries per coarse cell; FAISS IndexIVFPQ's on-disk
+    // form). The write packs each vector's PqM codes into one
+    // array<tinyint> row (sorted by sub_id — posexplode re-derives the
+    // sub_id at read), clusters with repartition(cell) so each cell's
+    // code list is exactly one file, and publishes via the LATEST
+    // marker. Serving reads the ARTIFACT: probe lists and the query
+    // LUT come from the live quantizer/codebook (both broadcast-sized
+    // at any corpus scale), the broadcast probe join prunes the code
+    // scan to NProbe cells' files (PartitioningSpec pins files read =
+    // NProbe), and the ADC distance is the same keyed LUT sum as the
+    // in-plan face — so the oracle is ann_ivfpq_topk's VERBATIM: a
+    // code mis-packed, mis-placed, or re-ranked by the round trip
+    // hash-mismatches rather than just drifting recall.
+    "ann_ivfpq_persisted_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cells, probed, _) = ivfQuantizer(e, NProbe, trained = false)
+      val subs = pqSubs(s, d).localCheckpoint()
+      val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = IvfPqK))
+      val store = storeNewChild(pqStoreRoot(d))
+      rawCodes.join(cells, "vec_id")
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("sub_id"), col("code")))),
+          x => x.getField("code").cast("byte")).as("codes"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(store)
+      ivfStoreCommitLatest(pqStoreRoot(d), store)
+      val codes = s.read.parquet(store)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("cell"),
+          col("pos").as("sub_id"), col("col").cast("long").as("code"))
+      codes.join(broadcast(probed), "cell") // cell prune BEFORE LUT work
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(lut), Seq("qid", "sub_id", "code"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2")).as("adist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          col("rnk").cast("long").as("rnk"), col("adist"))
+    }),
+
     // IVFADC on the TRAINED coarse quantizer — the fully unsupervised
     // published stack (FAISS's own shape: k-means coarse quantizer +
     // PQ codes + ADC scan), nothing derived from the label column
@@ -3346,13 +3615,13 @@ object VectorQueries {
     // vectors in a query's probed cells flow through the same LUT sum
     // and ranked top-3 as ann_pq_adc_topk; everything else is pruned
     // by the probed-cell join before any distance work.
-    "ann_ivfpq_topk" -> s"""
-      WITH ${pqCtesSql(k = IvfPqK)},
-      $ivfCellCtesSql,
-      ${ivfAssignProbeSql("ranked_cells", "clabel")},
-      $adcCodesLutSql,
-      $adcDistSql,
-      $adcTopkTailSql""",
+    "ann_ivfpq_topk" -> ivfpqTopkOracleSql,
+    // The persisted-code-store face serves the identical result from
+    // the cell-partitioned packed-code artifact, so the two rows pin
+    // each other: an artifact that drifts from the in-plan codes
+    // hash-mismatches, not just slows down (the ann_ivf_persisted_topk
+    // device, applied to the ADC family).
+    "ann_ivfpq_persisted_topk" -> ivfpqTopkOracleSql,
 
     // The fully unsupervised stack's oracle: the k-means training CTEs
     // replace the label-cell CTEs, assignment/probes read kmranked,

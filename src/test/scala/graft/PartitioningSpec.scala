@@ -131,6 +131,124 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("ann_ivfpq_persisted_topk: the packed-code store reads exactly NProbe cell partitions, 32x smaller rows") {
+    // The IVFADC storage claim (r16 verdict Next #4) made structural:
+    // the persisted artifact is the PACKED CODE table — one
+    // array<tinyint> of PqM codes per vector, cell-partitioned, one
+    // file per cell — and a one-query ADC lookup reads exactly its
+    // NProbe probed cells' files. The compression is asserted on the
+    // schema itself (codes: array<byte>), not argued.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val registered = vq.queries("ann_ivfpq_persisted_topk")(spark, sf)
+    assert(registered.count() > 0)
+    val store = vq.pqStoreLatest(sf)
+    val cellDirs = new java.io.File(store).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs >= 10, s"expected >= 10 cell partitions, got $cellDirs")
+    val df = spark.read.parquet(store)
+    val codesType = df.schema("codes").dataType
+    assert(codesType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"packed code column must be array<tinyint>, got $codesType")
+    val cells = vq.ivfProbedCells(spark, sf).filter(col("qid") === 42)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(cells.length === vq.NProbe)
+    val pruned = df.filter(col("cell").isin(cells: _*))
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "code store scan must carry the probed-cell partition filter")
+    val filesRead = scan.metrics("numFiles").value
+    info(s"persisted-code lookup: files read $filesRead of $cellDirs cells")
+    assert(filesRead === vq.NProbe.toLong,
+      s"clustered code store must read exactly NProbe files, read $filesRead")
+    // the registered query's own probe join prunes the store dynamically
+    withoutAqe {
+      val plan = vq.queries("ann_ivfpq_persisted_topk")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        "registered ADC probe join must plan dynamic partition pruning " +
+          "on the persisted code store scan")
+    }
+  }
+
+  test("stream_ann_ivf_persisted_refresh: pruned reads on the CURRENT generation, compaction preserves content") {
+    // The composed index story's physical pins (r16 verdict Next #1 +
+    // #3): after the gate drains, (a) the run root's LATEST resolves
+    // the current generation and a probe-shaped lookup reads exactly
+    // NProbe of its cell partitions; (b) ivfStoreCompact — the HyDFS
+    // merge analog — rewrites it to ONE file per cell, drops the
+    // superseded generation directories, preserves the row set
+    // exactly, and the pruned read still holds on the compacted child.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val res = graft.queries.StreamingGateQueries
+      .queries("stream_ann_ivf_persisted_refresh")(spark, sf)
+    assert(res.count() > 0)
+    val run = vq.storeLatest(vq.refreshStoreRoot(sf))
+    val gens = new java.io.File(run).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .map(_.getName).sorted.toSeq
+    assert(gens.size > 1,
+      s"expected drift-triggered generations beyond the initial build, got $gens")
+    val cur = vq.storeLatest(run)
+    assert(cur.endsWith(gens.last),
+      s"LATEST must name the newest generation: $cur vs $gens")
+    // every arrived vector is in the current generation exactly once
+    val preRows = spark.read.parquet(cur)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(preRows.size.toLong === corpus,
+      s"current generation holds ${preRows.size} of $corpus vectors")
+    // (a) probe-shaped pruned read on the current generation
+    val someCells = preRows.map(_._2).toSeq.sorted.take(vq.NProbe)
+    def prunedFiles(dir: String): Long = {
+      val pruned = spark.read.parquet(dir)
+        .filter(col("cell").isin(someCells: _*))
+      assert(pruned.collect().nonEmpty)
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.partitionFilters.nonEmpty,
+        "generation scan must carry the probed-cell partition filter")
+      scan.metrics("numFiles").value
+    }
+    val preFiles = prunedFiles(cur)
+    info(s"pre-compaction pruned lookup: files read $preFiles")
+    assert(preFiles >= vq.NProbe.toLong,
+      s"expected at least one file per probed cell, read $preFiles")
+    // (b) compaction: one file per cell, superseded generations gone,
+    // content identical, pruning = exactly NProbe files
+    val compacted = vq.ivfStoreCompact(spark, run)
+    assert(vq.storeLatest(run) === compacted)
+    val leftover = new java.io.File(run).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+    assert(leftover.isEmpty,
+      s"superseded generations must be dropped, left ${leftover.mkString(",")}")
+    val cellDirs = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 10,
+      s"expected >= 10 cell partitions, got ${cellDirs.length}")
+    val maxFiles = cellDirs
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles === 1,
+      s"compaction must leave ONE file per cell, max = $maxFiles")
+    val postRows = spark.read.parquet(compacted)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postRows === preRows,
+      "compaction must preserve the inverted lists' content exactly")
+    val postFiles = prunedFiles(compacted)
+    info(s"post-compaction pruned lookup: files read $postFiles of ${cellDirs.length} cells")
+    assert(postFiles === vq.NProbe.toLong,
+      s"compacted store must read exactly NProbe files, read $postFiles")
+  }
+
   test("stream_ann_ivf_persisted_topk: micro-batches APPEND files per cell, pruning still holds") {
     // The streaming-ingest claim made structural: the parquet sink's
     // partitionBy(cell) lands each micro-batch as NEW files inside the
@@ -161,6 +279,27 @@ class PartitioningSpec extends GraftSpec {
     }.head
     assert(scan.partitionFilters.nonEmpty,
       "streamed store scan must carry the probed-cell partition filter")
+    // compaction (the HyDFS merge analog) on a store that genuinely
+    // accumulated per-micro-batch files: one clustered file per cell
+    // afterwards, content identical, superseded children dropped
+    val preRows = spark.read.parquet(store)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val compacted = vq.ivfStoreCompact(spark, vq.ivfStoreRoot(sf))
+    val cmpCells = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cmpCells.length === cellDirs.length)
+    val cmpMax = cmpCells
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(cmpMax === 1,
+      s"compaction must leave ONE file per cell, max = $cmpMax")
+    val postRows = spark.read.parquet(compacted)
+      .select(col("nn_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postRows === preRows,
+      "compaction must preserve the inverted lists' content exactly")
+    assert(!new java.io.File(store).exists(),
+      "the superseded append-accumulated child must be dropped")
   }
 
   test("IVF inverted lists: the probe join prunes the cell-partitioned store on both faces") {

@@ -445,6 +445,63 @@ class VectorSpec extends GraftSpec {
       f"incremental staleness cost ${fr - ir}%.4f exceeds the bound")
   }
 
+  test("persisted refresh gate: generation schedule pinned, recall floor vs arrived brute across the switch") {
+    // The composed gate's quality pins (r16 verdict Next #1): the
+    // generation schedule must be the drift gate's (same trainer, same
+    // recurrence — rebuilds at 0, 1 and the drift-ACCUMULATED 3, with
+    // batch 2 served by appending into the stale generation-1 store),
+    // and recall@3 must hold a floor against the exact brute top-3
+    // over the ARRIVED corpus per batch — including the batches right
+    // after a generation switch, so a refresh that serves a torn or
+    // stale artifact fails here even if it hashes (the oracle) and
+    // prunes (PartitioningSpec).
+    val d = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val nb = vq.KmMbBatches
+    def batch(r: Int) = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % nb === r)
+    val st = new vq.KmMiniBatch(spark, d)
+    for (r <- 0 until nb) st.serveIvfPersistedAndUpdate(batch(r), r.toLong)
+    assert(st.rebuildLog === Seq(0L, 1L, 3L),
+      s"refresh gate's generation schedule drifted (got ${st.rebuildLog})" +
+        " — re-measure graft.DriftCurve before moving KmDriftRebuild")
+    val served = st.servedTopkResult().select(col("qid"), col("nn_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact per-batch brute over the arrived corpus — the only fair
+    // baseline: the store cannot contain vectors that have not arrived
+    val cosCol = aggregate(
+      zip_with(col("qe"), col("embedding"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val perBatch = (0 until nb).map { r =>
+      val e = graft.Tables.embeddings(spark, d)
+        .filter(col("vec_id") % nb <= r)
+      val q = e.filter(col("vec_id") < vq.NQueries &&
+          col("vec_id") % nb === r)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val recalls = perBatch.map(b =>
+      served.intersect(b).size.toDouble / b.size)
+    info(f"refresh per-batch recall@3 vs arrived brute: " +
+      recalls.map(r => f"$r%.4f").mkString(", "))
+    recalls.zipWithIndex.foreach { case (r, i) =>
+      assert(r >= 0.4, f"batch $i recall $r%.4f below the per-batch floor")
+    }
+    val total = perBatch.reduce(_ union _)
+    val overall = served.intersect(total).size.toDouble / total.size
+    info(f"refresh overall recall@3 vs arrived brute: $overall%.4f")
+    assert(overall >= 0.5, f"overall refresh recall $overall%.4f below floor")
+  }
+
   test("sample-based quantizer training: Lloyd objective still non-increasing, recall holds over the label cells") {
     // The FAISS max_points_per_centroid protocol implemented
     // SIZE-TARGETED (r14 verdict Next #1): the Lloyd rounds scan only
