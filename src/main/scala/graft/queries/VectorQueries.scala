@@ -1478,6 +1478,21 @@ object VectorQueries {
     * data (it does LESS re-assignment work at the larger scale,
     * where every rebuild is skipped) vs the always-rebuild twin's
     * 1.22×.
+    *
+    * End-to-end sensitivity on the COMPOSED persisted-refresh gate
+    * (r16 verdict Next #7; graft.DriftCurve REFRESH rows, sf0.01,
+    * recall@3 vs exact brute over the arrived corpus): a two-point
+    * sweep around the registered value —
+    *   thr/4  (0.125 L2): rebuilds 0,1,2,3  recall 0.5700
+    *   thr    (0.25  L2): rebuilds 0,1,3    recall 0.5500
+    *   thr·4  (0.5   L2): rebuilds 0        recall 0.6033
+    * Rebuild count moves 4 → 3 → 1 across the sweep while recall
+    * stays inside the ±0.05 staleness band (the loosest setting is
+    * even highest on this trajectory — the same stale-generation
+    * effect the sf0.1 drift measurement showed), so the knob buys
+    * index-build work with no measurable recall price on this
+    * corpus; the registered 0.25 keeps the mixed rebuild/skip/
+    * accumulate sequence exercised on the gate fixture.
     */
   private[graft] val KmDriftRebuild: Long = {
     val eps = 0.25
