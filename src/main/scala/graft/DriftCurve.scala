@@ -84,8 +84,15 @@ object DriftCurve {
       for (r <- 0 until nb) si.serveIvfIncrAndUpdate(batch(r), r.toLong)
       val movedCounts = si.movedCells.map(_.count())
       val incrRecall = recall(pairs(si.servedTopkResult()))
+      // moved-member fraction per batch: the rows the incremental step
+      // actually re-assigned over the corpus size — the direct
+      // measurement of "re-assignment work ∝ moved cells' members"
+      // (batch 0 is the initial build, fraction 1 by construction)
+      val corpusN = Tables.embeddings(spark, d).count().toDouble
+      val migFrac = si.migratedMembers.map(_.count() / corpusN)
       println(f"INCR thr=${VectorQueries.KmDriftRebuild} " +
-        f"recall=$incrRecall%.4f moved=${movedCounts.mkString(",")}")
+        f"recall=$incrRecall%.4f moved=${movedCounts.mkString(",")} " +
+        s"migrated_frac=${migFrac.map(f => f"$f%.4f").mkString(",")}")
       // THE COMPOSED GATE's threshold sensitivity (r16 verdict Next
       // #7): the persisted-refresh protocol end-to-end (ingest →
       // drift decision → generation rewrite → pruned serving) at a

@@ -1013,6 +1013,11 @@ object VectorQueries {
     private var cellCents: DataFrame = frozen
     private var lists: Option[DataFrame] = None
     private var movedLog: List[DataFrame] = Nil
+    // per-batch re-assigned members (the migration input) — a LAZY
+    // projection over checkpointed inputs, kept for the measurement
+    // surface only (counting happens in DriftCurve/specs, never in
+    // the gate path)
+    private var migratedLog: List[DataFrame] = Nil
 
     /** PER-CELL incremental reindexing — the finer production protocol
       * next to serveIvfDriftAndUpdate's whole-index epoch gate
@@ -1043,25 +1048,28 @@ object VectorQueries {
     def serveIvfIncrAndUpdate(batch: DataFrame, batchId: Long): Unit = synchronized {
       requireMode("serveIvfIncrAndUpdate")
       if (applied.contains(batchId)) return // replay of a committed batch
-      val (newLists, newCellCents, movedRec) = lists match {
+      val (newLists, newCellCents, movedRec, migrated) = lists match {
         case None =>
           // initial build: every list built under the current (frozen)
           // quantizer — the "all cells moved" base case
-          (kmAssigned(Tables.embeddings(s, d), cents)
-             .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
-               col("embedding"))
-             .localCheckpoint(),
+          val built = kmAssigned(Tables.embeddings(s, d), cents)
+            .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
+              col("embedding"))
+            .localCheckpoint()
+          (built,
            cents,
-           cents.select(col("kcell")).localCheckpoint())
+           cents.select(col("kcell")).localCheckpoint(),
+           built.select(col("nn_id")))
         case Some(prev) =>
           val moved = kmDriftPerCell(cents, cellCents)
             .filter(col("d2") > KmDriftRebuild).select(col("kcell"))
             .localCheckpoint()
+          val members = prev
+            .join(moved, prev("cell") === moved("kcell"), "left_semi")
           val keep = prev.join(moved, prev("cell") === moved("kcell"),
             "left_anti")
           val rea = kmAssigned(
-            prev.join(moved, prev("cell") === moved("kcell"), "left_semi")
-              .select(col("nn_id").as("vec_id"), col("embedding")),
+            members.select(col("nn_id").as("vec_id"), col("embedding")),
             cents)
             .select(col("vec_id").as("nn_id"), col("kcell").as("cell"),
               col("embedding"))
@@ -1073,7 +1081,8 @@ object VectorQueries {
               when(col("m").isNotNull, col("curk")).otherwise(col("prev"))
                 .as("karr"))
             .localCheckpoint()
-          (keep.unionAll(rea).localCheckpoint(), ncc, moved)
+          (keep.unionAll(rea).localCheckpoint(), ncc, moved,
+           members.select(col("nn_id")))
       }
       // fresh probes under the CURRENT quantizer against the patchwork
       // lists; the same scan feeds the MacQueen step
@@ -1086,6 +1095,7 @@ object VectorQueries {
       lists = Some(newLists)
       cellCents = newCellCents
       movedLog = movedLog :+ movedRec
+      migratedLog = migratedLog :+ migrated
       servedTopk = servedTopk :+ cur
       applied.add(batchId)
     }
@@ -1094,6 +1104,15 @@ object VectorQueries {
       * build) — the incremental gate's re-assignment-work surface.
       */
     def movedCells: Seq[DataFrame] = movedLog
+
+    /** Per-batch MIGRATED MEMBERS (batch 0 = the whole corpus, the
+      * initial build) — the rows the incremental step actually
+      * re-assigned; their fraction of the corpus is the sub-linear
+      * re-assignment claim's direct measurement (DriftCurve's INCR
+      * rows record it per SF). Lazy projections over checkpointed
+      * inputs — nothing here materializes in the gate path.
+      */
+    def migratedMembers: Seq[DataFrame] = migratedLog
 
     /** The current patchwork inverted lists — exposed for the
       * VectorSpec list invariant (every vector in exactly one list).
@@ -1492,7 +1511,9 @@ object VectorQueries {
     * effect the sf0.1 drift measurement showed), so the knob buys
     * index-build work with no measurable recall price on this
     * corpus; the registered 0.25 keeps the mixed rebuild/skip/
-    * accumulate sequence exercised on the gate fixture.
+    * accumulate sequence exercised on the gate fixture. Cadence
+    * still drops with scale at every sweep point (sf0.1: rebuilds
+    * 0,1 / 0 / 0 across the three thresholds, recall 0.58/0.57/0.57).
     */
   private[graft] val KmDriftRebuild: Long = {
     val eps = 0.25
