@@ -101,28 +101,9 @@ object DriftCurve {
       // metric), showing the rebuild-count/recall trade the constant
       // buys. Recall here is vs the exact brute top-3 over the
       // ARRIVED corpus per batch — the only corpus the store can hold.
-      val arrBrute = (0 until nb).map { r =>
-        val e = Tables.embeddings(spark, d)
-          .filter(col("vec_id") % nb <= r)
-        val q = e.filter(col("vec_id") < VectorQueries.NQueries &&
-            col("vec_id") % nb === r)
-          .select(col("vec_id").as("qid"),
-            col("embedding").as("qe"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos", org.apache.spark.sql.functions.aggregate(
-            org.apache.spark.sql.functions.zip_with(
-              col("qe"), col("embedding"),
-              (a, b) => a.cast("double") * b.cast("double")),
-            org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x))
-          .withColumn("rnk",
-            org.apache.spark.sql.functions.row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("qid"), col("vec_id").as("nn_id"))
-      }.map(pairs).reduce(_ union _)
+      val arrBrute = (0 until nb)
+        .map(r => pairs(VectorQueries.arrivedBruteTopk(spark, d, r, nb)))
+        .reduce(_ union _)
       val base = VectorQueries.KmDriftRebuild
       for (thr <- Seq(base / 4, base, base * 4)) {
         val sp = new VectorQueries.KmMiniBatch(spark, d)

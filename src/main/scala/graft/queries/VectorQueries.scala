@@ -955,31 +955,44 @@ object VectorQueries {
       requireMode("serveIvfPersistedAndUpdate")
       if (applied.contains(batchId)) return // replay of a committed batch
       val rebuild = pGen.isEmpty || kmDriftFp2(cents, pIdxCents) > thr
-      val bvec = batch.select(col("vec_id"), col("embedding"))
-      val (srvCents, genDir) =
+      val srvCents = if (rebuild) cents else pIdxCents
+      // ONE nearest-cell scan of the batch under the generation
+      // quantizer serves three consumers: the batch's store rows (on
+      // both paths the arriving rows are assigned under srvCents —
+      // the generation they join), the probe ranking, and on rebuild
+      // batches (srvCents == cents) the training assignment — the
+      // one-scan contract the sibling gates keep (code-review r17:
+      // the skip path previously scored the batch twice).
+      val bscoredIdx = kmScored(
+        batch.select(col("vec_id"), col("embedding")), srvCents)
+        .localCheckpoint()
+      val bRows = kmAssignedFromScored(bscoredIdx)
+        .select(col("vec_id").as("nn_id"), col("embedding"),
+          lit(batchId).as("ingest"), col("kcell").as("cell"))
+      val genDir =
         if (rebuild) {
-          val arrived = pGen.fold(bvec)(g =>
-            s.read.parquet(g)
-              .select(col("nn_id").as("vec_id"), col("embedding"))
-              .unionByName(bvec))
+          // prior corpus re-read from the COMMITTED generation (never
+          // the marker) and re-assigned under the current quantizer;
+          // the arriving batch's rows come from the shared scan
+          val prior = pGen.map(g =>
+            kmAssigned(s.read.parquet(g)
+              .select(col("nn_id").as("vec_id"), col("embedding")), cents)
+              .select(col("vec_id").as("nn_id"), col("embedding"),
+                lit(batchId).as("ingest"), col("kcell").as("cell")))
           val dir = s"$persistedRunRoot/gen_$batchId"
-          kmAssigned(arrived, cents)
-            .select(col("vec_id").as("nn_id"), col("embedding"),
-              lit(batchId).as("ingest"), col("kcell").as("cell"))
+          prior.fold(bRows)(_ unionByName bRows)
             .repartition(col("cell"))
             .write.mode("overwrite")
             .partitionBy("ingest", "cell").parquet(dir)
-          (cents, dir)
+          dir
         } else {
           val dir = pGen.get
-          kmAssigned(bvec, pIdxCents)
-            .select(col("vec_id").as("nn_id"), col("embedding"),
-              lit(batchId).as("ingest"), col("kcell").as("cell"))
+          bRows
             .repartition(col("cell"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest", "cell").parquet(dir)
-          (pIdxCents, dir)
+          dir
         }
       // the atomic serving switch — readers resolving the marker never
       // observe a half-written generation (the write above completed)
@@ -989,7 +1002,6 @@ object VectorQueries {
       val idx = s.read.parquet(genDir)
         .select(col("nn_id"), col("embedding"),
           col("cell").cast("int").as("cell"))
-      val bscoredIdx = kmScored(batch, srvCents).localCheckpoint()
       val cur = serveIvf(idx, bscoredIdx, batch).localCheckpoint()
       val assigned =
         if (rebuild) kmAssignedFromScored(bscoredIdx)
@@ -2147,6 +2159,28 @@ object VectorQueries {
       .agg(min(col("kdist")).as("kd"))
       .agg(sum(col("kd")).as("distortion"))
 
+  /** Exact brute-force cosine top-3 of batch `r`'s queries over the
+    * ARRIVED corpus (vec_id % nb <= r) — the measurement baseline for
+    * the persisted-refresh gate (the store cannot contain vectors
+    * that have not arrived), ONE definition for DriftCurve's
+    * threshold sweep and VectorSpec's recall floors (code-review r17:
+    * the two carried verbatim copies).
+    */
+  private[graft] def arrivedBruteTopk(s: SparkSession, d: String,
+                                      r: Int, nb: Int): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") % nb <= r)
+    val q = e.filter(col("vec_id") < NQueries && col("vec_id") % nb === r)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nn_id"))
+  }
+
   /** Probe selection over the trained quantizer's scored frame: each
     * query's top `nprobe` cells by (kdist ASC, kcell ASC) —
     * kmAssigned's own metric. ONE definition shared by
@@ -2359,7 +2393,20 @@ object VectorQueries {
     val (cells, probed, _) = ivfQuantizer(e, nprobe, trained, sampled)
     val subs = pqSubs(s, d).localCheckpoint()
     val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
-    val codes = rawCodes.join(cells, "vec_id")
+    adcServeTail(rawCodes.join(cells, "vec_id"), probed, lut, topn)
+  }
+
+  /** The IVFADC serving tail over a cell-tagged code table: probed-cell
+    * prune BEFORE any LUT work, broadcast LUT join, keyed integer
+    * distance sum, ranked top-`topn` with the (adist, vec_id)
+    * tie-break. ONE definition for the in-plan face (ivfpqTopk) and
+    * the persisted-code-store face (ann_ivfpq_persisted_topk) — the
+    * two registered rows share ivfpqTopkOracleSql verbatim, so the
+    * tail's arithmetic and casts must stay byte-identical between
+    * them (code-review r17: it lived in two copies).
+    */
+  private def adcServeTail(codes: DataFrame, probed: DataFrame,
+                           lut: DataFrame, topn: Int = 3): DataFrame =
     codes.join(broadcast(probed), "cell") // cell filter BEFORE the LUT join
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lut), Seq("qid", "sub_id", "code"))
@@ -2370,7 +2417,6 @@ object VectorQueries {
       .filter(col("rnk") <= topn)
       .select(col("qid"), col("vec_id").as("nn_id"),
         col("rnk").cast("long").as("rnk"), col("adist"))
-  }
 
   /** IVFADC+R (Jégou et al. TPAMI'11 §V, "re-ranking with source
     * coding"; FAISS IndexIVFPQR): the ADC scan produces a SHORTLIST of
@@ -2719,9 +2765,15 @@ object VectorQueries {
 
   /** Publish `child` as the root's current index: write the LATEST
     * marker atomically (tmp file + rename — readers never observe a
-    * torn marker), then best-effort delete superseded idx_* siblings
-    * beyond the newest two. Pruning runs AFTER the marker flip, so a
-    * crash leaves extra children, never a marker naming a deleted dir.
+    * torn marker), then best-effort delete superseded idx_ and run_
+    * siblings beyond the newest two — but ONLY those older than
+    * StorePruneAgeMs (code-review r17: the keep-two budget is shared
+    * across committers at the per-corpus root, so without the age
+    * gate two concurrent JVMs' commits could delete a sibling JVM's
+    * just-committed child out from under its still-lazy scan; a
+    * recent child is by definition possibly-in-use). Pruning runs
+    * AFTER the marker flip, so a crash leaves extra children, never
+    * a marker naming a deleted dir.
     */
   private[graft] def ivfStoreCommitLatest(root: String, child: String): Unit = {
     val rootF = new java.io.File(root)
@@ -2732,6 +2784,7 @@ object VectorQueries {
       new java.io.File(rootF, "LATEST").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val cutoff = System.currentTimeMillis() - StorePruneAgeMs
     Option(rootF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
         (f.getName.startsWith("idx_") || f.getName.startsWith("run_")))
@@ -2739,8 +2792,16 @@ object VectorQueries {
         f.getName.dropWhile(!_.isDigit).toLong).getOrElse(0L))
       .dropRight(2)
       .filterNot(_.getName == new java.io.File(child).getName)
+      .filter(_.lastModified < cutoff)
       .foreach(deleteRecursively)
   }
+
+  /** Minimum age before a superseded store child is prunable — a
+    * bound on how long a committed-then-superseded child's lazy scan
+    * can stay live in some JVM (bench reps and specs evaluate within
+    * seconds; 15 min is generous slack).
+    */
+  private val StorePruneAgeMs: Long = 15L * 60 * 1000
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -3424,16 +3485,7 @@ object VectorQueries {
           posexplode(col("codes")))
         .select(col("vec_id"), col("cell"),
           col("pos").as("sub_id"), col("col").cast("long").as("code"))
-      codes.join(broadcast(probed), "cell") // cell prune BEFORE LUT work
-        .filter(col("vec_id") =!= col("qid"))
-        .join(broadcast(lut), Seq("qid", "sub_id", "code"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("d2")).as("adist"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          col("rnk").cast("long").as("rnk"), col("adist"))
+      adcServeTail(codes, probed, lut)
     }),
 
     // IVFADC on the TRAINED coarse quantizer — the fully unsupervised

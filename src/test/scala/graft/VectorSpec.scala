@@ -468,25 +468,10 @@ class VectorSpec extends GraftSpec {
     val served = st.servedTopkResult().select(col("qid"), col("nn_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact per-batch brute over the arrived corpus — the only fair
-    // baseline: the store cannot contain vectors that have not arrived
-    val cosCol = aggregate(
-      zip_with(col("qe"), col("embedding"),
-        (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    // baseline (the store cannot contain vectors that have not
+    // arrived); the shared definition DriftCurve's sweep also uses
     val perBatch = (0 until nb).map { r =>
-      val e = graft.Tables.embeddings(spark, d)
-        .filter(col("vec_id") % nb <= r)
-      val q = e.filter(col("vec_id") < vq.NQueries &&
-          col("vec_id") % nb === r)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("vec_id"))
+      vq.arrivedBruteTopk(spark, d, r, nb)
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     }
     val recalls = perBatch.map(b =>
