@@ -167,7 +167,10 @@ object ClusterCheck {
     // dynamic-overwrite ingest partitions, and every batch's serving
     // a pruned read of the committed artifact across processes (a
     // torn generation or a mis-committed append flips ranked answers)
-    "stream_ann_ivf_persisted_refresh")
+    // — and the streaming CODE-store ingest (arrival-side PQ
+    // quantization + packing in executor JVMs, ADC served from the
+    // re-read packed artifact)
+    "stream_ann_ivf_persisted_refresh", "stream_ann_ivfpq_persisted_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -891,6 +891,46 @@ object StreamingGateQueries {
       }
     }),
 
+    // STREAMING INGEST INTO THE PERSISTED CODE STORE — the IVFADC
+    // twin of stream_ann_ivf_persisted_topk: arriving vectors are
+    // PQ-quantized on arrival (pqSubsOf — the batch face's exact
+    // arithmetic) against the OFFLINE-trained broadcast codebook,
+    // cell-assigned by the same pure broadcast expression, PACKED to
+    // the array<tinyint> row, and land as idempotent ingest=batchId
+    // partitions inside their cell directories (dynamic partition
+    // overwrite — the packing aggregation forces foreachBatch, so
+    // replay-safety comes from the layout rather than the sink's
+    // commit log). After the drain the full query set serves FROM the
+    // artifact through the shared pqServeFromStore body. Frozen
+    // quantizer AND codebook make ingest batch-invariant, so
+    // streaming ≡ batch build and the oracle is ann_ivfpq_topk's
+    // VERBATIM — a code mis-packed, mis-quantized, or mis-placed by
+    // any micro-batch hash-mismatches.
+    "stream_ann_ivfpq_persisted_topk" -> ((s, d) => {
+      Tables.load(s, d, "region")
+      withGateParts(s) {
+        val name = s"gate_pqp_${runId.incrementAndGet()}"
+        val (src, ckpt) = stageBatchedStream(s, s"$d/embeddings.parquet",
+          name, Tables.normalizeTemporal,
+          (0 until 4).map(i => col("vec_id") % 4 === i))
+        // offline training, ONCE per gate (checkpointed) — the
+        // foreachBatch closure broadcasts it per arrival batch
+        val subs = VectorQueries.pqSubs(s, d).localCheckpoint()
+        val cb = VectorQueries.pqCodebook(subs, k = VectorQueries.IvfPqK)
+        val store =
+          VectorQueries.storeNewChild(VectorQueries.pqStoreRoot(d))
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((b: DataFrame, id: Long) =>
+            VectorQueries.pqStoreIngestBatch(s, d, store, cb, b, id))
+          .start()
+        q.awaitTermination()
+        VectorQueries.ivfStoreCommitLatest(VectorQueries.pqStoreRoot(d), store)
+        VectorQueries.pqServeFromStore(s, d, store)
+      }
+    }),
+
     // DRIFT-REFRESHED PERSISTED INDEX — the two halves of the
     // production index story COMPOSED (r16 verdict Next #1; until now
     // the drift/incr gates maintained in-memory lists while the
@@ -1487,6 +1527,10 @@ object StreamingGateQueries {
     // is batch-invariant, so the persisted-store serving matches the
     // in-plan face's oracle exactly
     "stream_ann_ivf_persisted_topk" -> VectorQueries.oracle("ann_ivf_topk"),
+    // same argument for the code store: frozen quantizer + codebook
+    // make the packed-code ingest batch-invariant
+    "stream_ann_ivfpq_persisted_topk" ->
+      VectorQueries.oracle("ann_ivfpq_topk"),
     // Streaming ≡ batch for the served token budgets: the offline-
     // trained vocab map is static, so per-doc totals are arrival-
     // order-independent whatever the batch split.

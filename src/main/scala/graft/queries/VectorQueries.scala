@@ -1636,8 +1636,15 @@ object VectorQueries {
     * (vector, PQ subspace) — shared by vec_pq_codes and the ADC search.
     */
   private[graft] def pqSubs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
+    pqSubsOf(Tables.embeddings(s, d))
+
+  /** pqSubs over an arbitrary (vec_id, embedding) frame — the
+    * streaming code-store ingest quantizes ARRIVING vectors with the
+    * identical arithmetic (one definition, so the packed artifact can
+    * never drift from the batch face's codes).
+    */
+  private[graft] def pqSubsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
         aggregate(col("embedding"), lit(0.0),
           (a, x) => greatest(a, abs(x.cast("double")))).as("scale"))
       .select(col("vec_id"),
@@ -2394,6 +2401,71 @@ object VectorQueries {
     val subs = pqSubs(s, d).localCheckpoint()
     val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = k))
     adcServeTail(rawCodes.join(cells, "vec_id"), probed, lut, topn)
+  }
+
+  /** Pack a (vec_id, cell, sub_id, code) code table into the persisted
+    * store's row form — one array<tinyint> of the PqM codes per
+    * vector, ordered by sub_id (posexplode re-derives the sub_id at
+    * read). ONE definition for the batch build and the streaming
+    * ingest, so the artifact layout cannot drift between them.
+    */
+  private def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code").cast("byte")).as("codes"))
+
+  /** ADC serving FROM a persisted cell-partitioned packed-code store:
+    * probe lists and the query LUT derive from the live quantizer and
+    * codebook (both broadcast-sized at any corpus scale), the corpus
+    * side is the artifact's posexploded scan — the broadcast probe
+    * join prunes it to the probed cells' partitions. ONE definition
+    * shared by the batch-built face (ann_ivfpq_persisted_topk) and
+    * the streaming-ingested face (stream_ann_ivfpq_persisted_topk);
+    * reads both layouts (the streaming store carries an extra ingest
+    * partition column the select ignores).
+    */
+  private[graft] def pqServeFromStore(s: SparkSession, d: String,
+                                      store: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (_, probed, _) = ivfQuantizer(e, NProbe, trained = false)
+    val subs = pqSubs(s, d).localCheckpoint()
+    val (_, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = IvfPqK))
+    val codes = s.read.parquet(store)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        posexplode(col("codes")))
+      .select(col("vec_id"), col("cell"),
+        col("pos").as("sub_id"), col("col").cast("long").as("code"))
+    adcServeTail(codes, probed, lut)
+  }
+
+  /** One micro-batch of the streaming code-store ingest: the arriving
+    * vectors' PQ codes (pqSubsOf — the identical quantization
+    * arithmetic as the batch face) under the OFFLINE-trained codebook
+    * (broadcast, dictionary-sized — the train-offline/ingest-online
+    * deployment, the tokenizer gates' shape), cell-assigned by the
+    * same pure broadcast expression as the raw-vector ingest
+    * (ivfArrivingAssign), packed, and written as this batch's
+    * ingest=batchId partitions with DYNAMIC partition overwrite — a
+    * redelivered batch overwrites its OWN partitions instead of
+    * double-appending (the refresh gate's idempotent-by-layout
+    * device; aggregations force foreachBatch here, so the sink
+    * commit log the raw-vector face relies on is not available).
+    */
+  private[graft] def pqStoreIngestBatch(s: SparkSession, d: String,
+                                        store: String, cb: DataFrame,
+                                        batch: DataFrame,
+                                        batchId: Long): Unit = {
+    val codes = pqAssign(pqSubsOf(batch), cb)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+    val cells = ivfArrivingAssign(batch, s, d)
+      .select(col("nn_id").as("vec_id"), col("cell"))
+    packCodes(codes.join(cells, "vec_id"))
+      .withColumn("ingest", lit(batchId))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "ingest").parquet(store)
   }
 
   /** The IVFADC serving tail over a cell-tagged code table: probed-cell
@@ -3468,24 +3540,15 @@ object VectorQueries {
     // hash-mismatches rather than just drifting recall.
     "ann_ivfpq_persisted_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val (cells, probed, _) = ivfQuantizer(e, NProbe, trained = false)
+      val (cells, _, _) = ivfQuantizer(e, NProbe, trained = false)
       val subs = pqSubs(s, d).localCheckpoint()
-      val (rawCodes, lut) = adcCodesAndLut(subs, pqCodebook(subs, k = IvfPqK))
+      val (rawCodes, _) = adcCodesAndLut(subs, pqCodebook(subs, k = IvfPqK))
       val store = storeNewChild(pqStoreRoot(d))
-      rawCodes.join(cells, "vec_id")
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("sub_id"), col("code")))),
-          x => x.getField("code").cast("byte")).as("codes"))
+      packCodes(rawCodes.join(cells, "vec_id"))
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(store)
       ivfStoreCommitLatest(pqStoreRoot(d), store)
-      val codes = s.read.parquet(store)
-        .select(col("vec_id"), col("cell").cast("int").as("cell"),
-          posexplode(col("codes")))
-        .select(col("vec_id"), col("cell"),
-          col("pos").as("sub_id"), col("col").cast("long").as("code"))
-      adcServeTail(codes, probed, lut)
+      pqServeFromStore(s, d, store)
     }),
 
     // IVFADC on the TRAINED coarse quantizer — the fully unsupervised

@@ -176,6 +176,62 @@ class PartitioningSpec extends GraftSpec {
     }
   }
 
+  test("stream_ann_ivfpq_persisted_topk: per-batch code appends inside cell dirs, pruning and compaction hold") {
+    // The streaming code-store ingest made structural: each
+    // micro-batch lands as an idempotent ingest=<id> partition INSIDE
+    // its cell directories (packed array<tinyint> rows), the store
+    // stays a pruned-read target, and compaction collapses the
+    // per-batch accumulation to one clustered file per cell with the
+    // content preserved exactly.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val res = graft.queries.StreamingGateQueries
+      .queries("stream_ann_ivfpq_persisted_topk")(spark, sf)
+    assert(res.count() > 0)
+    val store = vq.pqStoreLatest(sf)
+    val cellDirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 10,
+      s"expected >= 10 cell partitions, got ${cellDirs.length}")
+    def parquets(dir: java.io.File): Int = {
+      val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+      kids.count(_.getName.endsWith(".parquet")) + kids.filter(_.isDirectory).map(parquets).sum
+    }
+    val maxFiles = cellDirs.map(parquets).max
+    assert(maxFiles > 1,
+      s"expected per-micro-batch ingest partitions inside cell dirs, " +
+        s"max files per cell = $maxFiles")
+    def packedRows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("codes").cast("string").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val preRows = packedRows(store)
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(preRows.size.toLong === corpus,
+      s"code store holds ${preRows.size} of $corpus vectors")
+    val cells = vq.ivfProbedCells(spark, sf).filter(col("qid") === 42)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(store)
+      .filter(col("cell").isin(cells: _*))
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "streamed code-store scan must carry the probed-cell partition filter")
+    // compaction collapses the ingest accumulation, preserves content
+    val compacted = vq.ivfStoreCompact(spark, vq.pqStoreRoot(sf))
+    val cmpMax = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(parquets).max
+    assert(cmpMax === 1,
+      s"compaction must leave ONE file per cell, max = $cmpMax")
+    assert(packedRows(compacted) === preRows,
+      "compaction must preserve the packed code rows exactly")
+    assert(!new java.io.File(store).exists(),
+      "the superseded ingest-accumulated child must be dropped")
+  }
+
   test("stream_ann_ivf_persisted_refresh: pruned reads on the CURRENT generation, compaction preserves content") {
     // The composed index story's physical pins (r16 verdict Next #1 +
     // #3): after the gate drains, (a) the run root's LATEST resolves
