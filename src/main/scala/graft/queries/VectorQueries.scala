@@ -938,12 +938,21 @@ object VectorQueries {
       *    assignment (the one-scan contract).
       *
       * State mutates only at the commit point. The store writes
-      * before it are replay-safe by construction: a rebuild rewrites
-      * the deterministic gen_batchId directory, an append dynamically
+      * before it are replay-safe by construction WITHIN one process
+      * (ADVICE r17 — the scope of the claim): a rebuild rewrites the
+      * deterministic gen_batchId directory, an append dynamically
       * overwrites its own ingest partition, and the prior corpus is
-      * read from the COMMITTED pGen (never the marker), so a
-      * redelivered batch reproduces the identical store whatever the
-      * failure point. Oracle: the drift chain with the arrived-corpus
+      * read from the COMMITTED pGen (never the marker), so a batch
+      * REDELIVERED TO THIS INSTANCE — the foreachBatch replay the
+      * AvailableNow gates actually exercise — reproduces the
+      * identical store whatever the failure point. Cross-restart
+      * resume (a checkpoint-recovered stream handing a fresh
+      * KmMiniBatch an old batch id) is OUT OF CONTRACT for the whole
+      * KmMiniBatch family: applied/pGen/cents are in-memory, so a
+      * fresh instance starts a new run root from batch 0 — at scale
+      * the applied-id set and generation pointer live in a
+      * transactional store, as the class doc's idempotence note says.
+      * Oracle: the drift chain with the arrived-corpus
       * restriction (kmOnlineIvfPersistedRefreshOracleSql).
       *
       * `thr` is the end-to-end measurement knob (graft.DriftCurve's
@@ -2408,12 +2417,25 @@ object VectorQueries {
     * vector, ordered by sub_id (posexplode re-derives the sub_id at
     * read). ONE definition for the batch build and the streaming
     * ingest, so the artifact layout cannot drift between them.
+    * The byte cast is range-guarded (ADVICE r17): a codebook with
+    * k > 128 would silently wrap codes negative and the read-back
+    * cast('long') would miss the LUT join — rankings would go wrong
+    * with no loud failure at write time. raise_error makes the pack
+    * FAIL at write instead of corrupting the persisted artifact;
+    * the guard is a codegen'd per-row comparison, free in the plan.
     */
   private def packCodes(codes: DataFrame): DataFrame =
     codes.groupBy(col("vec_id"), col("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub_id"), col("code")))),
-        x => x.getField("code").cast("byte")).as("codes"))
+        x => {
+          val c = x.getField("code")
+          when(c > lit(127) || c < lit(0),
+            raise_error(concat(
+              lit("PQ code outside tinyint range at pack time "),
+              lit("(codebook k > 128?): "), c.cast("string"))).cast("byte"))
+            .otherwise(c.cast("byte"))
+        }).as("codes"))
 
   /** ADC serving FROM a persisted cell-partitioned packed-code store:
     * probe lists and the query LUT derive from the live quantizer and
@@ -2837,8 +2859,10 @@ object VectorQueries {
 
   /** Publish `child` as the root's current index: write the LATEST
     * marker atomically (tmp file + rename — readers never observe a
-    * torn marker), then best-effort delete superseded idx_ and run_
-    * siblings beyond the newest two — but ONLY those older than
+    * torn marker), then best-effort delete superseded idx_/run_/cmp_
+    * siblings (ADVICE r17: cmp_ children a prior compaction left
+    * superseded were never reclaimed by later commits) beyond the
+    * newest two — but ONLY those older than
     * StorePruneAgeMs (code-review r17: the keep-two budget is shared
     * across committers at the per-corpus root, so without the age
     * gate two concurrent JVMs' commits could delete a sibling JVM's
@@ -2859,7 +2883,8 @@ object VectorQueries {
     val cutoff = System.currentTimeMillis() - StorePruneAgeMs
     Option(rootF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
-        (f.getName.startsWith("idx_") || f.getName.startsWith("run_")))
+        (f.getName.startsWith("idx_") || f.getName.startsWith("run_") ||
+          f.getName.startsWith("cmp_")))
       .sortBy(f => scala.util.Try(
         f.getName.dropWhile(!_.isDigit).toLong).getOrElse(0L))
       .dropRight(2)
@@ -2938,8 +2963,15 @@ object VectorQueries {
     * across the call. Like the reference, compaction is a
     * SINGLE-writer operation per store root — concurrent ingest into
     * the child being compacted is the caller's exclusion to provide.
+    * Superseded-child cleanup is AGE-GATED by default (ADVICE r17:
+    * an unconditional delete here, unlike ivfStoreCommitLatest's
+    * gated prune, could fail a sibling JVM's still-lazy scan over the
+    * pre-compaction child mid-read); a caller that OWNS the root —
+    * a gate finalizing its instance-private run root, or a
+    * single-JVM spec — passes pruneAgeMs = 0 for immediate reclaim.
     */
-  private[graft] def ivfStoreCompact(s: SparkSession, root: String): String = {
+  private[graft] def ivfStoreCompact(s: SparkSession, root: String,
+                                     pruneAgeMs: Long = StorePruneAgeMs): String = {
     val cur = storeLatest(root)
     val rows = s.read.parquet(cur)
     val keep = rows.columns.filterNot(c => c == "ingest" || c == "cell")
@@ -2949,10 +2981,12 @@ object VectorQueries {
       .write.partitionBy("cell").parquet(dir)
     ivfStoreCommitLatest(root, dir)
     val dirName = new java.io.File(dir).getName
+    val cutoff = System.currentTimeMillis() - pruneAgeMs
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName != dirName &&
         (f.getName.startsWith("idx_") || f.getName.startsWith("gen_") ||
           f.getName.startsWith("cmp_")))
+      .filter(_.lastModified < cutoff)
       .foreach(deleteRecursively)
     dir
   }

@@ -220,7 +220,9 @@ class PartitioningSpec extends GraftSpec {
     assert(scan.partitionFilters.nonEmpty,
       "streamed code-store scan must carry the probed-cell partition filter")
     // compaction collapses the ingest accumulation, preserves content
-    val compacted = vq.ivfStoreCompact(spark, vq.pqStoreRoot(sf))
+    // pruneAgeMs = 0: this single-JVM spec owns the root, so immediate
+    // reclaim is safe (the default age gate protects sibling JVMs)
+    val compacted = vq.ivfStoreCompact(spark, vq.pqStoreRoot(sf), pruneAgeMs = 0L)
     val cmpMax = new java.io.File(compacted).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(parquets).max
@@ -280,7 +282,7 @@ class PartitioningSpec extends GraftSpec {
       s"expected at least one file per probed cell, read $preFiles")
     // (b) compaction: one file per cell, superseded generations gone,
     // content identical, pruning = exactly NProbe files
-    val compacted = vq.ivfStoreCompact(spark, run)
+    val compacted = vq.ivfStoreCompact(spark, run, pruneAgeMs = 0L)
     assert(vq.storeLatest(run) === compacted)
     val leftover = new java.io.File(run).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
@@ -341,7 +343,7 @@ class PartitioningSpec extends GraftSpec {
     val preRows = spark.read.parquet(store)
       .select(col("nn_id"), col("cell").cast("int").as("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val compacted = vq.ivfStoreCompact(spark, vq.ivfStoreRoot(sf))
+    val compacted = vq.ivfStoreCompact(spark, vq.ivfStoreRoot(sf), pruneAgeMs = 0L)
     val cmpCells = new java.io.File(compacted).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cmpCells.length === cellDirs.length)
