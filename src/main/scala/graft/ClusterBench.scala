@@ -67,7 +67,13 @@ object ClusterBench {
     "stream_bpe_train_online", "stream_ann_ivf_online_topk_incr",
     // r17: the composed persisted-refresh gate — the drift protocol's
     // serving chains plus per-batch parquet generation IO
-    "stream_ann_ivf_persisted_refresh")
+    "stream_ann_ivf_persisted_refresh",
+    // r18: the streaming PQ code-store faces (r17 verdict Next #4 —
+    // the ingest gate was the #4 most expensive bench query with no
+    // cluster-mode measurement) and the composed code-store refresh
+    // gate — per-batch quantize/pack/write plus ADC serving with
+    // broadcast LUTs across executor JVMs
+    "stream_ann_ivfpq_persisted_topk", "stream_ann_ivfpq_persisted_refresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

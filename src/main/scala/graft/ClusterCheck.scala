@@ -170,7 +170,12 @@ object ClusterCheck {
     // — and the streaming CODE-store ingest (arrival-side PQ
     // quantization + packing in executor JVMs, ADC served from the
     // re-read packed artifact)
-    "stream_ann_ivf_persisted_refresh", "stream_ann_ivfpq_persisted_topk")
+    "stream_ann_ivf_persisted_refresh", "stream_ann_ivfpq_persisted_topk",
+    // r18: the composed CODE-store refresh gate — generation rebuilds
+    // re-bucketing the packed code table across executor JVMs, ADC
+    // serving a pruned read of the committed code artifact, and the
+    // gate-driven finalize compacting/pruning the run at drain
+    "stream_ann_ivfpq_persisted_refresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -79,7 +79,19 @@ object ScalingCheck {
     // the store's write/read IO to the drift twin's profile, and the
     // rebuild cadence DROPS with scale (every rebuild but the initial
     // build skipped at sf0.1), so appends dominate at the larger SF
-    "stream_ann_ivf_persisted_refresh")
+    "stream_ann_ivf_persisted_refresh",
+    // the persisted PQ CODE store, batch and streaming faces (r17
+    // verdict Next #4 — the #4 most expensive bench query was in
+    // neither scale harness while its raw-vector twins were): train +
+    // pack + write are data-linear, the serve scan is pruned to
+    // NProbe cells' files, so growth should track the linear
+    // encode/pack term
+    "ann_ivfpq_persisted_topk", "stream_ann_ivfpq_persisted_topk",
+    // the composed CODE-store refresh gate (r18): the drift recurrence
+    // over the packed artifact — rebuilds re-bucket 32x-smaller rows
+    // than the raw refresh twin and their cadence drops with scale,
+    // so growth should sit at or below the raw twin's
+    "stream_ann_ivfpq_persisted_refresh")
 
   /** The data-growth factor between two sf dirs, derived from the dir
     * names' scale factors (sfA/sfB) rather than hardcoded — a run

@@ -949,14 +949,62 @@ object StreamingGateQueries {
     // (kmOnlineIvfPersistedRefreshOracleSql) — a skipped rebuild, a
     // mis-assigned append, or serving a superseded generation
     // hash-mismatches the emission.
-    "stream_ann_ivf_persisted_refresh" -> ((s, d) =>
-      runKmMiniBatchGate(s, d, "gate_kmoipr",
+    "stream_ann_ivf_persisted_refresh" -> ((s, d) => {
+      // RocksDB provider pin on the flagship composite (r17 verdict
+      // Next #6), on an ISOLATED session so it cannot leak (the
+      // stream_running_count_tws device). The gate's stream itself is
+      // stateless (file source → foreachBatch — no state store ever
+      // instantiates), so the pin is about running the heaviest
+      // composite end-to-end under the scale backend's conf; the
+      // CORRECTNESS row — the gate hash-matching its oracle while
+      // registered WITH the pin — is the coverage evidence.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      runKmMiniBatchGate(s2, d, "gate_kmoipr",
         (st, b, id) => st.serveIvfPersistedAndUpdate(b, id),
         st => {
+          // GATE-DRIVEN lifecycle (r17 verdict Next #3): the drained
+          // run compacts its current generation per-cell and bounds
+          // itself to <= 2 generation children BEFORE publishing —
+          // an unattended run cleans up its own disk footprint; no
+          // external compaction call is part of the contract
+          VectorQueries.ivfStoreFinalize(s2, st.persistedRunRoot)
           // publish this run as the corpus's current refresh store —
           // the two-level LATEST resolution specs and compaction use
           VectorQueries.ivfStoreCommitLatest(
             VectorQueries.refreshStoreRoot(d), st.persistedRunRoot)
+          st.servedTopkResult()
+        })
+    }),
+
+    // DRIFT-REFRESH × THE PERSISTED PQ CODE STORE — the r17 verdict's
+    // top item, the one seam the two families above left open: the
+    // refresh gate persisted raw vectors while the code store (the
+    // artifact actually worth persisting at 100 TB — 8 tinyint codes
+    // vs 64 floats per row) served a frozen artifact with no drift
+    // path. Here arriving vectors PQ-encode under the frozen offline
+    // codebook and land as packed ingest=batchId partitions in the
+    // current CODE generation; a tripped KmDriftRebuild re-buckets
+    // the whole arrived code table under the current quantizer into a
+    // new generation directory (code bytes invariant — raw PQ under a
+    // frozen codebook; the codebook-retrain alternative is documented
+    // at the step), serving switches atomically via the run root's
+    // LATEST marker, and every batch's queries run the ADC chain
+    // (broadcast LUT + probe-pruned artifact scan) FROM the current
+    // generation. Oracle: the shared drift recurrence composed over
+    // the ADC chain, restricted per batch to the arrived corpus
+    // (kmOnlineIvfPqPersistedRefreshOracleSql) — a skipped rebuild, a
+    // mis-bucketed append, a mis-packed code, or a superseded
+    // generation served hash-mismatches the emission.
+    "stream_ann_ivfpq_persisted_refresh" -> ((s, d) =>
+      runKmMiniBatchGate(s, d, "gate_pqpr",
+        (st, b, id) => st.servePqPersistedAndUpdate(b, id),
+        st => {
+          // same gate-driven lifecycle as the raw-vector twin
+          VectorQueries.ivfStoreFinalize(s, st.pqPersistedRunRoot)
+          VectorQueries.ivfStoreCommitLatest(
+            VectorQueries.pqRefreshStoreRoot(d), st.pqPersistedRunRoot)
           st.servedTopkResult()
         })),
 
@@ -1518,6 +1566,10 @@ object StreamingGateQueries {
     // assigned under the current generation's quantizer
     "stream_ann_ivf_persisted_refresh" ->
       VectorQueries.kmOnlineIvfPersistedRefreshOracleSql,
+    // the same generation recurrence composed over the ADC chain —
+    // the persisted CODE store's serving contract batch-for-batch
+    "stream_ann_ivfpq_persisted_refresh" ->
+      VectorQueries.kmOnlineIvfPqPersistedRefreshOracleSql,
     // streaming ≡ batch: the admission job emits exactly the batch
     // composite's survivors and the pack post-pass is the shared tail
     "stream_docs_curation_e2e_kmeans" ->

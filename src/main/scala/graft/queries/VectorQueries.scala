@@ -1026,6 +1026,147 @@ object VectorQueries {
       applied.add(batchId)
     }
 
+    // ---- PQ-code persisted-refresh state (servePqPersistedAndUpdate) --
+    // The code-table twin of the raw-vector refresh state above: same
+    // generation protocol, but the persisted artifact is the packed
+    // PQ code table (the repo's own r17 rationale: at 100 TB the
+    // artifact worth persisting is the 32x-compressed code store, not
+    // full embedding arrays). Dedicated fields rather than reusing
+    // pGen/pIdxCents — instances are single-mode, but each mode's
+    // state reads as its own protocol.
+    private[graft] val pqPersistedRunRoot: String =
+      s"${pqRefreshStoreRoot(d)}/run_${System.nanoTime()}"
+    private var cpGen: Option[String] = None
+    private var cpIdxCents: DataFrame = frozen
+    // The FROZEN offline-trained codebook (the train-offline/
+    // serve-online deployment every PQ face uses): trained once per
+    // instance on the static corpus, broadcast per batch. Lazy — only
+    // the PQ mode pays for the Lloyd rounds.
+    private lazy val pqCb: DataFrame =
+      pqCodebook(pqSubs(s, d).localCheckpoint(), k = IvfPqK)
+
+    /** Drift-refreshed PERSISTED PQ CODE STORE serving
+      * (stream_ann_ivfpq_persisted_refresh's body) — the r17 verdict's
+      * last open seam closed: serveIvfPersistedAndUpdate composes the
+      * refresh protocol with the RAW-VECTOR store; this composes it
+      * with the artifact a 100 TB deployment actually persists, the
+      * cell-partitioned PACKED CODE table (Jégou et al. TPAMI'11
+      * fig. 5; FAISS IndexIVFPQ's on-disk form):
+      *
+      *  - INGEST: arriving vectors PQ-encode under the FROZEN offline
+      *    codebook (pqSubsOf/pqAssign — the batch faces' exact
+      *    arithmetic), take their cell under the current GENERATION's
+      *    quantizer, pack to one array<tinyint> row, and land as that
+      *    generation's idempotent ingest=batchId partitions (dynamic
+      *    overwrite — a redelivered batch overwrites its own rows).
+      *  - REBUILD: when the MacQueen trainer has drifted past `thr`
+      *    since the serving generation was built (batch 0 always),
+      *    the whole arrived corpus re-enters a NEW generation
+      *    directory with cells RE-ASSIGNED under the CURRENT
+      *    quantizer; the code bytes are read back from the superseded
+      *    generation UNCHANGED — raw (non-residual) PQ under a frozen
+      *    codebook makes codes generation-invariant, so a rebuild
+      *    re-buckets the store, never re-quantizes it. (The
+      *    alternative composition — codebook drift triggering a
+      *    RE-ENCODED generation — would put the drift metric on the
+      *    codebook and rewrite code bytes too; with residual PQ it
+      *    becomes mandatory, since codes would depend on the cell
+      *    centroids. Documented, not built: the registered family is
+      *    raw-PQ-by-measurement, see ivfpqResidualTopk's doc.)
+      *    Serving switches atomically via the run root's LATEST
+      *    marker; superseded generations are compaction input.
+      *  - SERVE: the batch's queries build their integer LUT against
+      *    the frozen codebook and probe under the generation's
+      *    quantizer; the corpus side is the ARTIFACT's posexploded
+      *    scan, pruned to the probed cells' partitions by the
+      *    broadcast probe join (PartitioningSpec pins files read on
+      *    the current code generation); then the shared ADC tail.
+      *  - TRAIN: the MacQueen step under the CURRENT centroids; on a
+      *    rebuild batch the serving scan doubles as the training
+      *    assignment (the one-scan contract).
+      *
+      * Same replay scope as the raw twin: idempotent-by-layout within
+      * one process; cross-restart resume is out of contract for the
+      * KmMiniBatch family. Oracle: the shared drift recurrence over
+      * the ADC chain, arrived-corpus-restricted, batch-for-batch
+      * (kmOnlineIvfPqPersistedRefreshOracleSql).
+      */
+    def servePqPersistedAndUpdate(batch: DataFrame, batchId: Long,
+                                  thr: Long = KmDriftRebuild): Unit = synchronized {
+      requireMode("servePqPersistedAndUpdate")
+      if (applied.contains(batchId)) return // replay of a committed batch
+      val rebuild = cpGen.isEmpty || kmDriftFp2(cents, cpIdxCents) > thr
+      val srvCents = if (rebuild) cents else cpIdxCents
+      // ONE nearest-cell scan of the batch under the generation
+      // quantizer (the sibling gates' one-scan contract): store cells
+      // for the arriving rows, probe ranking, and on rebuild batches
+      // the training assignment
+      val bscoredIdx = kmScored(
+        batch.select(col("vec_id"), col("embedding")), srvCents)
+        .localCheckpoint()
+      val bRows = packCodes(
+        pqAssign(pqSubsOf(batch), pqCb)
+          .select(col("vec_id"), col("sub_id"), col("code"))
+          .join(kmAssignedFromScored(bscoredIdx)
+            .select(col("vec_id"), col("kcell").as("cell")), "vec_id"))
+        .withColumn("ingest", lit(batchId))
+      val genDir =
+        if (rebuild) {
+          // prior codes read back from the COMMITTED generation (never
+          // the marker) with their cells re-assigned under the current
+          // quantizer — the embeddings join restricts the raw table to
+          // the arrived ids (vec_id-keyed; co-partitioned at scale)
+          val prior = cpGen.map { g =>
+            val pc = s.read.parquet(g).select(col("vec_id"), col("codes"))
+            pc.join(
+              kmAssigned(Tables.embeddings(s, d)
+                .join(pc.select(col("vec_id")), "vec_id"), cents)
+                .select(col("vec_id"), col("kcell").as("cell")), "vec_id")
+              .select(col("vec_id"), col("cell"), col("codes"),
+                lit(batchId).as("ingest"))
+          }
+          val dir = s"$pqPersistedRunRoot/gen_$batchId"
+          prior.fold(bRows)(_ unionByName bRows)
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("ingest", "cell").parquet(dir)
+          dir
+        } else {
+          val dir = cpGen.get
+          bRows
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest", "cell").parquet(dir)
+          dir
+        }
+      ivfStoreCommitLatest(pqPersistedRunRoot, genDir)
+      // ADC serving half, wholly under the generation's quantizer:
+      // corpus side = the artifact's pruned scan, probe lists from the
+      // shared batch scan, LUT from the frozen codebook
+      val codes = s.read.parquet(genDir)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("cell"),
+          col("pos").as("sub_id"), col("col").cast("long").as("code"))
+      val probed = kmProbeSelection(bscoredIdx, NProbe)
+      val lut = pqQueryLut(
+        pqSubsOf(batch.filter(col("vec_id") < NQueries)), pqCb)
+      val cur = adcServeTail(codes, probed, lut).localCheckpoint()
+      val assigned =
+        if (rebuild) kmAssignedFromScored(bscoredIdx)
+        else kmAssigned(batch, cents)
+      val (newCum, newCents) = macQueenFold(assigned)
+      // commit point: trainer state and code generation move together
+      cum = Some(newCum)
+      cents = newCents
+      cpIdxCents = srvCents
+      cpGen = Some(genDir)
+      if (rebuild) rebuilt = rebuilt :+ batchId
+      servedTopk = servedTopk :+ cur
+      applied.add(batchId)
+    }
+
     // ---- per-cell incremental-reindex state (serveIvfIncrAndUpdate) --
     // Each cell's list-build centroid (the per-cell generation —
     // tracked as centroid VALUES, not generation numbers, so drift is
@@ -1329,24 +1470,6 @@ object VectorQueries {
     */
   private def kmDriftServeOracleSql(arrivedOnly: Boolean): String = {
     val nb = KmMbBatches
-    val driftRow = (1 until nb).flatMap(r => (0 until r).map(g =>
-      s"${kmDriftPairSql(r, g)} AS d${r}_$g")).mkString(",\n             ")
-    val gensSql = {
-      var q = s"SELECT 0 AS g0,\n             $driftRow"
-      for (r <- 1 until nb) {
-        val pick = s"(CASE g${r - 1}${(0 until r)
-          .map(g => s" WHEN $g THEN d${r}_$g").mkString} END)"
-        q = s"SELECT *, CASE WHEN $pick > $KmDriftRebuild THEN $r ELSE g${r - 1} END AS g$r FROM ($q)"
-      }
-      s"gens AS MATERIALIZED ($q)"
-    }
-    val srvc = (0 until nb).map { r =>
-      val union = (0 to r).map(g => s"SELECT $g AS g, kcell, karr FROM mbc$g")
-        .mkString("\n            UNION ALL ")
-      s"""srvc$r AS MATERIALIZED (
-          SELECT u.kcell, u.karr FROM ($union) u
-          WHERE u.g = (SELECT g$r FROM gens))"""
-    }.mkString(",\n      ")
     val perBatch = (0 until nb).map { r =>
       // the serving corpus: the full static table for the in-memory
       // gate; the arrived prefix (batches 0..r) for the refresh gate
@@ -1377,9 +1500,89 @@ object VectorQueries {
       WITH ${kmCtesSql()},
       mbc0 AS (SELECT * FROM kmc),
       ${(0 until nb).map(mbRoundSql(_, nb)).mkString(",\n      ")},
-      $gensSql,
-      $srvc
+      ${kmDriftGensSrvcSql(nb)}
       SELECT qid, nn_id, rnk, cos_sim FROM (
+        ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
+  }
+
+  /** The drift recurrence stated in SQL — ONE definition for every
+    * drift-gated oracle face (cosine serving, ADC code-store serving):
+    * `gens` computes, per batch r, the active index generation g_r by
+    * the engine's own rule (g_0 = 0; g_r = r when the fixed-point
+    * drift between mbc_r and the last-rebuilt mbc_{g_{r-1}} exceeds
+    * KmDriftRebuild, else g_{r-1}), and srvc$r selects the SELECTED
+    * generation's centroid table for batch r's whole serving chain.
+    */
+  private def kmDriftGensSrvcSql(nb: Int): String = {
+    val driftRow = (1 until nb).flatMap(r => (0 until r).map(g =>
+      s"${kmDriftPairSql(r, g)} AS d${r}_$g")).mkString(",\n             ")
+    val gensSql = {
+      var q = s"SELECT 0 AS g0,\n             $driftRow"
+      for (r <- 1 until nb) {
+        val pick = s"(CASE g${r - 1}${(0 until r)
+          .map(g => s" WHEN $g THEN d${r}_$g").mkString} END)"
+        q = s"SELECT *, CASE WHEN $pick > $KmDriftRebuild THEN $r ELSE g${r - 1} END AS g$r FROM ($q)"
+      }
+      s"gens AS MATERIALIZED ($q)"
+    }
+    val srvc = (0 until nb).map { r =>
+      val union = (0 to r).map(g => s"SELECT $g AS g, kcell, karr FROM mbc$g")
+        .mkString("\n            UNION ALL ")
+      s"""srvc$r AS MATERIALIZED (
+          SELECT u.kcell, u.karr FROM ($union) u
+          WHERE u.g = (SELECT g$r FROM gens))"""
+    }.mkString(",\n      ")
+    s"$gensSql,\n      $srvc"
+  }
+
+  /** stream_ann_ivfpq_persisted_refresh's oracle — the drift-refreshed
+    * PERSISTED CODE STORE's full contract in SQL (r17 verdict Next #1,
+    * the last open seam: refresh × the PQ code table): the SAME
+    * unrolled MacQueen chain and generation recurrence as the raw
+    * refresh face (kmDriftGensSrvcSql — one definition, the rule
+    * cannot drift between the two stores), with each batch's serving
+    * chain being the ADC one — the arrived corpus's CELLS assigned
+    * under the SELECTED generation's quantizer (srvc$r), the batch's
+    * query probe lists under the same generation, the FROZEN
+    * offline-trained codebook's code table and query LUT (pqCtesSql's
+    * codes/lut — codes are generation-invariant: raw non-residual PQ
+    * under a frozen codebook, so a rebuild re-buckets stored codes,
+    * never re-quantizes), and the shared ADC distance + ranked-top-3
+    * tail (adcDistSql/adcTopkTailSql verbatim). A rebuild the engine
+    * skipped, an append mis-bucketed, a code mis-packed by any
+    * generation's write, or a superseded generation served
+    * hash-mismatches the emission batch-for-batch.
+    */
+  private[queries] lazy val kmOnlineIvfPqPersistedRefreshOracleSql: String = {
+    val nb = KmMbBatches
+    val perBatch = (0 until nb).map { r =>
+      s"""SELECT qid, nn_id, rnk, adist FROM (
+        WITH arr$r AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % $nb <= $r),
+        oad$r AS (${kmDistSql(s"srvc$r", s"arr$r")}),
+        ivf_assigned AS (
+          SELECT vec_id, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS rnk
+            FROM oad$r) t WHERE rnk = 1),
+        ivf_probed AS (
+          SELECT vec_id AS qid, kcell AS cell FROM (
+            SELECT vec_id, kcell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY kdist, kcell) AS crn
+            FROM oad$r
+            WHERE vec_id < $NQueries AND vec_id % $nb = $r) t
+          WHERE crn <= $NProbe),
+        $adcDistSql,
+        $adcTopkTailSql) srv$r"""
+    }
+    s"""
+      WITH ${kmCtesSql()},
+      mbc0 AS (SELECT * FROM kmc),
+      ${(0 until nb).map(mbRoundSql(_, nb)).mkString(",\n      ")},
+      ${kmDriftGensSrvcSql(nb)},
+      ${pqCtesSql(k = IvfPqK)},
+      $adcCodesLutSql
+      SELECT qid, nn_id, rnk, adist FROM (
         ${perBatch.mkString("\n        UNION ALL\n        ")}) u"""
   }
 
@@ -2363,13 +2566,21 @@ object VectorQueries {
   private def adcCodesAndLut(subs: DataFrame, cb: DataFrame): (DataFrame, DataFrame) = {
     val codes = pqAssign(subs, cb)
       .select(col("vec_id"), col("sub_id"), col("code"))
-    val lut = subs.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
+    (codes, pqQueryLut(subs.filter(col("vec_id") < NQueries), cb))
+  }
+
+  /** The per-query ADC lookup table over a QUERY subvector frame —
+    * (qid, sub_id, code, d2) integer distances to every codeword,
+    * broadcastable at any corpus size (PqM×k rows per query). ONE
+    * definition for the batch faces (via adcCodesAndLut) and the
+    * PQ refresh gate's per-batch LUT, so the parity-critical
+    * arithmetic cannot fork.
+    */
+  private def pqQueryLut(qsubs: DataFrame, cb: DataFrame): DataFrame =
+    qsubs.select(col("vec_id").as("qid"), col("sub_id"), col("sq"))
       .join(broadcast(cb), "sub_id")
       .select(col("qid"), col("sub_id"), col("code_id").as("code"),
         pqL2(col("sq"), col("cq")).as("d2"))
-    (codes, lut)
-  }
 
   /** Exhaustive ADC top-3 for an arbitrary trained codebook — the
     * query shape ann_pq_adc_topk registers at the default geometry,
@@ -2947,6 +3158,15 @@ object VectorQueries {
   private[graft] def refreshStoreRoot(d: String): String =
     s"${ivfStoreRoot(d)}_refresh"
 
+  /** Root of the drift-refreshed persisted PQ CODE stores — the
+    * code-table twin of refreshStoreRoot (same two-level resolution:
+    * LATEST → run, LATEST → the run's current code generation), a
+    * sibling namespace so the raw-vector and code-table refresh
+    * stores for one corpus never clobber each other's markers.
+    */
+  private[graft] def pqRefreshStoreRoot(d: String): String =
+    s"${ivfStoreRoot(d)}_pqrefresh"
+
   /** Store compaction — the HyDFS `merge` analog for the persisted
     * index stores (r16 verdict Next #3; the reference's merge
     * rewrites a file's appended blocks into canonical order,
@@ -2988,6 +3208,159 @@ object VectorQueries {
           f.getName.startsWith("cmp_")))
       .filter(_.lastModified < cutoff)
       .foreach(deleteRecursively)
+    dir
+  }
+
+  /** PER-CELL store compaction (r17 verdict Next #2 — ivfStoreCompact
+    * above rewrites the WHOLE current child every call, which at
+    * production cadence is the wrong unit): only cells whose file
+    * count exceeds `maxFilesPerCell` rewrite — their rows collapse to
+    * ONE clustered file — while cold cells' part files carry over
+    * BYTE-IDENTICAL as hard links (no data copied, no rewrite; the
+    * reference's merge works per file, not per namespace,
+    * /root/reference/dht/dht.go:843-931 — on HDFS/object storage the
+    * link is a metadata-level copy/rename, same cost class). A store
+    * where no cell crossed the threshold returns the CURRENT child
+    * untouched — the no-op fast path that makes per-cell granularity
+    * worth having: at production cadence most cells are cold and a
+    * compaction pass costs one directory walk. Hot-cell rewrites keep
+    * the child's physical partition layout (a synthetic ingest=-1
+    * partition absorbs the merged per-batch files where the layout
+    * has an ingest level), so mixed hot/cold children stay one
+    * consistent partitioned dataset. Same single-writer contract and
+    * LATEST publish as the whole-store form.
+    */
+  private[graft] def ivfStoreCompactCells(s: SparkSession, root: String,
+                                          maxFilesPerCell: Int = 1): String = {
+    val cur = storeLatest(root)
+    val hot = storeDataFiles(cur)
+      .groupBy(storeCellOf(cur, _))
+      .collect { case (Some(c), fs) if fs.size > maxFilesPerCell => c }
+      .toSet
+    if (hot.isEmpty) cur
+    else storeRewriteCells(s, root, cur, hot, identity)
+  }
+
+  /** Retention — the lifecycle verb ingest-only stores lack (r17
+    * verdict Next #7): drop every row NOT satisfying `keep` (a TTL on
+    * the ingest partition, a kept-id set, any data predicate), leaving
+    * cells that contain no dropped rows PHYSICALLY untouched (hard
+    * links, like compaction's cold cells) and rewriting only the
+    * affected cells (which thereby also compact). The affected-cell
+    * set is a ≤ NCells-value driver decision (the kmDriftFp2 class of
+    * control-plane action — never a data materialization); computing
+    * it is one predicate-pushdown scan of the store. Post-retention
+    * the row set equals the predicate-filtered original and the
+    * pruned-read invariant (files read = probed cells) still holds —
+    * both spec-pinned. Offline/single-writer like compaction: a
+    * replayed ingest batch after a retention pass would resurrect its
+    * dropped rows, so retention runs at drain or between ingest runs.
+    */
+  private[graft] def ivfStoreRetain(s: SparkSession, root: String,
+                                    keep: Column): String = {
+    val cur = storeLatest(root)
+    val affected = s.read.parquet(cur).filter(!keep)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) cur
+    else storeRewriteCells(s, root, cur, affected, _.filter(keep))
+  }
+
+  /** Gate-driven store lifecycle (r17 verdict Next #3 — until now
+    * compaction and generation pruning only ran when a spec called
+    * them, so an unattended production run grew its disk footprint
+    * without bound): the refresh gates call this AT DRAIN, before
+    * publishing the run, so the run root bounds itself — the current
+    * generation compacts per-cell (a no-op walk when the last batch
+    * was a rebuild, the common case at scale), and superseded
+    * generations beyond ONE of slack are dropped, leaving ≤ 2
+    * generation-class children (the compacted/current child plus the
+    * newest superseded generation — hard-link sources stay valid
+    * either way; the slack generation is for symmetry with the
+    * commit-path keep-two budget). Immediate deletion is safe HERE
+    * because the run root is instance-private until the gate
+    * publishes it (nanoTime-named, created by this instance, and
+    * finalize runs BEFORE the publish) — the cross-JVM age gate
+    * protects the shared per-corpus roots, not this one.
+    */
+  private[graft] def ivfStoreFinalize(s: SparkSession, root: String): String = {
+    val dir = ivfStoreCompactCells(s, root)
+    val dirName = new java.io.File(dir).getName
+    val gens = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != dirName &&
+        (f.getName.startsWith("gen_") || f.getName.startsWith("cmp_")))
+      .sortBy(f => scala.util.Try(
+        f.getName.dropWhile(!_.isDigit).toLong).getOrElse(0L))
+    gens.dropRight(1).foreach(deleteRecursively)
+    dir
+  }
+
+  /** All parquet data files under a store child (the streaming-sink
+    * metadata dir holds no .parquet-suffixed files, so a plain suffix
+    * filter excludes it).
+    */
+  private def storeDataFiles(cur: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+        if (k.isDirectory) walk(k) else Seq(k))
+    walk(new java.io.File(cur)).filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** The cell a data file belongs to, parsed from its cell= path
+    * component relative to the child root (works for every layout the
+    * stores use: cell=, cell=/ingest=, ingest=/cell=).
+    */
+  private def storeCellOf(cur: String, f: java.io.File): Option[Int] =
+    java.nio.file.Paths.get(cur).relativize(f.toPath).toString
+      .split(java.io.File.separatorChar)
+      .find(_.startsWith("cell="))
+      .flatMap(p => scala.util.Try(p.stripPrefix("cell=").toInt).toOption)
+
+  /** The shared rewrite engine behind per-cell compaction and
+    * retention: hard-link every NON-selected cell's files into a new
+    * child preserving relative paths (byte-identical carry-over), read
+    * ONLY the selected cells (partition-pruned scan), apply
+    * `transform`, and write them back one file per cell under the
+    * child's original partition layout (ingest, where present,
+    * collapses to a synthetic -1 — the merged-partition marker), then
+    * publish via the LATEST marker. Requires a foreachBatch-written
+    * child (no _spark_metadata): a sink-log child's listing authority
+    * is the log, which a file-level rewrite cannot preserve — use the
+    * whole-store ivfStoreCompact there.
+    */
+  private def storeRewriteCells(s: SparkSession, root: String, cur: String,
+                                cells: Set[Int],
+                                transform: DataFrame => DataFrame): String = {
+    require(!new java.io.File(cur, "_spark_metadata").exists,
+      s"per-cell rewrite targets foreachBatch-written stores; $cur " +
+        "carries a streaming-sink log — use ivfStoreCompact")
+    val curPath = java.nio.file.Paths.get(cur)
+    val files = storeDataFiles(cur)
+    val dir = s"$root/cmp_${System.nanoTime()}"
+    for (f <- files; c <- storeCellOf(cur, f) if !cells(c)) {
+      val dst = java.nio.file.Paths.get(dir)
+        .resolve(curPath.relativize(f.toPath))
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.createLink(dst, f.toPath)
+    }
+    // partition-column order from the physical layout (the sample is
+    // any data file's relative dir components in order)
+    val partCols = files.headOption.toSeq.flatMap(f =>
+      curPath.relativize(f.toPath).toString
+        .split(java.io.File.separatorChar).toSeq.dropRight(1)
+        .filter(_.contains("=")).map(_.takeWhile(_ != '=')))
+    // transform FIRST (a retention predicate may reference the real
+    // ingest values), THEN collapse ingest to the merged marker
+    val rows = transform(s.read.parquet(cur)
+      .filter(col("cell").isin(cells.toSeq: _*)))
+    val out =
+      if (partCols.contains("ingest")) rows.withColumn("ingest", lit(-1L))
+      else rows
+    out
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy(partCols: _*).parquet(dir)
+    ivfStoreCommitLatest(root, dir)
     dir
   }
 

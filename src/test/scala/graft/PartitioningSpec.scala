@@ -234,77 +234,268 @@ class PartitioningSpec extends GraftSpec {
       "the superseded ingest-accumulated child must be dropped")
   }
 
-  test("stream_ann_ivf_persisted_refresh: pruned reads on the CURRENT generation, compaction preserves content") {
-    // The composed index story's physical pins (r16 verdict Next #1 +
-    // #3): after the gate drains, (a) the run root's LATEST resolves
-    // the current generation and a probe-shaped lookup reads exactly
-    // NProbe of its cell partitions; (b) ivfStoreCompact — the HyDFS
-    // merge analog — rewrites it to ONE file per cell, drops the
-    // superseded generation directories, preserves the row set
-    // exactly, and the pruned read still holds on the compacted child.
+  /** Shared post-gate pins for the two drift-refreshed persisted
+    * stores (raw vectors / PQ codes): the run the gate published is
+    * SELF-FINALIZED (r17 verdict Next #3 — no external compaction
+    * call anywhere in this test): ≤ 2 generation-class children, a
+    * drift-triggered current generation beyond the initial build,
+    * compacted form (one file per cell), every arrived vector exactly
+    * once, and a probe-shaped lookup reading exactly NProbe files.
+    */
+  private def assertRefreshStoreFinalized(sf: String, root: String,
+                                          idCol: String): Unit = {
+    val vq = graft.queries.VectorQueries
+    val run = vq.storeLatest(root)
+    val kids = new java.io.File(run).listFiles()
+      .filter(f => f.isDirectory && (f.getName.startsWith("gen_") ||
+        f.getName.startsWith("cmp_")))
+      .map(_.getName).sorted.toSeq
+    assert(kids.size <= 2,
+      s"gate-driven lifecycle must bound the run to <= 2 generation " +
+        s"children, got $kids")
+    val cur = vq.storeLatest(run)
+    assert(!cur.endsWith("gen_0"),
+      s"current generation must be a drift-triggered rebuild beyond " +
+        s"the initial build, got $cur")
+    val rows = spark.read.parquet(cur)
+      .select(col(idCol), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.size.toLong === corpus,
+      s"current generation holds ${rows.size} of $corpus vectors")
+    // files per cell, grouped by the cell= path component (layout-
+    // agnostic: cell=, cell=/ingest=, ingest=/cell=)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+        if (k.isDirectory) walk(k) else Seq(k))
+    val perCell = walk(new java.io.File(cur))
+      .filter(_.getName.endsWith(".parquet"))
+      .groupBy(_.getPath.split(java.io.File.separatorChar)
+        .find(_.startsWith("cell=")))
+      .collect { case (Some(c), fs) => c -> fs.size }
+    assert(perCell.nonEmpty && perCell.values.max === 1,
+      s"finalized current generation must be in compacted form (one " +
+        s"file per cell), got $perCell")
+    val someCells = rows.map(_._2).toSeq.sorted.take(vq.NProbe)
+    val pruned = spark.read.parquet(cur)
+      .filter(col("cell").isin(someCells: _*))
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "generation scan must carry the probed-cell partition filter")
+    val files = scan.metrics("numFiles").value
+    info(s"finalized-store pruned lookup: files read $files")
+    assert(files === vq.NProbe.toLong,
+      s"finalized store must read exactly NProbe files, read $files")
+  }
+
+  test("stream_ann_ivf_persisted_refresh: gate-finalized run — bounded generations, compacted, pruned reads") {
     val sf = "/root/testdata/sf0.001"
     val vq = graft.queries.VectorQueries
     val res = graft.queries.StreamingGateQueries
       .queries("stream_ann_ivf_persisted_refresh")(spark, sf)
     assert(res.count() > 0)
-    val run = vq.storeLatest(vq.refreshStoreRoot(sf))
-    val gens = new java.io.File(run).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-      .map(_.getName).sorted.toSeq
-    assert(gens.size > 1,
-      s"expected drift-triggered generations beyond the initial build, got $gens")
-    val cur = vq.storeLatest(run)
-    assert(cur.endsWith(gens.last),
-      s"LATEST must name the newest generation: $cur vs $gens")
-    // every arrived vector is in the current generation exactly once
-    val preRows = spark.read.parquet(cur)
-      .select(col("nn_id"), col("cell").cast("int").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val corpus = graft.Tables.embeddings(spark, sf).count()
-    assert(preRows.size.toLong === corpus,
-      s"current generation holds ${preRows.size} of $corpus vectors")
-    // (a) probe-shaped pruned read on the current generation
-    val someCells = preRows.map(_._2).toSeq.sorted.take(vq.NProbe)
-    def prunedFiles(dir: String): Long = {
-      val pruned = spark.read.parquet(dir)
-        .filter(col("cell").isin(someCells: _*))
-      assert(pruned.collect().nonEmpty)
-      val scan = pruned.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => s
-      }.head
-      assert(scan.partitionFilters.nonEmpty,
-        "generation scan must carry the probed-cell partition filter")
-      scan.metrics("numFiles").value
+    assertRefreshStoreFinalized(sf, vq.refreshStoreRoot(sf), "nn_id")
+  }
+
+  test("stream_ann_ivfpq_persisted_refresh: gate-finalized CODE store — packed rows, bounded generations, pruned reads") {
+    // The composed code-store gate's physical pins (r17 verdict Next
+    // #1): same lifecycle contract as the raw twin, PLUS the artifact
+    // is the packed array<tinyint> code table — the 32x-compressed
+    // form is asserted on the schema of the CURRENT generation.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val res = graft.queries.StreamingGateQueries
+      .queries("stream_ann_ivfpq_persisted_refresh")(spark, sf)
+    assert(res.count() > 0)
+    val cur = vq.storeLatest(vq.storeLatest(vq.pqRefreshStoreRoot(sf)))
+    val codesType = spark.read.parquet(cur).schema("codes").dataType
+    assert(codesType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"persisted code column must be array<tinyint>, got $codesType")
+    assertRefreshStoreFinalized(sf, vq.pqRefreshStoreRoot(sf), "vec_id")
+  }
+
+  test("per-cell compaction: hot cells collapse to one file, cold cells' files carry over byte-identical") {
+    // The r17 verdict's Next #2 contract, pinned structurally: build a
+    // store where cells 0-4 accumulated 3 ingest files each and cells
+    // 5-9 exactly one, compact at threshold 2 — (a) hot cells
+    // collapse to ONE file, (b) cold cells' part files are THE SAME
+    // FILES (hard links — Files.isSameFile, not a rewrite), (c) the
+    // row set is unchanged, (d) a probe-shaped lookup reads exactly
+    // one file per probed cell on both the hot and the cold side.
+    val vq = graft.queries.VectorQueries
+    val root = tmpDir("cellcmp-root")
+    val child = vq.storeNewChild(root)
+    for (ing <- 0 to 2) {
+      val cellsHere = if (ing == 0) 0 to 9 else 0 to 4
+      spark.range(100)
+        .select(col("id").as("vec_id"),
+          (col("id") + lit(ing * 1000)).as("v"),
+          (col("id") % 10).cast("int").as("cell"),
+          lit(ing.toLong).as("ingest"))
+        .filter(col("cell").isin(cellsHere.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell", "ingest").parquet(child)
     }
-    val preFiles = prunedFiles(cur)
-    info(s"pre-compaction pruned lookup: files read $preFiles")
-    assert(preFiles >= vq.NProbe.toLong,
-      s"expected at least one file per probed cell, read $preFiles")
-    // (b) compaction: one file per cell, superseded generations gone,
-    // content identical, pruning = exactly NProbe files
-    val compacted = vq.ivfStoreCompact(spark, run, pruneAgeMs = 0L)
-    assert(vq.storeLatest(run) === compacted)
-    val leftover = new java.io.File(run).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-    assert(leftover.isEmpty,
-      s"superseded generations must be dropped, left ${leftover.mkString(",")}")
-    val cellDirs = new java.io.File(compacted).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-    assert(cellDirs.length >= 10,
-      s"expected >= 10 cell partitions, got ${cellDirs.length}")
-    val maxFiles = cellDirs
-      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
-    assert(maxFiles === 1,
-      s"compaction must leave ONE file per cell, max = $maxFiles")
-    val postRows = spark.read.parquet(compacted)
-      .select(col("nn_id"), col("cell").cast("int").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(postRows === preRows,
-      "compaction must preserve the inverted lists' content exactly")
-    val postFiles = prunedFiles(compacted)
-    info(s"post-compaction pruned lookup: files read $postFiles of ${cellDirs.length} cells")
-    assert(postFiles === vq.NProbe.toLong,
-      s"compacted store must read exactly NProbe files, read $postFiles")
+    vq.ivfStoreCommitLatest(root, child)
+    def rowSet(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def cellFiles(dir: String, cell: Int): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+          if (k.isDirectory) walk(k) else Seq(k))
+      walk(new java.io.File(s"$dir/cell=$cell"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val preRows = rowSet(child)
+    assert((0 to 4).forall(c => cellFiles(child, c).size === 3) &&
+      (5 to 9).forall(c => cellFiles(child, c).size === 1),
+      "fixture must accumulate 3 files in hot cells, 1 in cold")
+    val cmp = vq.ivfStoreCompactCells(spark, root, maxFilesPerCell = 2)
+    assert(vq.storeLatest(root) === cmp)
+    // (a) hot cells: one file
+    (0 to 4).foreach { c =>
+      assert(cellFiles(cmp, c).size === 1,
+        s"hot cell $c must collapse to one file")
+    }
+    // (b) cold cells: the SAME physical files, not copies
+    (5 to 9).foreach { c =>
+      val old = cellFiles(child, c)
+      val neu = cellFiles(cmp, c)
+      assert(neu.size === 1 && old.size === 1)
+      assert(java.nio.file.Files.isSameFile(old.head.toPath, neu.head.toPath),
+        s"cold cell $c must carry over as a hard link, not a rewrite")
+    }
+    // (c) row-set equality (modulo the ingest bookkeeping column)
+    assert(rowSet(cmp) === preRows,
+      "per-cell compaction must preserve the row set exactly")
+    // (d) pruned lookups: one file per probed cell on both sides
+    def prunedFiles(cells: Seq[Int]): Long = {
+      val pruned = spark.read.parquet(cmp)
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      assert(pruned.collect().nonEmpty)
+      pruned.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    assert(prunedFiles(Seq(0, 1, 2)) === 3L,
+      "hot-side probe must read exactly one file per probed cell")
+    assert(prunedFiles(Seq(5, 6, 7)) === 3L,
+      "cold-side probe must read exactly one file per probed cell")
+    // a no-op pass on the already-compact store returns the SAME child
+    assert(vq.ivfStoreCompactCells(spark, root, maxFilesPerCell = 2) === cmp,
+      "compaction of an already-compact store must be a no-op")
+  }
+
+  test("store retention: dropped rows gone, clean cells physically untouched, pruning holds") {
+    // The TTL/retention verb (r17 verdict Next #7): age out ingest
+    // generations 0 of cells 0-4 (cells 5-9 arrived entirely in
+    // ingest 2 and contain nothing to drop) — post-retention the row
+    // set equals the predicate-filtered original, untouched cells'
+    // files are THE SAME files, affected cells also compact, and the
+    // pruned-read invariant holds.
+    val vq = graft.queries.VectorQueries
+    val root = tmpDir("retain-root")
+    val child = vq.storeNewChild(root)
+    for (ing <- Seq(0, 2)) {
+      val cellsHere = if (ing == 0) 0 to 4 else 0 to 9
+      spark.range(100)
+        .select(col("id").as("vec_id"),
+          (col("id") + lit(ing * 1000)).as("v"),
+          (col("id") % 10).cast("int").as("cell"),
+          lit(ing.toLong).as("ingest"))
+        .filter(col("cell").isin(cellsHere.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell", "ingest").parquet(child)
+    }
+    vq.ivfStoreCommitLatest(root, child)
+    def cellFiles(dir: String, cell: Int): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+          if (k.isDirectory) walk(k) else Seq(k))
+      walk(new java.io.File(s"$dir/cell=$cell"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    def rowSet(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = rowSet(child).filter(_._2 >= 2000) // rows of ingest 2
+    val kept = vq.ivfStoreRetain(spark, root, col("ingest") >= 1)
+    assert(vq.storeLatest(root) === kept)
+    assert(rowSet(kept) === expected,
+      "retention must leave exactly the predicate-kept rows")
+    (5 to 9).foreach { c =>
+      val old = cellFiles(child, c)
+      val neu = cellFiles(kept, c)
+      assert(old.size === 1 && neu.size === 1)
+      assert(java.nio.file.Files.isSameFile(old.head.toPath, neu.head.toPath),
+        s"clean cell $c must carry over as a hard link, not a rewrite")
+    }
+    (0 to 4).foreach { c =>
+      assert(cellFiles(kept, c).size === 1,
+        s"affected cell $c must rewrite to one compacted file")
+    }
+    val pruned = spark.read.parquet(kept)
+      .filter(col("cell").isin(Seq(1, 2, 6).map(Integer.valueOf): _*))
+    assert(pruned.collect().nonEmpty)
+    val files = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head.metrics("numFiles").value
+    assert(files === 3L,
+      s"post-retention probe must read one file per probed cell, read $files")
+    // a retention pass with nothing to drop is a no-op
+    assert(vq.ivfStoreRetain(spark, root, lit(true)) === kept,
+      "retention with nothing to drop must be a no-op")
+  }
+
+  test("gate-driven finalize: an append-accumulated run compacts itself and bounds its generations") {
+    // The lifecycle's HOT path (the registered gates' schedules end on
+    // a rebuild, so their finalize is the no-op walk): drive the
+    // persisted-refresh step with an infinite drift threshold — only
+    // the initial build, three appended ingest partitions — then
+    // finalize: the run must end at a compacted cmp_ child (one file
+    // per cell), <= 2 generation-class children, full row set.
+    val sf = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val nb = vq.KmMbBatches
+    def batch(r: Int) = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % nb === r)
+    val st = new vq.KmMiniBatch(spark, sf)
+    for (r <- 0 until nb)
+      st.serveIvfPersistedAndUpdate(batch(r), r.toLong, thr = Long.MaxValue)
+    assert(st.rebuildLog === Seq(0L),
+      "infinite threshold must leave only the initial build")
+    val cur = vq.storeLatest(st.persistedRunRoot)
+    assert(cur.endsWith("gen_0"))
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(spark.read.parquet(cur).count() === corpus)
+    val fin = vq.ivfStoreFinalize(spark, st.persistedRunRoot)
+    assert(fin !== cur, "an append-accumulated run must actually compact")
+    assert(vq.storeLatest(st.persistedRunRoot) === fin)
+    val kids = new java.io.File(st.persistedRunRoot).listFiles()
+      .filter(f => f.isDirectory && (f.getName.startsWith("gen_") ||
+        f.getName.startsWith("cmp_")))
+    assert(kids.length <= 2,
+      s"finalize must bound the run to <= 2 children, got ${kids.map(_.getName).mkString(",")}")
+    // files per cell via the cell= path component (the refresh layout
+    // nests cell= under the ingest= level)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+        if (k.isDirectory) walk(k) else Seq(k))
+    val perCell = walk(new java.io.File(fin))
+      .filter(_.getName.endsWith(".parquet"))
+      .groupBy(_.getPath.split(java.io.File.separatorChar)
+        .find(_.startsWith("cell=")))
+      .collect { case (Some(c), fs) => c -> fs.size }
+    assert(perCell.size >= 10 && perCell.values.max === 1,
+      s"finalized child must hold one file per cell, got $perCell")
+    assert(spark.read.parquet(fin).count() === corpus,
+      "finalize must preserve every arrived vector")
   }
 
   test("stream_ann_ivf_persisted_topk: micro-batches APPEND files per cell, pruning still holds") {

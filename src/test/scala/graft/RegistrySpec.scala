@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 217 // r17 (+3): persisted IVFADC packed-code store (batch + streaming ingest), drift-refreshed persisted index gate
+  private val PinnedSize = 218 // r18 (+1): drift-refreshed persisted PQ code store (stream_ann_ivfpq_persisted_refresh)
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an

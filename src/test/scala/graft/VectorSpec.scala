@@ -487,6 +487,48 @@ class VectorSpec extends GraftSpec {
     assert(overall >= 0.5, f"overall refresh recall $overall%.4f below floor")
   }
 
+  test("PQ-code persisted refresh gate: generation schedule pinned, ADC recall floor across the switch") {
+    // The composed CODE-store gate's quality pins (r17 verdict Next
+    // #1): the generation schedule must equal the raw refresh twin's
+    // (same trainer, same drift recurrence — rebuilds at 0, 1 and the
+    // accumulated 3), and ADC recall@3 vs the exact brute top-3 over
+    // the arrived corpus must hold a floor on every batch INCLUDING
+    // the ones right after a generation switch. The floor sits below
+    // the raw twin's 0.4/0.5 — PQ quantization distortion is the
+    // known, measured cost of serving from the 32x-compressed
+    // artifact (the same gap ann_ivfpq_topk carries vs ann_ivf_topk);
+    // a torn or stale generation would crater recall far below it.
+    // Measured at sf0.001: per-batch 0.2933/0.1867/0.2267/0.2667,
+    // overall 0.2433 — the floors sit just under the weakest batch.
+    val d = "/root/testdata/sf0.001"
+    val vq = graft.queries.VectorQueries
+    val nb = vq.KmMbBatches
+    def batch(r: Int) = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % nb === r)
+    val st = new vq.KmMiniBatch(spark, d)
+    for (r <- 0 until nb) st.servePqPersistedAndUpdate(batch(r), r.toLong)
+    assert(st.rebuildLog === Seq(0L, 1L, 3L),
+      s"PQ refresh gate's generation schedule drifted (got ${st.rebuildLog})" +
+        " — re-measure graft.DriftCurve before moving KmDriftRebuild")
+    val served = st.servedTopkResult().select(col("qid"), col("nn_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perBatch = (0 until nb).map { r =>
+      vq.arrivedBruteTopk(spark, d, r, nb)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val recalls = perBatch.map(b =>
+      served.intersect(b).size.toDouble / b.size)
+    info(f"PQ refresh per-batch ADC recall@3 vs arrived brute: " +
+      recalls.map(r => f"$r%.4f").mkString(", "))
+    recalls.zipWithIndex.foreach { case (r, i) =>
+      assert(r >= 0.15, f"batch $i ADC recall $r%.4f below the per-batch floor")
+    }
+    val total = perBatch.reduce(_ union _)
+    val overall = served.intersect(total).size.toDouble / total.size
+    info(f"PQ refresh overall ADC recall@3 vs arrived brute: $overall%.4f")
+    assert(overall >= 0.2, f"overall ADC refresh recall $overall%.4f below floor")
+  }
+
   test("sample-based quantizer training: Lloyd objective still non-increasing, recall holds over the label cells") {
     // The FAISS max_points_per_centroid protocol implemented
     // SIZE-TARGETED (r14 verdict Next #1): the Lloyd rounds scan only
