@@ -3233,12 +3233,13 @@ object VectorQueries {
   private[graft] def ivfStoreCompactCells(s: SparkSession, root: String,
                                           maxFilesPerCell: Int = 1): String = {
     val cur = storeLatest(root)
-    val hot = storeDataFiles(cur)
+    val files = storeDataFiles(cur)
+    val hot = files
       .groupBy(storeCellOf(cur, _))
       .collect { case (Some(c), fs) if fs.size > maxFilesPerCell => c }
       .toSet
     if (hot.isEmpty) cur
-    else storeRewriteCells(s, root, cur, hot, identity)
+    else storeRewriteCells(s, root, cur, hot, identity, files)
   }
 
   /** Retention — the lifecycle verb ingest-only stores lack (r17
@@ -3255,15 +3256,22 @@ object VectorQueries {
     * both spec-pinned. Offline/single-writer like compaction: a
     * replayed ingest batch after a retention pass would resurrect its
     * dropped rows, so retention runs at drain or between ingest runs.
+    * Predicate semantics are WHERE-style on both sides of the split
+    * (code-review r18): a row is RETAINED iff `keep` evaluates TRUE —
+    * the affected-cell scan and the rewrite filter both treat a
+    * NULL-evaluating row as dropped, so the published row set equals
+    * filter(keep) of the original regardless of which cells the
+    * null-evaluating rows co-reside in.
     */
   private[graft] def ivfStoreRetain(s: SparkSession, root: String,
                                     keep: Column): String = {
     val cur = storeLatest(root)
-    val affected = s.read.parquet(cur).filter(!keep)
+    val keepTrue = coalesce(keep, lit(false))
+    val affected = s.read.parquet(cur).filter(!keepTrue)
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) cur
-    else storeRewriteCells(s, root, cur, affected, _.filter(keep))
+    else storeRewriteCells(s, root, cur, affected, _.filter(keepTrue))
   }
 
   /** Gate-driven store lifecycle (r17 verdict Next #3 — until now
@@ -3286,13 +3294,21 @@ object VectorQueries {
   private[graft] def ivfStoreFinalize(s: SparkSession, root: String): String = {
     val dir = ivfStoreCompactCells(s, root)
     val dirName = new java.io.File(dir).getName
-    val gens = Option(new java.io.File(root).listFiles())
+    val others = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName != dirName &&
         (f.getName.startsWith("gen_") || f.getName.startsWith("cmp_")))
+    // the one slack child kept is the newest REAL generation — never a
+    // stale cmp_ from an earlier finalize (code-review r18: mixed
+    // gen_<batchId>/cmp_<nanoTime> numeric sorting would retain the
+    // dead cmp_ branch and drop every gen_ hard-link source; harmless
+    // on POSIX links but wrong on the HDFS/object-store deployment
+    // the design notes target)
+    val gens = others.filter(_.getName.startsWith("gen_"))
       .sortBy(f => scala.util.Try(
         f.getName.dropWhile(!_.isDigit).toLong).getOrElse(0L))
-    gens.dropRight(1).foreach(deleteRecursively)
+    (others.filterNot(_.getName.startsWith("gen_")) ++ gens.dropRight(1))
+      .foreach(deleteRecursively)
     dir
   }
 
@@ -3331,12 +3347,21 @@ object VectorQueries {
     */
   private def storeRewriteCells(s: SparkSession, root: String, cur: String,
                                 cells: Set[Int],
-                                transform: DataFrame => DataFrame): String = {
+                                transform: DataFrame => DataFrame,
+                                files0: Seq[java.io.File] = Nil): String = {
     require(!new java.io.File(cur, "_spark_metadata").exists,
       s"per-cell rewrite targets foreachBatch-written stores; $cur " +
         "carries a streaming-sink log — use ivfStoreCompact")
     val curPath = java.nio.file.Paths.get(cur)
-    val files = storeDataFiles(cur)
+    // caller may pass the file list it already walked (compaction's
+    // hot-cell scan) — one directory walk per pass, not two
+    val files = if (files0.nonEmpty) files0 else storeDataFiles(cur)
+    // every data file must belong to a parseable cell= partition, or
+    // the link/rewrite split below would silently drop its rows from
+    // the published child (code-review r18) — fail loudly instead
+    files.find(f => storeCellOf(cur, f).isEmpty).foreach(f =>
+      sys.error(s"store child $cur holds a data file outside a " +
+        s"cell= partition: $f — not a per-cell store"))
     val dir = s"$root/cmp_${System.nanoTime()}"
     for (f <- files; c <- storeCellOf(cur, f) if !cells(c)) {
       val dst = java.nio.file.Paths.get(dir)

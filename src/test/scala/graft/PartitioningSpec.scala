@@ -234,6 +234,51 @@ class PartitioningSpec extends GraftSpec {
       "the superseded ingest-accumulated child must be dropped")
   }
 
+  // ---- shared store-inspection helpers (code-review r18: the walk /
+  // per-cell grouping / fixture logic lived in four near copies) ----
+
+  /** Recursive file walk. */
+  private def walkFiles(f: java.io.File): Seq[java.io.File] =
+    Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+      if (k.isDirectory) walkFiles(k) else Seq(k))
+
+  /** Parquet data-file count per cell= path component — layout-
+    * agnostic (cell=, cell=/ingest=, ingest=/cell=).
+    */
+  private def parquetsByCell(dir: String): Map[String, Int] =
+    walkFiles(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .groupBy(_.getPath.split(java.io.File.separatorChar)
+        .find(_.startsWith("cell=")))
+      .collect { case (Some(c), fs) => c -> fs.size }
+
+  /** One cell's parquet data files (any layout nesting below cell=). */
+  private def cellFiles(dir: String, cell: Int): Seq[java.io.File] =
+    walkFiles(new java.io.File(s"$dir/cell=$cell"))
+      .filter(_.getName.endsWith(".parquet"))
+
+  /** The (vec_id, v, cell) row set of a fixture store child. */
+  private def fixtureRowSet(dir: String): Set[(Long, Long, Int)] =
+    spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  /** Write a (vec_id, v, cell, ingest) fixture store child: one append
+    * per ingest generation, each covering the given cells — the shape
+    * the per-cell compaction and retention specs both pin against.
+    */
+  private def writeFixtureStore(child: String,
+                                ingests: Seq[(Int, Range)]): Unit =
+    for ((ing, cellsHere) <- ingests)
+      spark.range(100)
+        .select(col("id").as("vec_id"),
+          (col("id") + lit(ing * 1000)).as("v"),
+          (col("id") % 10).cast("int").as("cell"),
+          lit(ing.toLong).as("ingest"))
+        .filter(col("cell").isin(cellsHere.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell", "ingest").parquet(child)
+
   /** Shared post-gate pins for the two drift-refreshed persisted
     * stores (raw vectors / PQ codes): the run the gate published is
     * SELF-FINALIZED (r17 verdict Next #3 — no external compaction
@@ -263,16 +308,7 @@ class PartitioningSpec extends GraftSpec {
     val corpus = graft.Tables.embeddings(spark, sf).count()
     assert(rows.size.toLong === corpus,
       s"current generation holds ${rows.size} of $corpus vectors")
-    // files per cell, grouped by the cell= path component (layout-
-    // agnostic: cell=, cell=/ingest=, ingest=/cell=)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
-        if (k.isDirectory) walk(k) else Seq(k))
-    val perCell = walk(new java.io.File(cur))
-      .filter(_.getName.endsWith(".parquet"))
-      .groupBy(_.getPath.split(java.io.File.separatorChar)
-        .find(_.startsWith("cell=")))
-      .collect { case (Some(c), fs) => c -> fs.size }
+    val perCell = parquetsByCell(cur)
     assert(perCell.nonEmpty && perCell.values.max === 1,
       s"finalized current generation must be in compacted form (one " +
         s"file per cell), got $perCell")
@@ -330,29 +366,9 @@ class PartitioningSpec extends GraftSpec {
     val vq = graft.queries.VectorQueries
     val root = tmpDir("cellcmp-root")
     val child = vq.storeNewChild(root)
-    for (ing <- 0 to 2) {
-      val cellsHere = if (ing == 0) 0 to 9 else 0 to 4
-      spark.range(100)
-        .select(col("id").as("vec_id"),
-          (col("id") + lit(ing * 1000)).as("v"),
-          (col("id") % 10).cast("int").as("cell"),
-          lit(ing.toLong).as("ingest"))
-        .filter(col("cell").isin(cellsHere.map(Integer.valueOf): _*))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell", "ingest").parquet(child)
-    }
+    writeFixtureStore(child, Seq(0 -> (0 to 9), 1 -> (0 to 4), 2 -> (0 to 4)))
     vq.ivfStoreCommitLatest(root, child)
-    def rowSet(dir: String) = spark.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    def cellFiles(dir: String, cell: Int): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
-          if (k.isDirectory) walk(k) else Seq(k))
-      walk(new java.io.File(s"$dir/cell=$cell"))
-        .filter(_.getName.endsWith(".parquet"))
-    }
-    val preRows = rowSet(child)
+    val preRows = fixtureRowSet(child)
     assert((0 to 4).forall(c => cellFiles(child, c).size === 3) &&
       (5 to 9).forall(c => cellFiles(child, c).size === 1),
       "fixture must accumulate 3 files in hot cells, 1 in cold")
@@ -372,7 +388,7 @@ class PartitioningSpec extends GraftSpec {
         s"cold cell $c must carry over as a hard link, not a rewrite")
     }
     // (c) row-set equality (modulo the ingest bookkeeping column)
-    assert(rowSet(cmp) === preRows,
+    assert(fixtureRowSet(cmp) === preRows,
       "per-cell compaction must preserve the row set exactly")
     // (d) pruned lookups: one file per probed cell on both sides
     def prunedFiles(cells: Seq[Int]): Long = {
@@ -402,32 +418,12 @@ class PartitioningSpec extends GraftSpec {
     val vq = graft.queries.VectorQueries
     val root = tmpDir("retain-root")
     val child = vq.storeNewChild(root)
-    for (ing <- Seq(0, 2)) {
-      val cellsHere = if (ing == 0) 0 to 4 else 0 to 9
-      spark.range(100)
-        .select(col("id").as("vec_id"),
-          (col("id") + lit(ing * 1000)).as("v"),
-          (col("id") % 10).cast("int").as("cell"),
-          lit(ing.toLong).as("ingest"))
-        .filter(col("cell").isin(cellsHere.map(Integer.valueOf): _*))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell", "ingest").parquet(child)
-    }
+    writeFixtureStore(child, Seq(0 -> (0 to 4), 2 -> (0 to 9)))
     vq.ivfStoreCommitLatest(root, child)
-    def cellFiles(dir: String, cell: Int): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
-          if (k.isDirectory) walk(k) else Seq(k))
-      walk(new java.io.File(s"$dir/cell=$cell"))
-        .filter(_.getName.endsWith(".parquet"))
-    }
-    def rowSet(dir: String) = spark.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val expected = rowSet(child).filter(_._2 >= 2000) // rows of ingest 2
+    val expected = fixtureRowSet(child).filter(_._2 >= 2000) // rows of ingest 2
     val kept = vq.ivfStoreRetain(spark, root, col("ingest") >= 1)
     assert(vq.storeLatest(root) === kept)
-    assert(rowSet(kept) === expected,
+    assert(fixtureRowSet(kept) === expected,
       "retention must leave exactly the predicate-kept rows")
     (5 to 9).foreach { c =>
       val old = cellFiles(child, c)
@@ -482,16 +478,7 @@ class PartitioningSpec extends GraftSpec {
         f.getName.startsWith("cmp_")))
     assert(kids.length <= 2,
       s"finalize must bound the run to <= 2 children, got ${kids.map(_.getName).mkString(",")}")
-    // files per cell via the cell= path component (the refresh layout
-    // nests cell= under the ingest= level)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
-        if (k.isDirectory) walk(k) else Seq(k))
-    val perCell = walk(new java.io.File(fin))
-      .filter(_.getName.endsWith(".parquet"))
-      .groupBy(_.getPath.split(java.io.File.separatorChar)
-        .find(_.startsWith("cell=")))
-      .collect { case (Some(c), fs) => c -> fs.size }
+    val perCell = parquetsByCell(fin)
     assert(perCell.size >= 10 && perCell.values.max === 1,
       s"finalized child must hold one file per cell, got $perCell")
     assert(spark.read.parquet(fin).count() === corpus,
