@@ -144,6 +144,14 @@ object VectorQueries {
     * pinned in VectorSpec.
     */
   private[graft] val RefineR = 20
+
+  /** The retention face's deterministic expired cohort: store rows
+    * with vec_id ≡ RetainDrop (mod RetainMod) age out — one fifth of
+    * the corpus, touching every cell (so the rewrite path, not just
+    * the hard-link path, is exercised end-to-end under the hash gate).
+    */
+  private[graft] val RetainMod = 5
+  private[graft] val RetainDrop = 3
   // Fixed-point scale for exact cross-engine centroid sums: each float
   // component is quantized to floor(v * 2^24 + 0.5) as a 64-bit integer
   // (the same round-half-up device as vec_quantize). Integer addition is
@@ -3039,6 +3047,20 @@ object VectorQueries {
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
       $ivfTopkTailSql"""
 
+  /** ann_ivf_persisted_retain_topk's oracle — the IVF chain with the
+    * retention predicate stated on the CORPUS side only (probe lists
+    * and queries come from the live table): the serving contract of a
+    * store that aged out the RetainDrop cohort.
+    */
+  private lazy val ivfRetainTopkSql: String = s"""
+      WITH $ivfCellCtesSql,
+      assigned AS (SELECT vec_id AS nn_id, clabel AS cell FROM ranked_cells
+                   WHERE crn = 1 AND vec_id % $RetainMod != $RetainDrop),
+      probed AS (SELECT vec_id AS qid, clabel AS cell FROM ranked_cells
+                 WHERE vec_id < $NQueries AND crn <= $NProbe),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+      $ivfTopkTailSql"""
+
   /** Root of the persisted inverted-list stores for a corpus, keyed
     * by the md5 of the dir path (code-review r16: |String.hashCode|
     * collides across dirs and folds sign). Each invocation writes a
@@ -3645,6 +3667,30 @@ object VectorQueries {
       ivfServeFromStore(s, d, store)
     }),
 
+    // RETENTION AS A SERVING CONTRACT (r17 verdict Next #7 made a
+    // CORRECTNESS row, not just a spec): build the persisted index,
+    // age out a deterministic kept-set (vec_id % RetainMod ==
+    // RetainDrop models the expired cohort — at production it's a TTL
+    // on the ingest partition or a kept-id inventory), and serve the
+    // full query set FROM THE RETAINED ARTIFACT. ivfStoreRetain
+    // rewrites only the cells that contained dropped rows (clean
+    // cells carry over as hard links — spec-pinned byte-identity);
+    // the oracle is the IVF chain with the corpus restriction stated,
+    // so a row resurrected, over-dropped, or mis-bucketed by the
+    // rewrite hash-mismatches. Queries still come from the live
+    // table: a searcher whose own vector aged out still searches.
+    "ann_ivf_persisted_retain_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val store = ivfStoreNewChild(d)
+      ivfAssignedFrom(e, ivfCentroids(e))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(store)
+      ivfStoreCommitLatest(ivfStoreRoot(d), store)
+      val kept = ivfStoreRetain(s, ivfStoreRoot(d),
+        col("nn_id") % RetainMod =!= RetainDrop)
+      ivfServeFromStore(s, d, kept)
+    }),
+
     // Unsupervised coarse-quantizer training — Lloyd k-means over the
     // vectors themselves (the published FAISS protocol; see the
     // kmCentroids section doc). Output: the full-corpus cell
@@ -3983,6 +4029,30 @@ object VectorQueries {
       pqServeFromStore(s, d, store)
     }),
 
+    // PER-CELL COMPACTION AS A SERVING CONTRACT (r17 verdict Next #2
+    // made a CORRECTNESS row): the code store accumulates TWO batch
+    // ingests (pqStoreIngestBatch — the streaming face's exact write,
+    // two files per cell), ivfStoreCompactCells collapses every
+    // crossed-threshold cell to one clustered file, and the full
+    // query set serves FROM THE COMPACTED ARTIFACT. Content
+    // preservation is the whole contract, so the oracle is
+    // ann_ivfpq_topk's VERBATIM — a code lost, duplicated, or
+    // re-bucketed by the rewrite hash-mismatches; PartitioningSpec
+    // separately pins the hot/cold file mechanics (one file per hot
+    // cell, hard-linked cold cells) on a mixed fixture.
+    "ann_ivfpq_persisted_compact_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val subs = pqSubs(s, d).localCheckpoint()
+      val cb = pqCodebook(subs, k = IvfPqK)
+      val store = storeNewChild(pqStoreRoot(d))
+      for (i <- 0 to 1)
+        pqStoreIngestBatch(s, d, store, cb,
+          e.filter(col("vec_id") % 2 === i), i.toLong)
+      ivfStoreCommitLatest(pqStoreRoot(d), store)
+      val cmp = ivfStoreCompactCells(s, pqStoreRoot(d))
+      pqServeFromStore(s, d, cmp)
+    }),
+
     // IVFADC on the TRAINED coarse quantizer — the fully unsupervised
     // published stack (FAISS's own shape: k-means coarse quantizer +
     // PQ codes + ADC scan), nothing derived from the label column
@@ -4130,6 +4200,8 @@ object VectorQueries {
     // The persisted-index face serves the IDENTICAL results from the
     // cell-partitioned artifact — one oracle definition for both.
     "ann_ivf_persisted_topk" -> ivfLabelTopkSql,
+    // the retention serving contract: the corpus restriction stated
+    "ann_ivf_persisted_retain_topk" -> ivfRetainTopkSql,
     "vec_kmeans_assign" -> s"""
       WITH ${kmCtesSql()}
       SELECT vec_id, CAST(kcell AS BIGINT) AS cell FROM kmranked WHERE crn = 1""",
@@ -4205,6 +4277,9 @@ object VectorQueries {
     // hash-mismatches, not just slows down (the ann_ivf_persisted_topk
     // device, applied to the ADC family).
     "ann_ivfpq_persisted_topk" -> ivfpqTopkOracleSql,
+    // per-cell compaction is content-preserving, so the compacted
+    // store serves ann_ivfpq_topk's results verbatim
+    "ann_ivfpq_persisted_compact_topk" -> ivfpqTopkOracleSql,
 
     // The fully unsupervised stack's oracle: the k-means training CTEs
     // replace the label-cell CTEs, assignment/probes read kmranked,

@@ -24,7 +24,7 @@ class RegistrySpec extends GraftSpec {
   /** Update DELIBERATELY when registering new queries — a mismatch in
     * either direction is the alarm this spec exists to raise.
     */
-  private val PinnedSize = 218 // r18 (+1): drift-refreshed persisted PQ code store (stream_ann_ivfpq_persisted_refresh)
+  private val PinnedSize = 220 // r18 (+3): drift-refreshed persisted PQ code store, retention + per-cell-compaction serving faces
 
   test(s"registry holds exactly $PinnedSize queries (no silent shrink/override)") {
     // both numbers derive from SparkEntry.groups itself, so adding an
