@@ -21,6 +21,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing is BYTE-based, but several registered plans have
+      // post-shuffle stages whose cost is row-EXPANSION, not bytes (the
+      // pair-join dedup family: a few MB of narrow (doc_id, sid) rows
+      // fan out to 10^7-10^8 candidate pairs and run the merge-intersect
+      // kernel per pair). With the default 1 MB minPartitionSize,
+      // parallelismFirst coalesces such a stage to ceil(bytes/1MB) tasks
+      // — measured r18: dedup_prefix_jaccard's verify stage ran 2 tasks
+      // on 32 cores, 8.65 s of a 10.7 s query. 64 KB keeps byte-light/
+      // CPU-dense stages at the session's parallelism (the coalesce
+      // target is still defaultParallelism — this only lowers the byte
+      // floor, it never raises task counts above the pre-AQE partition
+      // count). Scale note: on a production cluster post-shuffle bytes
+      // are GBs and the floor never binds; it exists to avoid
+      // pathological partition counts on huge clusters, which
+      // defaultParallelism already caps. Env-overridable for such a
+      // deployment (guide §2.2 wants 100MB-1GB partitions when bytes,
+      // not fan-out CPU, are the cost).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

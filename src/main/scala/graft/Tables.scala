@@ -20,9 +20,47 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTemporal(normalizeEvents(df))
-    else normalizeTemporal(df)
+    val out =
+      if (name == "events") normalizeTemporal(normalizeEvents(df))
+      else normalizeTemporal(df)
+    spreadKey.get(name).fold(out)(k => spread(spark, s"$dir/$name.parquet", out, k))
   }
+
+  /** The tables whose consumers do heavy PER-ROW compute right after the
+    * scan (regex tokenization + shingle explodes over `documents`;
+    * 64-dim L2/dot scoring, PQ sub-quantization ×8 over `embeddings`),
+    * with the deterministic unique key each spreads by. The relational
+    * tables stay unspread: their scan-stage work is columnar decode +
+    * cheap predicates, and their queries are sub-second.
+    */
+  private val spreadKey: Map[String, String] =
+    Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Parallelize an UNSPLITTABLE scan (guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read"): the
+    * driver testdata ships each table as ONE single-row-group parquet
+    * file, so every scan — and all per-row compute fused into the scan
+    * stage — runs as ONE task regardless of core count (measured r18:
+    * pqSubs quantization 0.9–1.6 s and tokenize/shingle stages 0.5–0.8 s
+    * single-task on a 32-core session). A hash repartition on the
+    * table's unique key moves that compute behind an exchange of a few
+    * hundred KB and lets it use the session's parallelism.
+    *
+    * Scale-correct by construction, not a local[32] constant: the
+    * repartition fires ONLY when the input is a single regular file
+    * (a production table is a directory of many files/row groups whose
+    * scan is already parallel — there the extra full-table exchange
+    * would be pure waste, so it is skipped); the partition count is the
+    * session's shuffle-partition conf at plan time (32 batch, 8 inside
+    * the streaming gates' pinned scope, cluster-sized on a cluster);
+    * and the key is the table's unique id — deterministic under task
+    * retry (guide §2.5 warns off round-robin/rand-derived keys).
+    */
+  private def spread(spark: SparkSession, path: String, df: DataFrame,
+                     key: String): DataFrame =
+    if (!new java.io.File(path).isFile) df
+    else df.repartition(
+      spark.sessionState.conf.numShufflePartitions, col(key))
 
   /** Generator-drift armor for the non-events tables (the round-8
     * lesson generalized): temporal columns normalize to TIMESTAMP_NTZ

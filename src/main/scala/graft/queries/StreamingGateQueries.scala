@@ -122,8 +122,36 @@ object StreamingGateQueries {
     }
     val t0 = System.currentTimeMillis() - 600000L
     val staged = batches.map(pred => prepare(full.filter(pred)))
-    staged.zipWithIndex.foreach { case (df, i) =>
-      stageOne(df, f"batch$i%02d.parquet", t0 + i * 60000L)
+    // ONE staging job for all batches (r18 optimization: the per-batch
+    // coalesce(1) writes were 4-5 driver-sequential jobs per gate run,
+    // pure fixed overhead at gate scale): each batch's frame — the
+    // IDENTICAL prepare(full.filter(pred)) subplan as before, so batch
+    // CONTENT is unchanged whatever `prepare` does — is tagged with its
+    // index and the union written once through partitionBy("__b") after
+    // a hash repartition on the tag (each tag lands in exactly one
+    // task → exactly one part-file per nonempty batch, which then moves
+    // to its mtime-ordered name). A batch the split leaves EMPTY yields
+    // no directory; the per-batch fallback writes its empty file so the
+    // micro-batch sequence (and so every oracle's batch unrolling) is
+    // identical to the per-batch staging path at any SF.
+    val fused = staged.zipWithIndex
+      .map { case (df, i) => df.withColumn("__b", lit(i)) }
+      .reduce(_ unionByName _)
+    val tmp = Files.createTempDirectory(s"graft-stage-$name").toString
+    fused.repartition(col("__b")).write.mode("overwrite")
+      .partitionBy("__b").parquet(tmp)
+    staged.indices.foreach { i =>
+      val dir = new java.io.File(s"$tmp/__b=$i")
+      val part = Option(dir.listFiles()).flatMap(_.find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      val mtime = t0 + i * 60000L
+      part match {
+        case Some(p) =>
+          val dst = srcDir.resolve(f"batch$i%02d.parquet")
+          Files.move(p.toPath, dst)
+          dst.toFile.setLastModified(mtime)
+        case None => stageOne(staged(i), f"batch$i%02d.parquet", mtime)
+      }
     }
     val src = s.readStream.schema(staged.head.schema)
       .option("maxFilesPerTrigger", 1)
